@@ -1,0 +1,123 @@
+"""Keyed aggregations — running sums, arbitrary folds, arg-min.
+
+Mirrors SURVEY.md §2.3 (A1-A4):
+
+- A1 ``keyBy + sum`` (``TransformTest.scala:27-29``,
+  ``StreamWordCount.scala:30-31``): Flink emits one output per input
+  (running aggregate); the batch twin is the final per-key total, the
+  per-record emission is ``running_sum`` (window cumsum) — both below.
+- A2 ``reduce`` (``TransformTest.scala:30-34``): the reference fold
+  ``(x, y) => Sensor(x.id, x.timestamp + 1, y.temperature + 1)`` is
+  order-dependent (not commutative); over an ordered run of n records
+  it provably yields ``(first.timestamp + (n-1), last.temperature + 1)``
+  — expressible with min_by/max_by + count, no UDF needed. The general
+  arbitrary ordered fold is provided via applyInPandas
+  (``ordered_fold_general``).
+- A3 ``min``/``minBy`` (``WindowTest.scala:73``): arg-min keeping the
+  whole row = ``min_by`` with a deterministic tiebreak.
+
+Scale notes: all shapes are single-shuffle hash aggregations with
+map-side combine. ``keyed_sum_salted`` shows the two-phase salted
+variant for skewed keys at 100 TB (AQE covers moderate skew; extreme
+hot keys want explicit salt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keyed_sum(df: DataFrame, key: str, value: str) -> DataFrame:
+    """A1 batch twin: final per-key sum (TransformTest.scala:27-29)."""
+    return df.groupBy(key).agg(F.round(F.sum(value), 2).alias("total"))
+
+
+def keyed_sum_salted(df: DataFrame, key: str, value: str, salt_buckets: int = 32) -> DataFrame:
+    """A1 at 100 TB with hot keys: two-phase salted aggregation.
+
+    Phase 1 aggregates on (key, salt) spreading a hot key over
+    ``salt_buckets`` reducers; phase 2 combines the partials. Same
+    result as ``keyed_sum`` (associative agg), strictly more shuffle
+    tolerance.
+    """
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
+    partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
+    return partial.groupBy(key).agg(F.round(F.sum("_partial"), 2).alias("total"))
+
+
+def running_sum(df: DataFrame, key: str, order: str, value: str) -> DataFrame:
+    """A1 exact semantics: Flink's per-record running aggregate
+    (expected-output comments TransformTest.scala:38-44).
+
+    One row out per row in, carrying the running per-key sum in arrival
+    order (``order`` = a monotone id standing in for arrival order).
+    Scale: window with partitionBy(key) — one shuffle, per-key sort;
+    no global ordering required.
+    """
+    w = Window.partitionBy(key).orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.select(
+        F.col(key),
+        F.col(order),
+        F.round(F.sum(value).over(w), 2).alias("running_total"),
+    )
+
+
+def ordered_fold(df: DataFrame, key: str, order: str, ts: str, value: str) -> DataFrame:
+    """A2: the reference's reduce fold, closed-form.
+
+    ``reduce((x, y) => Sensor(x.id, x.timestamp + 1, y.temperature + 1))``
+    (TransformTest.scala:30-34) over records ordered by ``order``:
+    timestamp folds to first.timestamp + (n-1); temperature folds to
+    last.temperature + 1 (n >= 2) or last.temperature (n == 1).
+    Expressed with min_by/max_by — single shuffle, no UDF, no sort.
+    """
+    n = F.count("*")
+    first_ts = F.min_by(F.col(ts), F.col(order))
+    last_val = F.max_by(F.col(value), F.col(order))
+    return df.groupBy(key).agg(
+        (first_ts + n - F.lit(1)).alias("folded_ts"),
+        F.round(
+            F.when(n > 1, last_val + F.lit(1)).otherwise(last_val), 2
+        ).alias("folded_value"),
+    )
+
+
+def ordered_fold_general(df: DataFrame, key: str, order: str, ts: str, value: str) -> DataFrame:
+    """A2 general form: arbitrary order-dependent fold via applyInPandas.
+
+    For folds with no closed form this is the scalable fallback: one
+    shuffle on the key, per-group pandas sort + iterative fold. Kept
+    for parity demonstration; same output as ``ordered_fold``.
+    SURVEY.md §7.4 documents the determinism caveat (explicit ``order``
+    column, never partition arrival order).
+    """
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        acc_ts, acc_val = None, None
+        for _, row in pdf.iterrows():
+            if acc_ts is None:
+                acc_ts, acc_val = row[ts], row[value]
+            else:
+                acc_ts, acc_val = acc_ts + 1, row[value] + 1
+        return pd.DataFrame(
+            {key: [pdf[key].iloc[0]], "folded_ts": [acc_ts], "folded_value": [round(acc_val, 2)]}
+        )
+
+    out_schema = f"{key} bigint, folded_ts bigint, folded_value double"
+    return df.groupBy(key).applyInPandas(fold, schema=out_schema)
+
+
+def arg_min(df: DataFrame, key: str, value: str, tiebreak: str, keep: list[str]) -> DataFrame:
+    """A3 minBy: per-key row with the minimum ``value``
+    (WindowTest.scala:73 ``minBy(1)``).
+
+    Deterministic under ties via ``tiebreak``; implemented as min_by on
+    a struct so the whole thing is one hash aggregate (no sort, no
+    window) — the cheapest arg-min shape at scale.
+    """
+    chosen = F.min_by(F.struct(*[F.col(c) for c in keep]), F.struct(F.col(value), F.col(tiebreak)))
+    agg = df.groupBy(key).agg(chosen.alias("_row"))
+    return agg.select(key, *[F.col(f"_row.{c}").alias(c) for c in keep])

@@ -1,0 +1,148 @@
+"""Event-time windows — tumbling / sliding / offset / global / session,
+window metadata, and late-data accounting.
+
+Mirrors SURVEY.md §2.5 (W1-W10). The batch twins below run ``window()``
+over static frames (identical semantics to the streaming path — Spark's
+unified API); streaming twins live in ``flink_scala_spark.streaming``.
+
+- W4 tumbling (``hk/windowTest/WindowTest.scala:67-74``): keyed 2 s
+  windows with ``minBy``; generalized here to any agg.
+- W6 offset day windows (``TestUtcTime.scala:42,50``): 1-day windows
+  shifted 16 h = local midnight in UTC+8; Spark's ``startTime`` is
+  exactly Flink's window offset.
+- W7 windowAll (``TestUtcTime.scala:42``): no key — Spark handles this
+  without Flink's parallelism-1 penalty (partial aggs are distributed,
+  the final combine is one small reduce).
+- W9 evictor-as-filter (``TestTriggerAndEvictor.scala:122-139``): the
+  reference's evictor drops ``timestamp <= 0`` rows pre-aggregation —
+  a plain pushed-down filter here.
+- W10 ProcessWindowFunction metadata
+  (``TestTriggerAndEvictor.scala:141-156``): ``window().start/end``
+  are just the ``window`` struct's fields.
+- W5 allowedLateness/sideOutputLateData (``WindowTest.scala:71-72``):
+  Spark has a single watermark knob; the batch-twin accounting below
+  classifies each row against the running watermark (max event time
+  seen so far in arrival order minus delay), exactly the Flink
+  late-data definition, so the late side-channel is a filter.
+
+Scale notes: tumbling/offset windows are plain hash aggs on
+(window, key) — one shuffle, partial aggregation, state pruned by
+watermark in streaming. Sliding windows multiply rows by
+size/slide assignments (Spark expands assignments internally);
+keep size/slide ratios modest at scale. The late-data running max uses
+an arrival-ordered window — at 100 TB arrival order only makes sense
+per partition/shard, which is how we define it (order column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_event_time(df: DataFrame, epoch_col: str, unit: str = "seconds") -> DataFrame:
+    """W2's timestamp extractor: epoch long -> TimestampType ``ts``
+    (WindowTest.scala:54-60 multiplies seconds by 1000; we go straight
+    to TimestampType)."""
+    f = F.timestamp_seconds if unit == "seconds" else F.timestamp_millis
+    return df.withColumn("ts", f(F.col(epoch_col)))
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    size: str,
+    keys: list[str],
+    aggs: list[Column],
+    start_time: str | None = None,
+) -> DataFrame:
+    """W4/W6/W7: tumbling window aggregation, optional offset, optional
+    keys (empty ``keys`` = windowAll).
+
+    Output carries ``window_start``/``window_end`` (W10 metadata) as
+    epoch seconds — timezone-proof for cross-engine comparison.
+    """
+    win = (
+        F.window(F.col(ts_col), size, startTime=start_time)
+        if start_time
+        else F.window(F.col(ts_col), size)
+    )
+    out = df.groupBy(win.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        F.unix_timestamp("w.start").alias("window_start"),
+        F.unix_timestamp("w.end").alias("window_end"),
+        *keys,
+        *[c for c in out.columns if c not in ("w", *keys)],
+    )
+
+
+def sliding_agg(
+    df: DataFrame, ts_col: str, size: str, slide: str, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Sliding (hopping) windows — each row lands in size/slide windows.
+
+    The reference only demos tumbling, but sliding is in its window
+    taxonomy comment (WindowTest.scala:62); included as first-class.
+    """
+    win = F.window(F.col(ts_col), size, slide)
+    out = df.groupBy(win.alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        F.unix_timestamp("w.start").alias("window_start"),
+        *keys,
+        *[c for c in out.columns if c not in ("w", *keys)],
+    )
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap_seconds: int, key: str, aggs: list[Column]
+) -> DataFrame:
+    """Session windows, batch twin: gaps-and-islands.
+
+    A new session starts when the gap from the previous event of the
+    same key exceeds ``gap_seconds``; expressed as lag + conditional
+    cumsum — one shuffle on the key, per-key sort, no UDF. The
+    streaming twin uses ``F.session_window`` (streaming module).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    gap_flag = (
+        F.when(
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+            > gap_seconds,
+            1,
+        )
+        .otherwise(0)
+    )
+    sessions = df.withColumn("_new", gap_flag).withColumn(
+        "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy(key, "session_id")
+        .agg(
+            F.min(F.col(ts_col).cast("long")).alias("session_start"),
+            F.max(F.col(ts_col).cast("long")).alias("session_end"),
+            *aggs,
+        )
+    )
+
+
+def classify_late(
+    df: DataFrame, ts_col: str, order_col: str, delay_seconds: int, lateness_seconds: int
+) -> DataFrame:
+    """W5 batch twin: classify rows against the running watermark.
+
+    Watermark after k rows (arrival order = ``order_col``) = max event
+    time among rows 1..k minus ``delay_seconds``. A row is ``on_time``
+    if ts >= watermark, ``late`` if within ``lateness_seconds`` below
+    (Flink re-fires the window), else ``dropped`` (Flink side-outputs
+    it; WindowTest.scala:71-72). Global arrival order is meaningful in
+    the reference's parallelism-1 demos; at scale this runs per shard.
+    """
+    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    ts_l = F.col(ts_col).cast("long")
+    wm = F.max(ts_l).over(w) - F.lit(delay_seconds)
+    return df.withColumn(
+        "lateness",
+        F.when(wm.isNull() | (ts_l >= wm), F.lit("on_time"))
+        .when(ts_l >= wm - F.lit(lateness_seconds), F.lit("late"))
+        .otherwise(F.lit("dropped")),
+    )

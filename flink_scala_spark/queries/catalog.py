@@ -1,0 +1,595 @@
+"""The query catalog — every implemented operator as a named query.
+
+Each entry pairs a PySpark builder (``(spark, sf_dir) -> DataFrame``)
+with an equivalent ANSI-SQL oracle that DuckDB runs on the same parquet
+tables. Column names and types are aligned on both sides (the driver
+sorts columns by name and hashes values). Floating-point aggregates are
+rounded identically on both sides; window boundaries are emitted as
+epoch-seconds BIGINTs so no timezone semantics leak into the compare.
+
+Mapping of reference fixtures to driver testdata (FIXTURES.md §5):
+``events(event_id, ts, user_id, event_type, value, props)`` stands in
+for the sensor/time streams (key = user_id or event_type, event time =
+ts, measurement = value); ``orders`` + ``customer``/``nation`` stand in
+for the OrderEvent dashboard; ``documents.text`` feeds word count and
+the text pipeline; ``embeddings`` feeds similarity search.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_scala_spark import tables
+from flink_scala_spark.operators import (
+    aggregations as agg_ops,
+    dashboard,
+    multistream,
+    transforms,
+    windows,
+    wordcount,
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None => non-SQL-expressible, rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str], *tags: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Flagship dashboard (A4 / OrderAnalysy.scala)
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_dashboard_total",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_day,
+           count(*) AS total_num,
+           round(sum(o_totalprice), 2) AS total_money
+    FROM orders GROUP BY 1
+    """,
+    "A4", "flagship",
+)
+def q_order_dashboard_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dashboard.order_totals_by_day(tables.load(spark, sf_dir, "orders"))
+
+
+@register(
+    "order_dashboard_province",
+    """
+    SELECT CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS order_day,
+           n.n_name AS province,
+           count(*) AS total_num,
+           round(sum(o.o_totalprice), 2) AS total_money
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+    "A4", "flagship", "join",
+)
+def q_order_dashboard_province(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dashboard.order_totals_by_day_province(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "nation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word count (S1/S2, T2, T3, A1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "word_count",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    "T2", "T3", "A1", "S1",
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    return wordcount.word_count(docs, "text")
+
+
+# ---------------------------------------------------------------------------
+# Stateless transforms (T1, T3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sensor_parse",
+    """
+    SELECT trim(parts[1]) AS id,
+           CAST(trim(parts[2]) AS BIGINT) AS timestamp,
+           CAST(trim(parts[3]) AS DOUBLE) AS temperature
+    FROM (
+        SELECT string_split(
+            concat(event_type, ', ', CAST(user_id AS VARCHAR), ', ', CAST(value AS VARCHAR)),
+            ',') AS parts
+        FROM events
+    ) t
+    """,
+    "T1",
+)
+def q_sensor_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-line -> typed record parse (TransformTest.scala:23-26).
+
+    The driver testdata has no raw text lines, so the query first
+    renders events as `id, ts, temp` CSV lines, then exercises the
+    split/trim/cast parser — the parse path is identical to the
+    reference's.
+    """
+    ev = _events(spark, sf_dir)
+    lines = ev.select(
+        F.concat_ws(", ", F.col("event_type"), F.col("user_id").cast("string"),
+                    F.col("value").cast("string")).alias("value")
+    )
+    return transforms.parse_sensor_csv(lines)
+
+
+@register(
+    "filter_threshold",
+    """
+    SELECT event_id, user_id, round(value, 2) AS value
+    FROM events WHERE value >= 20.0
+    """,
+    "T3",
+)
+def q_filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = transforms.filter_min_value(_events(spark, sf_dir), "value", 20.0)
+    return ev.select("event_id", "user_id", F.round("value", 2).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-stream (M1-M4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "split_select_bands",
+    """
+    SELECT CASE WHEN value < 10 THEN 'low' WHEN value < 30 THEN 'mid' ELSE 'high' END AS band,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+    "M1",
+)
+def q_split_select_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    branches = multistream.split_select(ev, "value", 10.0, 30.0)
+    labeled = [
+        df.select(F.lit(label).alias("band"), "value") for label, df in branches.items()
+    ]
+    merged = labeled[0]
+    for df in labeled[1:]:
+        merged = merged.unionByName(df)
+    return merged.groupBy("band").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+@register(
+    "connect_co_map",
+    """
+    SELECT id, level, count(*) AS cnt FROM (
+        SELECT event_id AS id, 'error' AS level FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT event_id AS id, 'warn' AS level FROM events WHERE value >= 30.0
+    ) t GROUP BY id, level
+    """,
+    "M2", "M3",
+)
+def q_connect_co_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(F.col("event_id").alias("id"))
+    warnings = ev.filter(F.col("value") >= 30.0).select(F.col("event_id").alias("id"))
+    merged = multistream.connect_co_map(errors, warnings)
+    return merged.groupBy("id", "level").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "side_output_alarm",
+    """
+    SELECT branch, count(*) AS cnt, round(sum(value), 2) AS total FROM (
+        SELECT CASE WHEN value > 30.0 THEN 'alarm' ELSE 'main' END AS branch, value
+        FROM events
+    ) t GROUP BY branch
+    """,
+    "M4",
+)
+def q_side_output_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    side, main = multistream.side_output(ev, F.col("value") > 30.0)
+    tagged = side.select(F.lit("alarm").alias("branch"), "value").unionByName(
+        main.select(F.lit("main").alias("branch"), "value")
+    )
+    return tagged.groupBy("branch").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keyed aggregation (A1-A3, T4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "keyed_sum",
+    """
+    SELECT user_id, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+    "A1", "T4",
+)
+def q_keyed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.keyed_sum(_events(spark, sf_dir), "user_id", "value")
+
+
+@register(
+    "keyed_sum_salted",
+    """
+    SELECT user_id, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+    "A1", "scale",
+)
+def q_keyed_sum_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.keyed_sum_salted(_events(spark, sf_dir), "user_id", "value")
+
+
+@register(
+    "running_sum",
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM events
+    """,
+    "A1",
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg_ops.running_sum(_events(spark, sf_dir), "user_id", "event_id", "value")
+
+
+@register(
+    "ordered_fold",
+    """
+    SELECT user_id,
+           arg_min(CAST(floor(epoch(ts)) AS BIGINT), event_id) + count(*) - 1 AS folded_ts,
+           round(CASE WHEN count(*) > 1 THEN arg_max(value, event_id) + 1
+                      ELSE arg_max(value, event_id) END, 2) AS folded_value
+    FROM events GROUP BY user_id
+    """,
+    "A2",
+)
+def q_ordered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("long"))
+    return agg_ops.ordered_fold(ev, "user_id", "event_id", "ts_l", "value")
+
+
+@register(
+    "ordered_fold_general",
+    """
+    SELECT user_id,
+           arg_min(CAST(floor(epoch(ts)) AS BIGINT), event_id) + count(*) - 1 AS folded_ts,
+           round(CASE WHEN count(*) > 1 THEN arg_max(value, event_id) + 1
+                      ELSE arg_max(value, event_id) END, 2) AS folded_value
+    FROM events GROUP BY user_id
+    """,
+    "A2", "udf",
+)
+def q_ordered_fold_general(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("long"))
+    return agg_ops.ordered_fold_general(ev, "user_id", "event_id", "ts_l", "value")
+
+
+@register(
+    "arg_min_row",
+    """
+    SELECT user_id, event_id, round(value, 2) AS value FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+    "A3",
+)
+def q_arg_min_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg_ops.arg_min(
+        _events(spark, sf_dir), "user_id", "value", "event_id", ["event_id", "value"]
+    )
+    return out.select("user_id", "event_id", F.round("value", 2).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (W4-W10)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tumbling_window_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           CAST(floor(epoch(ts) / 300) * 300 + 300 AS BIGINT) AS window_end,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+    "W4", "W10",
+)
+def q_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return windows.tumbling_agg(
+        ev, "ts", "5 minutes", ["event_type"],
+        [F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total")],
+    )
+
+
+@register(
+    "tumbling_window_min_by",
+    """
+    SELECT CAST(floor(epoch(ts) / 120) * 120 AS BIGINT) AS window_start,
+           CAST(floor(epoch(ts) / 120) * 120 + 120 AS BIGINT) AS window_end,
+           user_id, event_id, round(value, 2) AS value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY CAST(floor(epoch(ts) / 120) * 120 AS BIGINT), user_id
+            ORDER BY value, event_id) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+    "W4", "A3",
+)
+def q_tumbling_window_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowTest.scala:67-74: keyed 2 s tumbling window + minBy —
+    scaled to 120 s windows on the events fixture."""
+    ev = _events(spark, sf_dir)
+    chosen = F.min_by(
+        F.struct(F.col("event_id"), F.col("value")),
+        F.struct(F.col("value"), F.col("event_id")),
+    ).alias("_row")
+    out = ev.groupBy(F.window("ts", "2 minutes").alias("w"), F.col("user_id")).agg(chosen)
+    return out.select(
+        F.unix_timestamp("w.start").alias("window_start"),
+        F.unix_timestamp("w.end").alias("window_end"),
+        "user_id",
+        F.col("_row.event_id").alias("event_id"),
+        F.round(F.col("_row.value"), 2).alias("value"),
+    )
+
+
+@register(
+    "day_window_offset_utc8",
+    """
+    SELECT CAST(floor((epoch(ts) - 57600) / 86400) * 86400 + 57600 AS BIGINT) AS window_start,
+           CAST(floor((epoch(ts) - 57600) / 86400) * 86400 + 57600 + 86400 AS BIGINT) AS window_end,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    "W6", "W7",
+)
+def q_day_window_offset_utc8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TestUtcTime.scala:42,50 — 1-day tumbling window with a 16 h
+    offset so windows align to UTC+8 local midnight."""
+    ev = _events(spark, sf_dir)
+    return windows.tumbling_agg(
+        ev, "ts", "1 day", [], [F.count("*").alias("cnt")], start_time="16 hours"
+    )
+
+
+@register(
+    "window_all_minute",
+    """
+    SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS window_start,
+           CAST(floor(epoch(ts) / 60) * 60 + 60 AS BIGINT) AS window_end,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    "W7",
+)
+def q_window_all_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return windows.tumbling_agg(ev, "ts", "1 minute", [], [F.count("*").alias("cnt")])
+
+
+@register(
+    "sliding_window_counts",
+    """
+    SELECT ws AS window_start, event_type, count(*) AS cnt FROM (
+        SELECT event_type,
+               unnest(generate_series(
+                   CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300,
+                   CAST(floor(epoch(ts) / 300) * 300 AS BIGINT), 300)) AS ws
+        FROM events
+    ) t GROUP BY ws, event_type
+    """,
+    "W4", "sliding",
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return windows.sliding_agg(
+        ev, "ts", "10 minutes", "5 minutes", ["event_type"], [F.count("*").alias("cnt")]
+    )
+
+
+@register(
+    "session_windows",
+    """
+    WITH flagged AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, value,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 600
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_l
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, min(ts_l) AS session_start, max(ts_l) AS session_end,
+           count(*) AS cnt
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    "session",
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return windows.session_agg(ev, "ts", 600, "user_id", [F.count("*").alias("cnt")])
+
+
+@register(
+    "evictor_prefilter",
+    """
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           CAST(floor(epoch(ts) / 600) * 600 + 600 AS BIGINT) AS window_end,
+           count(*) AS cnt
+    FROM events WHERE value > 5.0 GROUP BY 1, 2
+    """,
+    "W9",
+)
+def q_evictor_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 evictor-as-filter (TestTriggerAndEvictor.scala:122-139): the
+    reference evictor drops invalid rows before the window fn; here the
+    predicate pushes down to the parquet scan."""
+    ev = _events(spark, sf_dir).filter(F.col("value") > 5.0)
+    return windows.tumbling_agg(ev, "ts", "10 minutes", [], [F.count("*").alias("cnt")])
+
+
+@register(
+    "late_data_accounting",
+    """
+    SELECT lateness, count(*) AS cnt FROM (
+        SELECT CASE
+            WHEN wm IS NULL OR ts_l >= wm THEN 'on_time'
+            WHEN ts_l >= wm - 120 THEN 'late'
+            ELSE 'dropped' END AS lateness
+        FROM (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+                   max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 60 AS wm
+            FROM events
+        ) t
+    ) t2 GROUP BY lateness
+    """,
+    "W5",
+)
+def q_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    classified = windows.classify_late(ev, "ts", "event_id", 60, 120)
+    return classified.groupBy("lateness").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Stateful batch twins (ST1-ST4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "delta_alarm",
+    """
+    SELECT user_id, event_id, round(prev, 2) AS prev_value, round(value, 2) AS curr_value
+    FROM (
+        SELECT user_id, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ) t WHERE abs(value - prev) > 10.0
+    """,
+    "ST1", "ST2", "ST3",
+)
+def q_delta_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1-ST3 batch twin: |Δvalue| > 10 between consecutive per-key
+    readings (StateTest.scala:67-74). The streaming twin keeps the last
+    value in keyed state (flink_scala_spark.streaming.stateful)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev", F.lag("value").over(w))
+        .filter(F.abs(F.col("value") - F.col("prev")) > 10.0)
+        .select(
+            "user_id",
+            "event_id",
+            F.round("prev", 2).alias("prev_value"),
+            F.round("value", 2).alias("curr_value"),
+        )
+    )
+
+
+@register(
+    "rising_streak_alarm",
+    """
+    WITH diffed AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, event_id, value,
+               CASE WHEN value > lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+    ), islands AS (
+        SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_l, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM diffed
+    )
+    SELECT user_id, run_id, count(*) AS run_len,
+           min(ts_l) AS run_start, max(ts_l) AS run_end
+    FROM islands GROUP BY user_id, run_id
+    HAVING max(ts_l) - min(ts_l) >= 600 AND count(*) >= 3
+    """,
+    "ST4",
+)
+def q_rising_streak_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 batch twin (ProcessAlarmTest.scala:76-108): temperature
+    rising continuously past a time horizon fires an alarm. Batch form:
+    gaps-and-islands over per-key rising runs; alarm = runs spanning
+    >= 600 s with >= 3 readings. The streaming twin registers a timer
+    (flink_scala_spark.streaming.stateful)."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("long"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    diffed = ev.withColumn(
+        "brk",
+        F.when(F.col("value") > F.lag("value").over(w), F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = diffed.withColumn(
+        "run_id", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("user_id", "run_id")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.min("ts_l").alias("run_start"),
+            F.max("ts_l").alias("run_end"),
+        )
+        .filter((F.col("run_end") - F.col("run_start") >= 600) & (F.col("run_len") >= 3))
+    )

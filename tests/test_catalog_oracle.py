@@ -1,0 +1,61 @@
+"""Every catalog query must match its DuckDB oracle at sf0.001.
+
+This mirrors the driver's correctness gate (row count + column names +
+order-insensitive values) so regressions surface in `pytest` before the
+driver runs its own check at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from flink_scala_spark.queries.catalog import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6f}"
+    return str(v)
+
+
+def _sorted_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        assert len(s_rows) >= 0  # rows-only check for non-SQL ops
+        return
+    res = duck.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert _sorted_rows(sdf.columns, s_rows) == _sorted_rows(d_cols, d_rows)

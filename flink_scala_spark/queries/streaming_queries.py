@@ -1,0 +1,134 @@
+"""Streaming twins in the query catalog.
+
+Each entry replays a bounded parquet table through a real
+``readStream`` pipeline (Structured Streaming: watermark, state store,
+microbatches) and returns the final result as a batch DataFrame, so the
+driver's DuckDB oracle can check end-state correctness — the strategy
+SURVEY.md §5 prescribes for streaming semantics.
+
+Output modes per SURVEY.md §7.4: ``complete`` for windowed/keyed aggs
+(matches Flink's final window contents on bounded input), ``append``
+for stateful flatMap-style emissions (alarms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_scala_spark.queries.catalog import register
+from flink_scala_spark.streaming import sources, stateful
+from flink_scala_spark.streaming.runner import run_bounded
+
+
+@register(
+    "streaming_tumbling_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    "W1", "W2", "W4", "streaming",
+)
+def q_streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowTest.scala:67-74 as a live Structured Streaming run:
+    watermarked event time (W2's 1 s out-of-orderness bound scaled to
+    1 min) + keyed tumbling windows."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    out = run_bounded(agg, "complete")
+    return out.select(
+        F.unix_timestamp("w.start").alias("window_start"), "event_type", "cnt", "total"
+    )
+
+
+@register(
+    "streaming_keyed_sum",
+    """
+    SELECT user_id, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    """,
+    "A1", "T4", "streaming",
+)
+def q_streaming_keyed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StreamWordCount-style running keyed aggregate, final state."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    return run_bounded(agg, "complete")
+
+
+@register(
+    "streaming_word_count",
+    """
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    "S2", "T2", "A1", "streaming",
+)
+def q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount2.scala:23: bounded file through the streaming env."""
+    docs = sources.file_replay(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return run_bounded(words.groupBy("word").agg(F.count("*").alias("cnt")), "complete")
+
+
+@register(
+    "streaming_delta_alarm",
+    """
+    SELECT user_id, event_id, round(prev, 2) AS prev_value, round(value, 2) AS curr_value
+    FROM (
+        SELECT user_id, event_id, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ) t WHERE abs(value - prev) > 10.0
+    """,
+    "ST1", "ST2", "ST3", "streaming",
+)
+def q_streaming_delta_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The StateTest alarm as a live keyed-state streaming run."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    return run_bounded(stateful.delta_alarm(ev, 10.0), "append")
+
+
+@register(
+    "streaming_rising_alarm",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, value,
+               CASE WHEN value > lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    THEN 1 ELSE 0 END AS rising
+        FROM events
+    ), runs AS (
+        SELECT *, sum(1 - rising) OVER (PARTITION BY user_id ORDER BY ts_l, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM ordered
+    ), streaks AS (
+        SELECT user_id, run_id, ts_l, event_id,
+               min(ts_l) OVER (PARTITION BY user_id, run_id) AS streak_start,
+               row_number() OVER (PARTITION BY user_id, run_id
+                                  ORDER BY ts_l, event_id) AS n_rising
+        FROM runs WHERE rising = 1
+    ), fires AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, run_id
+                                     ORDER BY ts_l, event_id) AS fire_rank
+        FROM streaks WHERE ts_l - streak_start >= 600
+    )
+    SELECT user_id, streak_start, ts_l AS streak_end, n_rising
+    FROM fires WHERE fire_rank = 1
+    """,
+    "ST4", "streaming",
+)
+def q_streaming_rising_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProcessAlarmTest's timer alarm (event-time twin), live run."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    return run_bounded(stateful.rising_alarm(ev, 600), "append")

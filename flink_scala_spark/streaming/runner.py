@@ -1,0 +1,55 @@
+"""Run-to-completion helpers for bounded streaming twins.
+
+The reference's demos read bounded inputs through the streaming env and
+terminate (``WordCount2.scala:7`` notes auto-termination). Spark's
+equivalent: drive a streaming query over a bounded file source with
+``processAllAvailable`` + memory sink, then read the result table.
+
+Output-mode mapping (SURVEY.md §7.4):
+- ``complete`` reproduces Flink's final window/agg contents even for
+  windows the watermark never closed — right for bounded-replay
+  correctness twins (state is not evicted; production unbounded runs
+  use append/update where the watermark prunes state).
+- ``update`` reproduces Flink's per-record running emission (A1-A3
+  expected outputs in TransformTest.scala:38-52).
+- ``append`` is for flatMap-style emissions (alarms, side outputs).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+_counter = itertools.count()
+
+
+def run_bounded(
+    stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None
+) -> DataFrame:
+    """Execute a bounded streaming plan to completion; return the final
+    memory-sink table as a batch DataFrame."""
+    spark = stream_df.sparkSession
+    name = query_name or f"fss_q{next(_counter)}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
+def run_bounded_foreach(stream_df: DataFrame, fn, output_mode: str = "update") -> None:
+    """Execute a bounded streaming plan through foreachBatch ``fn``."""
+    q = stream_df.writeStream.outputMode(output_mode).foreachBatch(fn).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)

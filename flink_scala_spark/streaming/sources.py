@@ -1,0 +1,112 @@
+"""Streaming sources (SURVEY.md §2.1).
+
+- S2 bounded-file-as-stream: the reference reads a text file through
+  the streaming env (``hk/helloWorldTest/WordCount2.scala:23``); here
+  any testdata parquet replays through ``readStream`` so every batch
+  operator has a streaming twin.
+- S3 socket source (``StreamWordCount.scala:25``).
+- S5 Kafka source with offset control (``SourceFromKafka.scala:25-27``).
+- S6 custom generator source (``OrderAnalysy.scala:338-362``): Flink's
+  ``SourceFunction`` emitting rate-limited random orders becomes
+  Spark's ``rate`` source + a deterministic seeded projection — same
+  shape (rows/sec control), reproducible by construction.
+
+Scale notes: the parquet replay source is Spark's production file
+source (directory listing + maxFilesPerTrigger backpressure); Kafka
+partitions map 1:1 to Spark input partitions — at 100 TB/day the
+parallelism lever is topic partitioning, not engine code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_replay(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """S2: replay a testdata parquet table as a stream.
+
+    Uses the batch schema (streaming file sources need one declared);
+    ``pathGlobFilter`` isolates the one table inside the shared sf dir.
+    The events table's TIMESTAMP(NANOS) column arrives as long nanos
+    (see tables.load) and is normalized to TimestampType here too.
+    """
+    from flink_scala_spark import tables
+
+    batch = tables.load(spark, sf_dir, table)  # also sets nanosAsLong
+    raw_schema = spark.read.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{table}.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    if table == "events" and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return stream
+
+
+def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 7777) -> DataFrame:
+    """S3: unbounded lines from TCP (StreamWordCount.scala:25)."""
+    return (
+        spark.readStream.format("socket").option("host", host).option("port", port).load()
+    )
+
+
+def kafka_topic(
+    spark: SparkSession,
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+    starting_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """S5: Kafka subscription; offsets live in the checkpoint (F6), and
+    ``startingTimestamp`` mirrors ``setStartFromTimestamp``
+    (SourceFromKafka.scala:27). Requires the kafka connector jar on the
+    classpath — absent in this image, so calls fail fast with Spark's
+    own missing-source error.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+    )
+    if starting_timestamp_ms is not None:
+        reader = reader.option("startingTimestamp", str(starting_timestamp_ms))
+    else:
+        reader = reader.option("startingOffsets", starting_offsets)
+    return reader.load().selectExpr("CAST(value AS STRING) AS value")
+
+
+PROVINCES = ("BEIJING", "SHANGHAI", "GUANGZHOU", "SHENZHEN", "TIANJIN")
+
+
+def rate_orders(spark: SparkSession, rows_per_second: int = 5) -> DataFrame:
+    """S6: deterministic twin of the reference's OrderSource
+    (OrderAnalysy.scala:338-362): ~5 orders/sec, random province with
+    BEIJING double-weighted (:343), money in [10, 11) (:352), ascending
+    payTime. Randomness is a pure seeded function of the rate source's
+    monotone ``value``, so replays are bit-identical.
+    """
+    v = F.col("value")
+    h = F.abs(F.xxhash64(v))
+    # 6 slots, two map to BEIJING => double weight, mirroring the
+    # reference's duplicated array entry.
+    slot = (h % 6).cast("int")
+    province = (
+        F.when(slot <= 1, PROVINCES[0])
+        .when(slot == 2, PROVINCES[1])
+        .when(slot == 3, PROVINCES[2])
+        .when(slot == 4, PROVINCES[3])
+        .otherwise(PROVINCES[4])
+    )
+    money = F.round(F.lit(10.0) + (F.abs(F.xxhash64(v, F.lit(1))) % 100) / 100.0, 2)
+    return spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load().select(
+        F.md5(v.cast("string")).alias("order_id"),
+        F.md5((v + 1000000).cast("string")).alias("user_id"),
+        province.alias("province"),
+        money.cast("decimal(18,2)").alias("money"),
+        F.col("timestamp").alias("pay_time"),
+    )

@@ -1,0 +1,160 @@
+"""Keyed per-record state machines and timers (SURVEY.md §2.6).
+
+- ST1-ST3 (``hk/StateTest/StateTest.scala:51-75``, ``StateTest2.scala``,
+  ``StateTest3.scala``): remember the last temperature per key; when a
+  new reading differs by more than a threshold, emit an alarm row. All
+  three reference variants (KeyedProcessFunction / RichFlatMapFunction
+  / flatMapWithState) are the same semantics — one implementation here
+  via ``applyInPandasWithState``: per-key ``GroupState`` holds the last
+  value across microbatches, rows within a batch are folded in
+  (ts, id) order for determinism.
+- ST4 (``hk/processFunctionTest/ProcessAlarmTest.scala:76-108``):
+  "value rising continuously for >= horizon seconds -> alarm", built on
+  timers in Flink. The event-time twin keeps (streak_start_ts,
+  last_value) in state and emits when the streak spans the horizon —
+  equivalent to the timer firing, but deterministic on event time (the
+  reference's processing-time timer is wall-clock-dependent;
+  SURVEY.md §7.4 documents the substitution).
+
+Scale notes: state is per-key in the state store (RocksDB/HDFS at
+scale), keys are hash-partitioned — the same layout Flink uses; the
+Arrow batch boundary is the only Python crossing, amortized over whole
+microbatches.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+DELTA_ALARM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("prev_value", DoubleType()),
+        StructField("curr_value", DoubleType()),
+    ]
+)
+
+_DELTA_STATE_SCHEMA = StructType([StructField("last_value", DoubleType())])
+
+
+def _delta_alarm_fn(threshold: float):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        out = {"user_id": [], "event_id": [], "prev_value": [], "curr_value": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                if last is not None and abs(val - last) > threshold:
+                    out["user_id"].append(user_id)
+                    out["event_id"].append(eid)
+                    out["prev_value"].append(round(last, 2))
+                    out["curr_value"].append(round(val, 2))
+                last = val
+        state.update((last,))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def delta_alarm(events_stream: DataFrame, threshold: float = 10.0) -> DataFrame:
+    """ST1-ST3: |Δvalue| > threshold between consecutive per-key rows
+    (StateTest.scala:69-74; threshold is the ctor param of
+    MyProcessFunction(10.0))."""
+    return (
+        events_stream.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _delta_alarm_fn(threshold),
+            outputStructType=DELTA_ALARM_SCHEMA,
+            stateStructType=_DELTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+RISING_ALARM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("streak_start", LongType()),
+        StructField("streak_end", LongType()),
+        StructField("n_rising", LongType()),
+    ]
+)
+
+_RISING_STATE_SCHEMA = StructType(
+    [
+        StructField("last_value", DoubleType()),
+        StructField("streak_start", LongType()),
+        StructField("n_rising", LongType()),
+        StructField("fired", LongType()),
+    ]
+)
+
+
+def _rising_alarm_fn(horizon_seconds: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_value, streak_start, n_rising, fired = state.get
+        else:
+            last_value, streak_start, n_rising, fired = None, None, 0, 0
+        out = {"user_id": [], "streak_start": [], "streak_end": [], "n_rising": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts_l, val in zip(pdf["event_id"], pdf["ts_l"], pdf["value"]):
+                rising = last_value is not None and val > last_value
+                if rising:
+                    if streak_start is None:
+                        streak_start = ts_l
+                    n_rising += 1
+                    # Flink registers a +horizon processing-time timer on
+                    # the first rise (ProcessAlarmTest.scala:90-94); the
+                    # event-time twin fires once the streak has spanned
+                    # the horizon.
+                    if not fired and ts_l - streak_start >= horizon_seconds:
+                        out["user_id"].append(user_id)
+                        out["streak_start"].append(streak_start)
+                        out["streak_end"].append(ts_l)
+                        out["n_rising"].append(n_rising)
+                        fired = 1
+                else:
+                    # Fall (or first record) deletes the timer
+                    # (ProcessAlarmTest.scala:95-100) and resets.
+                    streak_start, n_rising, fired = None, 0, 0
+                last_value = val
+        state.update((last_value, streak_start, n_rising, fired))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def rising_alarm(events_stream: DataFrame, horizon_seconds: int = 600) -> DataFrame:
+    """ST4 event-time twin of the rising-temperature timer alarm."""
+    withts = events_stream.select(
+        "user_id", "event_id", "ts", F.col("ts").cast("long").alias("ts_l"), "value"
+    )
+    return withts.groupBy("user_id").applyInPandasWithState(
+        _rising_alarm_fn(horizon_seconds),
+        outputStructType=RISING_ALARM_SCHEMA,
+        stateStructType=_RISING_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

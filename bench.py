@@ -28,6 +28,15 @@ HEADLINE = [
     "session_windows",
     "delta_alarm",
     "arg_min_row",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_token_stats",
+    "text_fingerprint",
+    "asof_join_purchase_click",
+    "interval_join_error_clicks",
 ]
 
 

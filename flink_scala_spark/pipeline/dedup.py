@@ -1,0 +1,280 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+
+- Exact dedup is one hash-shuffle on ``md5(text)`` — the canonical
+  doc per group is a window ``min`` (map-side partial agg applies).
+- MinHash+LSH never enumerates the O(n^2) pair space: signatures are
+  one groupBy over exploded shingles (S min-aggregates, map-side
+  combinable), candidates come from equi-joins on band buckets
+  (shuffle keyed by a 128-bit band hash — uniformly distributed, no
+  skew), and the exact-Jaccard verify touches only candidate pairs.
+- SimHash is one groupBy producing a 32-bit signature per doc, then
+  band-blocked (4 x 8-bit) candidate joins + popcount verify; all
+  integer arithmetic inside whole-stage codegen.
+- The brute n-gram Jaccard pairs operator is the small-scale baseline
+  the LSH paths are checked against.
+
+All hashes are :func:`flink_scala_spark.functions.h60`, so the DuckDB
+oracles reproduce every candidate and every score exactly (including
+LSH's probabilistic misses — the oracle runs the same bands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_scala_spark.functions import h60
+
+# Default MinHash geometry: 8 hashes, 4 bands x 2 rows.
+# Collision prob at Jaccard j is 1-(1-j^2)^4: ~0.99 at j=0.8, ~0.06
+# at j=0.2 — tuned for the >= 0.5 verify threshold used below.
+NUM_HASHES = 8
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup mapping: every doc -> canonical (min id) doc of its
+    identical-text group, plus the group size."""
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return docs.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+        (F.col(id_col) != F.min(id_col).over(w)).cast("int").alias("is_dup"),
+    )
+
+
+def word_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    The words array is materialized in a projection BEFORE the
+    position explode, so each shingle is three O(1) element_at lookups
+    — not a re-split of the text per lambda element (higher-order
+    ``transform`` lambdas run interpreted without common-subexpression
+    elimination; the naive form was ~50x slower).
+    """
+    wdf = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    ).where(F.size("w") >= n)
+    idx = wdf.select(
+        "doc_id", "w", F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(n - 1))).alias("i")
+    )
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
+    return (
+        idx.select("doc_id", F.expr(f"concat_ws(' ', {parts})").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """One row per doc with ``mh0..mh{S-1}`` minhash values — a single
+    hash-shuffle on doc_id with map-side partial mins."""
+    aggs = [
+        F.min(h60(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_table(sigs: DataFrame, bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
+    """(doc_id, band, key) rows — band key = md5 over that band's
+    signature slice; docs sharing (band, key) are candidates.
+
+    Single pass over ``sigs``: the per-band keys are built as an array
+    of structs and exploded, instead of a bands-way union that would
+    recompute the signature aggregation once per band.
+    """
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(entries).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def candidate_pairs_from_bands(band_table: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
+
+    Bucket-local combination generation: one groupBy collects each
+    bucket's (sorted, tiny) doc list, pairs come from a row-local
+    nested transform — the band subtree is computed ONCE, vs twice
+    for a self-join, and no join shuffle is needed at all.
+    """
+    buckets = (
+        band_table.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard(cand: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over the candidate pairs only.
+
+    The shingle table is rolled up ONCE into per-doc sets; each
+    candidate pair then intersects two in-row arrays
+    (``array_intersect`` — row-local, no extra shuffle). ``cand`` is
+    small by construction (LSH/simhash pruned) and broadcasts.
+    """
+    doc_sets = shingles.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("shset"), F.count("*").alias("n")
+    )
+    a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"), F.col("n").alias("na")
+    )
+    b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"), F.col("n").alias("nb")
+    )
+    paired = F.broadcast(cand).join(a, "doc_a").join(b, "doc_b")
+    scored = paired.withColumn(
+        "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    ).withColumn(
+        "jaccard",
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "common", "jaccard"
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash -> LSH banding -> exact-Jaccard verification."""
+    sh = word_shingles(docs, text_col, n=n)
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = candidate_pairs_from_bands(lsh_band_table(sigs, bands, num_hashes // bands))
+    return verified_jaccard(cand, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Brute-force baseline: candidates = every pair sharing >= 1
+    shingle (no LSH pruning). Quadratic in the worst case — the
+    small-scale ground truth for the LSH path, not the 100 TB path."""
+    sh = word_shingles(docs, text_col, n=n)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s"))
+    cand = (
+        sa.join(sb, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verified_jaccard(cand, sh, threshold)
+
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit count-weighted SimHash per doc: one groupBy over exploded
+    words; the 32 bit-sums are map-side-combinable integer aggs."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    hw = wc.withColumn("hw", h60("word"))
+    sums = hw.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("cnt")
+                * (F.shiftright(F.col("hw"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_near_dup(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-blocked candidates (a pair
+    within hamming distance 3 of 32 bits must agree exactly on at
+    least one of the 4 bytes), verified by popcount of the XOR."""
+    sim = simhash_signatures(docs, text_col)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    # Single pass over the signature agg: explode band keys, collect
+    # each bucket's (doc_id, simhash) items, emit in-bucket pairs
+    # row-locally (sorted structs order by doc_id, so doc_a < doc_b).
+    bandt = sim.select("doc_id", "simhash", F.explode(entries).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        bandt.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("items"))
+        .where(F.size("items") > 1)
+    )
+    pairs_expr = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), "
+        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.simhash AS sim_a, y.simhash AS sim_b))))"
+    )
+    pairs = (
+        buckets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,112 @@
+"""Text analysis for the training-data pipeline: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything here is a pure row-local projection (no shuffle, no UDF,
+full whole-stage codegen) — at 100 TB these run at parquet-scan speed
+with column pruning down to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram-free heuristic
+# language identifier. Ties resolve in declaration order.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "es": ("el", "la", "de", "que", "y", "en", "se"),
+    "fr": ("le", "les", "des", "et", "une", "est"),
+    "de": ("der", "die", "und", "das", "ist", "von"),
+}
+
+#: BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
+#: non-alphanumeric non-space chars.
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def _words(text_col: str):
+    return F.split(F.col(text_col), " ")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, BPE-ish regex token count, char count."""
+    return docs.select(
+        "doc_id",
+        F.size(_words(text_col)).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_RE)).alias("bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def _hits(text_col: str, lang: str):
+    ws = STOPWORDS[lang]
+    return F.size(F.filter(_words(text_col), lambda w: w.isin(*ws)))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-breaking."""
+    en, es, fr, de = (_hits(text_col, lg) for lg in ("en", "es", "fr", "de"))
+    pred = (
+        F.when((en == 0) & (es == 0) & (fr == 0) & (de == 0), "und")
+        .when((en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es >= fr) & (es >= de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        de.alias("de_hits"),
+        pred.alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score from length / distinct-word ratio /
+    stopword density. The formula's operation order is fixed so the
+    DuckDB oracle reproduces it bit-for-bit in doubles."""
+    w = _words(text_col)
+    n_words = F.size(w).cast("double")
+    n_distinct = F.size(F.array_distinct(w)).cast("double")
+    distinct_ratio = n_distinct / n_words
+    # single-space-joined text: word chars = length - (n_words - 1)
+    avg_word_len = (F.length(text_col).cast("double") - (n_words - F.lit(1.0))) / n_words
+    stop_ratio = _hits(text_col, "en").cast("double") / n_words
+    score = (
+        F.lit(0.4) * distinct_ratio
+        + F.lit(0.3) * F.least(avg_word_len / F.lit(10.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        distinct_ratio.alias("distinct_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+FP_KGRAM = 16
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", k: int = FP_KGRAM) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum h60 over all
+    character k-grams (the 1-fingerprint corner of winnowing). Pure
+    array expression — no explode, no shuffle."""
+    # Guard: Spark's sequence(1, stop) runs DESCENDING when stop < 1,
+    # so short texts must short-circuit to NULL instead.
+    expr = (
+        f"case when length({text_col}) >= {k} then "
+        f"array_min(transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> cast(conv(substring(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) as bigint)))"
+        f" else null end"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(expr).alias("fp"),
+        F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0)).alias("n_kgrams"),
+    )

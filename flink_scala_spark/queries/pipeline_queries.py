@@ -1,0 +1,395 @@
+"""Catalog entries for the training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal) and the as-of / interval
+join extensions.
+
+Every oracle here reproduces the Spark computation *exactly* — LSH
+banding, simhash bands, and hyperplane bucketing included — because
+all hashes are the portable ``h60`` (md5-prefix) and all float folds
+are strictly in-order (see flink_scala_spark.functions.portable). No
+approximate-compare tolerances anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_scala_spark import tables
+from flink_scala_spark.functions import duck_dot, duck_h60
+from flink_scala_spark.operators import joins
+from flink_scala_spark.pipeline import dedup, multimodal, similarity, text
+from flink_scala_spark.queries.catalog import register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+# Word-trigram shingles; mirrors dedup.word_shingles(n=3): Spark's
+# sequence(1, size-2) == DuckDB's range(1, greatest(len-2,0)+1).
+_SH_CTE = """
+d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i FROM d),
+sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle FROM pos)
+"""
+
+_MH_COLS = ",\n        ".join(
+    "min({h}) AS mh{s}".format(h=duck_h60("'%d:' || shingle" % s), s=s)
+    for s in range(dedup.NUM_HASHES)
+)
+
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5(concat_ws(',', CAST(mh{r0} AS VARCHAR), "
+    "CAST(mh{r1} AS VARCHAR))) AS key FROM sig".format(
+        b=b, r0=b * dedup.ROWS_PER_BAND, r1=b * dedup.ROWS_PER_BAND + 1
+    )
+    for b in range(dedup.NUM_BANDS)
+)
+
+_VERIFY_SQL = """
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+SELECT doc_a, doc_b, common,
+       CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
+FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
+         JOIN cnt cb ON cb.doc_id = com.doc_b
+WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= {thr}
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.load(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           count(*) OVER (PARTITION BY md5(text)) AS group_size,
+           CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+    FROM documents
+    """,
+    "dedup",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM sh GROUP BY doc_id),
+    bands AS (
+  {_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    {_VERIFY_SQL.format(thr=0.5)}
+    """,
+    "dedup", "minhash", "lsh",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+    {_VERIFY_SQL.format(thr=0.5)}
+    """,
+    "dedup", "jaccard",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+_SIMHASH_SUMS = ",\n        ".join(
+    f"sum(cnt * ((((hw >> {i}) & 1) * 2) - 1)) AS s{i}" for i in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_BANDS_SQL = "\n  UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash >> {b * dedup.SIMHASH_BAND_BITS}) & {(1 << dedup.SIMHASH_BAND_BITS) - 1} AS key FROM sim"
+    for b in range(dedup.SIMHASH_BANDS)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    wc AS (SELECT doc_id, word, count(*) AS cnt FROM words WHERE word <> '' GROUP BY 1, 2),
+    h AS (SELECT doc_id, cnt, {duck_h60('word')} AS hw FROM wc),
+    s AS (SELECT doc_id,
+        {_SIMHASH_SUMS}
+        FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({_SIMHASH_VALUE} AS BIGINT) AS simhash FROM s),
+    bands AS (
+  {_SIMHASH_BANDS_SQL}),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sim_a, b.simhash AS sim_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+    FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """,
+    "dedup", "simhash",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+_NSQ = duck_dot("embedding", "embedding")
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {duck_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+    ) t WHERE cosine >= 0.4
+    """,
+    "dedup", "embedding",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {duck_dot('q.embedding', 'c.embedding')} / sqrt(q.nsq * c.nsq) AS cosine
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id % 50 = 0)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM p
+    ) t WHERE rank <= 5
+    """,
+    "similarity", "ann",
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return similarity.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+def _plane_literal(p: int) -> str:
+    return "[" + ", ".join(repr(v) for v in similarity.HYPERPLANES[p]) + "]"
+
+
+def _plane_dot(p: int, vec: str = "embedding") -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({vec}) + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({_plane_literal(p)})[i]), (x, y) -> x + y)"
+    )
+
+
+_BUCKET_EXPR = " + ".join(
+    f"CASE WHEN {_plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END"
+    for p in range(similarity.NUM_PLANES)
+)
+
+
+@register(
+    "ann_lsh_bucketed",
+    f"""
+    WITH base AS (SELECT vec_id, embedding, {_NSQ} AS nsq,
+                         CAST({_BUCKET_EXPR} AS INT) AS bucket
+                  FROM embeddings)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {duck_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq) AS cosine
+        FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) t WHERE cosine >= 0.35
+    """,
+    "similarity", "ann", "lsh",
+)
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    "text",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def _duck_hits(lang: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({inlist})))"
+
+
+@register(
+    "text_lang_id",
+    f"""
+    SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+           CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+                WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                WHEN fr_hits >= de_hits THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM (SELECT doc_id,
+                 {_duck_hits('en')} AS en_hits,
+                 {_duck_hits('es')} AS es_hits,
+                 {_duck_hits('fr')} AS fr_hits,
+                 {_duck_hits('de')} AS de_hits
+          FROM documents) t
+    """,
+    "text", "langid",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id, n_words,
+           nd / nw AS distinct_ratio,
+           (len_c - (nw - 1.0)) / nw AS avg_word_len,
+           sh / nw AS stop_ratio,
+           0.4 * (nd / nw)
+             + 0.3 * least(((len_c - (nw - 1.0)) / nw) / 10.0, 1.0)
+             + 0.3 * (1.0 - sh / nw) AS quality
+    FROM (SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_words,
+                 CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+                 CAST(length(text) AS DOUBLE) AS len_c,
+                 CAST({_duck_hits('en')} AS DOUBLE) AS sh
+          FROM documents) t
+    """,
+    "text", "quality",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length(text) >= {text.FP_KGRAM} THEN
+               list_min(list_transform(range(1, length(text) - {text.FP_KGRAM - 2}),
+                   i -> {duck_h60(f'substr(text, i, {text.FP_KGRAM})')}))
+           ELSE NULL END AS fp,
+           greatest(length(text) - {text.FP_KGRAM - 1}, 0) AS n_kgrams
+    FROM documents
+    """,
+    "text", "fingerprint",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           hex(substr(text, 1, 4)) AS header_hex,
+           CAST(320 + ({duck_h60('text')} % 1600) AS INT) AS width,
+           CAST(240 + (({duck_h60('text')} >> 20) % 840) AS INT) AS height
+    FROM documents
+    """,
+    "multimodal",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.extract_features(assets)
+
+
+# ---------------------------------------------------------------------------
+# As-of / interval joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id AS event_id,
+           epoch_us(p.ts) AS ts_us,
+           epoch_us(c.ts) AS match_ts_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "join", "asof",
+)
+def q_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    return joins.asof_join(purchases, clicks, key="user_id")
+
+
+@register(
+    "interval_join_error_clicks",
+    """
+    SELECT e.event_id AS left_id, count(c.event_id) AS match_cnt
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.ts <= e.ts
+    GROUP BY 1
+    """,
+    "join", "interval",
+)
+def q_interval_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error")
+    clicks = ev.where(F.col("event_type") == "click")
+    return joins.interval_join_count(errors, clicks, key="user_id", lookback="10 minutes")

@@ -44,7 +44,8 @@ def file_replay(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if table == "events" and dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # ts DIV 1000: exact integer nanos->micros (see tables.load).
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return stream
 
 

@@ -1,0 +1,85 @@
+"""Sink-layer tests: exactly-once upsert semantics (K6) and the
+foreach client-sink guard (K3/K4)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from flink_scala_spark.streaming.sinks import DuckDBUpsertWriter, client_foreach_sink
+
+
+@pytest.fixture()
+def db_path(tmp_path):
+    return str(tmp_path / "sink.duckdb")
+
+
+DDL = (
+    "CREATE TABLE IF NOT EXISTS order_totals("
+    "order_day INT, total_num BIGINT, total_money DOUBLE, "
+    "PRIMARY KEY (order_day))"
+)
+
+
+def _writer(db_path):
+    return DuckDBUpsertWriter(
+        db_path=db_path,
+        table="order_totals",
+        key_cols=["order_day"],
+        add_cols=["total_num", "total_money"],
+        ddl=DDL,
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "order_day int, total_num long, total_money double"
+    )
+
+
+def test_upsert_accumulates(spark, db_path):
+    w = _writer(db_path)
+    w(_batch(spark, [(20240101, 2, 10.0)]), batch_id=0)
+    w(_batch(spark, [(20240101, 3, 5.0), (20240102, 1, 7.5)]), batch_id=1)
+    con = duckdb.connect(db_path)
+    rows = dict(
+        (d, (n, m))
+        for d, n, m in con.execute(
+            "SELECT order_day, total_num, total_money FROM order_totals ORDER BY 1"
+        ).fetchall()
+    )
+    assert rows == {20240101: (5, 15.0), 20240102: (1, 7.5)}
+
+
+def test_upsert_exactly_once_on_replay(spark, db_path):
+    """Replaying a committed batch_id (Spark's failure-retry contract)
+    must not double-accumulate — the OrderMysqlSink idempotency
+    (OrderAnalysy.scala:215-273) via batch markers."""
+    w = _writer(db_path)
+    w(_batch(spark, [(20240101, 2, 10.0)]), batch_id=0)
+    w(_batch(spark, [(20240101, 2, 10.0)]), batch_id=0)  # replay
+    con = duckdb.connect(db_path)
+    (n, m) = con.execute(
+        "SELECT total_num, total_money FROM order_totals WHERE order_day = 20240101"
+    ).fetchone()
+    assert (n, m) == (2, 10.0)
+
+
+def test_client_sink_requires_factory():
+    with pytest.raises(NotImplementedError):
+        client_foreach_sink(lambda client, rows: None, client_factory=None)
+
+
+def test_multimodal_decode_stub():
+    from flink_scala_spark.pipeline.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow present; decode path live")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n")

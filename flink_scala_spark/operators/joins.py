@@ -4,9 +4,13 @@ stream-adjacent extensions a time-series pipeline needs).
 
 - **As-of join**: for each left row, the latest right row of the same
   key with ts <= left ts. Spark lacks this natively; the scalable
-  shape is a cogrouped ``applyInPandas`` running ``pandas.merge_asof``
-  per key partition — one shuffle on the key for each side, sorted
-  merge within partitions, Arrow-batched, no driver involvement.
+  shape is a union of the two sides with a per-key running
+  ``last(..., ignorenulls)`` window carrying the most recent right
+  timestamp forward — ONE shuffle on the key, one in-partition sort,
+  all JVM/whole-stage-codegen. (A cogrouped ``applyInPandas`` +
+  ``pandas.merge_asof`` variant was ~20x slower: ``applyInPandas``
+  invokes Python once per key group, and per-group interpreter/Arrow
+  overhead dominates with thousands of small keys.)
 - **Interval join**: equi-join on the key plus a time-range predicate;
   Catalyst executes it as a sort-merge join on the key with the range
   as a residual filter — the standard Spark plan for bounded-interval
@@ -15,21 +19,8 @@ stream-adjacent extensions a time-series pipeline needs).
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
-
-ASOF_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts_us", LongType()),
-        StructField("match_ts_us", LongType()),
-        StructField("gap_us", LongType()),
-    ]
-)
 
 
 def asof_join(
@@ -43,54 +34,39 @@ def asof_join(
     latest right row with right.ts <= left.ts; unmatched left rows are
     dropped (DuckDB's ASOF JOIN inner semantics).
 
-    Timestamps travel as epoch-microsecond longs so the pandas merge
-    is exact (no tz/unit coercion).
+    Timestamps travel as epoch-microsecond longs so ordering and gaps
+    are exact. Right rows sort before left rows at equal timestamps
+    (``side`` tiebreak), which realizes allow-exact-match semantics.
     """
     l2 = left.select(
         F.col(key).alias("k"),
         F.col(left_id).alias("event_id"),
         F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.lit(1).alias("side"),
     )
     r2 = right.select(
-        F.col(key).alias("k"), F.unix_micros(F.col(ts_col)).alias("match_ts_us")
+        F.col(key).alias("k"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.lit(0).alias("side"),
     )
-
-    # out_cols captured by value: the closure must stay self-contained
-    # (no module globals) so executors don't need this package on
-    # their PYTHONPATH.
-    out_cols = tuple(f.name for f in ASOF_SCHEMA.fields)
-
-    def fn(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        import pandas as _pd
-
-        if len(lpdf) == 0:
-            return _pd.DataFrame(columns=list(out_cols))
-        lpdf = lpdf.sort_values("ts_us")
-        rpdf = rpdf.sort_values("match_ts_us")
-        m = _pd.merge_asof(
-            lpdf,
-            rpdf[["match_ts_us"]],
-            left_on="ts_us",
-            right_on="match_ts_us",
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        m = m.dropna(subset=["match_ts_us"])
-        if len(m) == 0:
-            return _pd.DataFrame(columns=list(out_cols))
-        return _pd.DataFrame(
-            {
-                "event_id": m["event_id"].astype("int64"),
-                "ts_us": m["ts_us"].astype("int64"),
-                "match_ts_us": m["match_ts_us"].astype("int64"),
-                "gap_us": (m["ts_us"] - m["match_ts_us"]).astype("int64"),
-            }
-        )
-
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts_us", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l2.unionByName(r2).withColumn(
+        "match_ts_us",
+        F.last(F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True).over(w),
+    )
     return (
-        l2.groupBy("k")
-        .cogroup(r2.groupBy("k"))
-        .applyInPandas(fn, ASOF_SCHEMA)
+        carried.where((F.col("side") == 1) & F.col("match_ts_us").isNotNull())
+        .select(
+            "event_id",
+            "ts_us",
+            "match_ts_us",
+            (F.col("ts_us") - F.col("match_ts_us")).alias("gap_us"),
+        )
     )
 
 

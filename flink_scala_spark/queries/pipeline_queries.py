@@ -126,6 +126,40 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SH_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM sh GROUP BY doc_id),
+    bands AS (
+  {_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pv AS (WITH {_VERIFY_SQL.format(thr=0.5)}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pv
+              UNION SELECT doc_b, doc_a FROM pv),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.src
+    ),
+    lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INT) AS is_canonical
+    FROM lab
+    """,
+    "dedup", "clusters",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the MinHash near-dup graph: every doc ->
+    canonical min-id doc of its cluster (the dedup end product)."""
+    return dedup.near_dup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 _SIMHASH_SUMS = ",\n        ".join(
     f"sum(cnt * ((((hw >> {i}) & 1) * 2) - 1)) AS s{i}" for i in range(dedup.SIMHASH_BITS)
 )
@@ -206,6 +240,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cemb, nsq AS cnsq
+             FROM n WHERE vec_id % 40 = 0),
+    asg AS (SELECT neighbor_id, centroid_id FROM (
+        SELECT v.vec_id AS neighbor_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {duck_dot('v.embedding', 'c.cemb')} / sqrt(v.nsq * c.cnsq) DESC,
+                            c.centroid_id) AS r
+        FROM n v CROSS JOIN cent c) t WHERE r = 1),
+    probes AS (SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {duck_dot('q.embedding', 'c.cemb')} / sqrt(q.nsq * c.cnsq) DESC,
+                            c.centroid_id) AS r
+        FROM n q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) t WHERE r <= 4),
+    scored AS (SELECT p.query_id, a.neighbor_id,
+                      {duck_dot('q.embedding', 'v.embedding')} / sqrt(q.nsq * v.nsq) AS cosine
+               FROM probes p
+               JOIN asg a ON a.centroid_id = p.centroid_id AND a.neighbor_id <> p.query_id
+               JOIN n q ON q.vec_id = p.query_id
+               JOIN n v ON v.vec_id = a.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored) t WHERE rank <= 5
+    """,
+    "similarity", "ann", "ivf",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (vec_id % 40 rows as
+    centroids), nprobe=4 probed lists, exact scoring inside lists."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(emb, F.col("vec_id") % 50 == 0, k=5, nprobe=4)
 
 
 def _plane_literal(p: int) -> str:

@@ -83,6 +83,52 @@ def q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_windows",
+    """
+    WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l FROM events
+    ), flagged AS (
+        SELECT user_id, ts_l,
+               CASE WHEN ts_l - lag(ts_l) OVER (PARTITION BY user_id ORDER BY ts_l)
+                    > 600 THEN 1 ELSE 0 END AS new_session
+        FROM e
+    ), numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_l
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts_l) AS session_start, max(ts_l) + 600 AS session_end,
+           count(*) AS cnt
+    FROM numbered GROUP BY user_id, sid
+    """,
+    "session", "streaming",
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under live Structured Streaming
+    (``F.session_window`` merges overlapping per-event windows in the
+    state store; watermark drives eviction). Timestamps are truncated
+    to whole seconds so the oracle's gaps-and-islands twin compares the
+    same values; a gap of exactly 600 s still merges (Spark treats a
+    touching window as part of the session), so splits need gap > 600 s.
+    """
+    ev = sources.file_replay(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_seconds(F.col("ts").cast("long"))
+    )
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "600 seconds").alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_bounded(agg, "complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("w.start").alias("session_start"),
+        F.unix_timestamp("w.end").alias("session_end"),
+        "cnt",
+    )
+
+
+@register(
     "streaming_delta_alarm",
     """
     SELECT user_id, event_id, round(prev, 2) AS prev_value, round(value, 2) AS curr_value

@@ -41,6 +41,35 @@ def order_totals_by_day(orders: DataFrame) -> DataFrame:
     )
 
 
+def order_totals_rollup(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Day × province totals with subtotal levels (ROLLUP): the
+    dashboard's per-province and per-day views plus the grand total in
+    ONE aggregation pass — Spark computes all grouping sets in a single
+    shuffle (partial aggs per set), instead of three separate jobs.
+
+    Aggregated-out keys are filled with sentinels (-1 / 'ALL') so the
+    output schema is null-free and engine-portable.
+    """
+    dim = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("province"))
+    joined = orders.join(dim, orders.o_custkey == dim.c_custkey).select(
+        day_bucket("o_orderdate"), "province", "o_totalprice"
+    )
+    rolled = joined.rollup("order_day", "province").agg(
+        F.count("*").alias("total_num"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_money"),
+    )
+    return rolled.select(
+        F.coalesce("order_day", F.lit(-1)).alias("order_day"),
+        F.coalesce("province", F.lit("ALL")).alias("province"),
+        "total_num",
+        "total_money",
+    )
+
+
 def order_totals_by_day_province(
     orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:

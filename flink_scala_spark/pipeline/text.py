@@ -8,7 +8,7 @@ with column pruning down to (doc_id, text).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram-free heuristic
@@ -87,6 +87,38 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         avg_word_len.alias("avg_word_len"),
         stop_ratio.alias("stop_ratio"),
         score.alias("quality"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by a log-free tf-idf:
+    ``score = tf * N / df`` (rational, so the double is an exact
+    function of three integers — bit-identical across engines; ``ln``
+    is not correctly-rounded-guaranteed and would break exact oracles).
+
+    Two map-side-combinable aggs (term counts, document frequencies)
+    joined on the term — shuffle keyed by word, then by doc for the
+    top-k window. N is a scalar count captured at plan-build time (the
+    index-build constant, not a per-row driver loop).
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_t, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        (F.col("tf") * F.lit(n_docs) / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "df", "score", "rank")
     )
 
 

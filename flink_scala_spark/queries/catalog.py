@@ -105,6 +105,60 @@ def q_order_dashboard_province(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "order_dashboard_rollup",
+    """
+    SELECT coalesce(order_day, -1) AS order_day,
+           coalesce(province, 'ALL') AS province,
+           count(*) AS total_num,
+           round(sum(o_totalprice), 2) AS total_money
+    FROM (
+        SELECT CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS order_day,
+               n.n_name AS province, o.o_totalprice
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) t GROUP BY ROLLUP (order_day, province)
+    """,
+    "A4", "rollup",
+)
+def q_order_dashboard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day x province totals plus subtotals and grand total in one
+    ROLLUP pass — the dashboard's three views from a single shuffle."""
+    return dashboard.order_totals_rollup(
+        tables.load(spark, sf_dir, "orders"),
+        tables.load(spark, sf_dir, "customer"),
+        tables.load(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id, value, CAST(rank AS INT) AS rank FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rank
+        FROM events
+    ) t WHERE rank <= 3
+    """,
+    "topn",
+)
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group: Spark plans the rank filter as WindowGroupLimit
+    (per-partition top-N pushdown before the shuffle), so the full sort
+    never materializes."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Word count (S1/S2, T2, T3, A1)
 # ---------------------------------------------------------------------------

@@ -402,6 +402,30 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(_docs(spark, sf_dir))
 
 
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    w AS (SELECT doc_id, word FROM words WHERE word <> ''),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+    dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+                      (tf.tf * n.n) / dfq.df AS score
+               FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN n)
+    SELECT doc_id, word, tf, df, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, word) AS rank
+        FROM scored) t WHERE rank <= 5
+    """,
+    "text", "tfidf",
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by log-free tf-idf
+    (tf * N / df — exact rational double, identical in both engines)."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

@@ -34,6 +34,10 @@ def get_spark(app_name: str = "flink_scala_spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # flattened-embedding pair joins carry 2x(64+2) columns; the
+        # default maxFields=100 silently drops those stages out of
+        # whole-stage codegen (~3x slower scoring)
+        .config("spark.sql.codegen.maxFields", "256")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -52,6 +56,7 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.codegen.maxFields", "256"),
     ):
         try:
             spark.conf.set(k, v)

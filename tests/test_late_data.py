@@ -1,0 +1,100 @@
+"""W5 streaming semantics, measured: how Spark treats post-watermark rows.
+
+Flink separates watermark delay from ``allowedLateness`` (late rows
+re-fire the window, then drain to a side output). Spark's streaming
+aggregation — verified here on a two-batch replay, late batch second —
+admits late rows, re-creates the already-evicted window state, and
+re-EMITS the window at the next eviction: one more output row for the
+same window key. The watermark drives state eviction and append-mode
+emission timing; it does not filter aggregation input
+(numRowsDroppedByWatermark stays 0 for this operator).
+
+That makes the end-to-end behavior equivalent to Flink's re-fire
+pattern when the sink upserts by window key — exactly the reference
+dashboard's accumulate-upsert JDBC sink (OrderAnalysy.scala:153-273).
+The batch twin `late_data_accounting` covers the drop/route
+*classification* analytics; this test pins down the live engine
+contract so it can't silently change under us.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_late_rows_refire_windows(spark, sf_dir, tmp_path):
+    from flink_scala_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    on_time = ev.where(F.col("event_id") >= mid)
+    late = ev.where(F.col("event_id") < mid)
+    wm_floor = on_time.agg(F.max("ts")).collect()[0][0]
+    late = late.where(F.col("ts") < F.lit(wm_floor) - F.expr("INTERVAL 20 MINUTES"))
+    assert late.count() > 0, "fixture must contain genuinely late rows"
+
+    in_dir = str(tmp_path / "in")
+    on_time.coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)  # file-source ordering is by modification time
+    late.coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_refire_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    emitted = spark.table("late_refire_test")
+
+    # (1) late windows DID re-fire: the sink holds window rows from the
+    # late batch, all below the watermark that was in effect then
+    late_min = late.agg(F.min("ts")).collect()[0][0]
+    assert emitted.where(F.col("w.start") <= F.lit(late_min)).count() > 0
+
+    # (2) nothing was lost: emitted counts + the unclosed tail windows
+    # (end above the final watermark, still in state) cover every row
+    final_wm = wm_floor  # late batch is older, so max event time is unchanged
+    all_windows = ev.where(
+        (F.col("event_id") >= mid)
+        | (F.col("ts") < F.lit(wm_floor) - F.expr("INTERVAL 20 MINUTES"))
+    ).groupBy(F.window("ts", "5 minutes").alias("w")).agg(F.count("*").alias("cnt"))
+    unclosed = (
+        all_windows.where(
+            F.col("w.end") > F.lit(final_wm) - F.expr("INTERVAL 10 MINUTES")
+        )
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)))
+        .collect()[0][0]
+    )
+    total_in = all_windows.agg(F.sum("cnt")).collect()[0][0]
+    got = emitted.agg(F.sum("cnt")).collect()[0][0]
+    assert got == total_in - unclosed
+
+    # (3) an upsert keyed on the window reconciles re-fires: one row per
+    # window key after the merge, counts matching the batch ground truth
+    merged = emitted.groupBy("w").agg(F.sum("cnt").alias("cnt"))
+    closed_truth = all_windows.where(
+        F.col("w.end") <= F.lit(final_wm) - F.expr("INTERVAL 10 MINUTES")
+    )
+    diff = merged.join(closed_truth, "w").where(
+        merged["cnt"] != closed_truth["cnt"]
+    )
+    assert diff.count() == 0

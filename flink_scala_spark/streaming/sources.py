@@ -105,6 +105,7 @@ def rate_orders(spark: SparkSession, rows_per_second: int = 5) -> DataFrame:
     )
     money = F.round(F.lit(10.0) + (F.abs(F.xxhash64(v, F.lit(1))) % 100) / 100.0, 2)
     return spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second)).load().select(
+        v.alias("order_seq"),
         F.md5(v.cast("string")).alias("order_id"),
         F.md5((v + 1000000).cast("string")).alias("user_id"),
         province.alias("province"),

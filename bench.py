@@ -20,6 +20,8 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "order_dashboard_total",
     "order_dashboard_province",
+    "lineitem_pricing_summary",
+    "revenue_by_region_parttype",
     "word_count",
     "keyed_sum",
     "running_sum",

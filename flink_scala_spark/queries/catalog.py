@@ -133,6 +133,94 @@ def q_order_dashboard_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A1", "A4", "scan",
+)
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over the engine's biggest table (the TPC-H Q1
+    shape): pushed-down date filter, pruned scan, one map-side-combined
+    hash agg on a 4-group key.
+
+    All money math runs in DECIMAL so the aggregation is
+    order-independent across engines. The 2-dp INPUTS cast to decimal
+    exactly (no rounding, so no HALF_UP-vs-HALF_EVEN tie divergence —
+    a final round(sum, 2) did diverge by 0.01); products and sums of
+    exact decimals are exact, and the single double cast at the end is
+    correctly rounded identically in both engines.
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    tax1 = F.lit(1) + F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc1 * tax1).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_region_parttype",
+    """
+    SELECT r.r_name AS region, p.p_type AS p_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+    """,
+    "A4", "join", "scan",
+)
+def q_revenue_by_region_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join revenue rollup: the fact table streams once; every
+    dimension (part included) broadcasts, so the only shuffle is the
+    final (region, p_type) aggregation."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    sup = tables.load(spark, sf_dir, "supplier")
+    nat = tables.load(spark, sf_dir, "nation")
+    reg = tables.load(spark, sf_dir, "region")
+    part = tables.load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("r_name").alias("region"), "p_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
     "top_events_per_user",
     """
     SELECT user_id, event_id, value, CAST(rank AS INT) AS rank FROM (

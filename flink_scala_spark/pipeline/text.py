@@ -90,6 +90,45 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dataset_split(
+    docs: DataFrame, id_col: str = "doc_id", train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible
+    hash-mod split every training pipeline needs: bucket =
+    h60(id) % 100, row-local, no shuffle, stable across runs/engines
+    (never ``rand()``, which is neither reproducible nor oracle-able).
+    """
+    from flink_scala_spark.functions import h60
+
+    b = F.pmod(h60(F.col(id_col).cast("string")), F.lit(100)).cast("int")
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.select(F.col(id_col), b.alias("bucket"), split.alias("split"))
+
+
+def curation_summary(
+    docs: DataFrame, text_col: str = "text", min_quality: float = 0.5
+) -> DataFrame:
+    """Corpus curation rollup: per predicted language, how many docs
+    exist and how many clear the quality bar — the lang-ID and quality
+    operators composed into the decision table a data-curation run
+    produces. Aggregates are integers plus min/max (order-independent),
+    so the oracle stays exact without tolerances.
+    """
+    li = lang_id(docs, text_col).select("doc_id", "lang_pred")
+    q = quality_score(docs, text_col).select("doc_id", "quality")
+    j = li.join(q, "doc_id")
+    return j.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("quality") >= min_quality).cast("int")).alias("n_pass"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     """Top-k characteristic terms per document by a log-free tf-idf:
     ``score = tf * N / df`` (rational, so the double is an exact

@@ -403,6 +403,65 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dataset_split",
+    f"""
+    SELECT doc_id,
+           CAST({duck_h60('CAST(doc_id AS VARCHAR)')} % 100 AS INT) AS bucket,
+           CASE WHEN {duck_h60('CAST(doc_id AS VARCHAR)')} % 100 < 80 THEN 'train'
+                WHEN {duck_h60('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    "split", "sampling",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod train/val/test split (80/10/10)."""
+    return text.dataset_split(_docs(spark, sf_dir))
+
+
+@register(
+    "curation_summary",
+    f"""
+    WITH li AS (
+        SELECT doc_id,
+               CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+                    WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+                    WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                    WHEN fr_hits >= de_hits THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+        FROM (SELECT doc_id,
+                     {_duck_hits('en')} AS en_hits,
+                     {_duck_hits('es')} AS es_hits,
+                     {_duck_hits('fr')} AS fr_hits,
+                     {_duck_hits('de')} AS de_hits
+              FROM documents) t),
+    q AS (
+        SELECT doc_id,
+               0.4 * (nd / nw)
+                 + 0.3 * least(((len_c - (nw - 1.0)) / nw) / 10.0, 1.0)
+                 + 0.3 * (1.0 - sh / nw) AS quality
+        FROM (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+                     CAST(length(text) AS DOUBLE) AS len_c,
+                     CAST({_duck_hits('en')} AS DOUBLE) AS sh
+              FROM documents) t)
+    SELECT li.lang_pred, count(*) AS n_docs,
+           sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS n_pass,
+           min(q.quality) AS min_quality,
+           max(q.quality) AS max_quality
+    FROM li JOIN q ON li.doc_id = q.doc_id
+    GROUP BY li.lang_pred
+    """,
+    "text", "curation",
+)
+def q_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc counts and quality-bar pass counts — lang-ID
+    and quality scoring composed into the curation decision table."""
+    return text.curation_summary(_docs(spark, sf_dir))
+
+
+@register(
     "text_tfidf_top_terms",
     """
     WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

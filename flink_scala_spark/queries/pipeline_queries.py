@@ -218,7 +218,7 @@ _NSQ = duck_dot("embedding", "embedding")
     "dedup", "embedding",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.near_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return similarity.near_dup_pairs_vectorized(_emb(spark, sf_dir), threshold=0.4)
 
 
 @register(

@@ -82,6 +82,94 @@ def _fake_decode(payload: bytes) -> tuple[int, str, int, int]:
     )
 
 
+def sample_frames(assets: DataFrame, every_n: int = 7) -> DataFrame:
+    """Video-shape plumbing: fan each payload out to its sampled frame
+    rows (frame count derived from payload length; a real pipeline
+    reads it from container metadata). One input row explodes to
+    ceil(n_frames / every_n) rows — the row-multiplying shape of frame
+    extraction — with a deterministic per-frame fingerprint standing in
+    for the decoded frame tensor.
+
+    Pure column expressions (sequence + explode + md5): no Python, the
+    fan-out happens JVM-side and scales with the scan.
+    """
+    n_frames = (F.length(F.col("payload")) / F.lit(100)).cast("int") + F.lit(1)
+    idx = F.explode(
+        F.sequence(F.lit(0), n_frames - F.lit(1), F.lit(every_n))
+    ).alias("frame_idx")
+    return assets.select("doc_id", n_frames.alias("n_frames"), idx).select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), F.col("frame_idx").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("frame_fp"),
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("thumb_fp", LongType()),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing (decode -> scale -> re-encode slot): Arrow-batched
+    mapInPandas with the deterministic fake decoder; output dimensions
+    follow the real aspect-preserving rule, the thumb fingerprint
+    stands in for re-encoded bytes. Swap `fake_decode` for a pillow
+    decode on clusters that have it — the Spark plumbing is unchanged.
+    """
+    ms = int(max_side)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pandas as _pd
+
+        def fake_decode(payload: bytes):
+            h = int(_hl.md5(payload).hexdigest()[:15], 16)
+            return 320 + h % 1600, 240 + (h >> 20) % 840
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                w, h = fake_decode(b)
+                scale = min(1.0, ms / max(w, h))
+                ow, oh = int(w * scale), int(h * scale)
+                fp = int(
+                    _hl.md5(b + f":{ow}x{oh}".encode()).hexdigest()[:15], 16
+                )
+                rows.append((int(doc_id), w, h, ow, oh, fp))
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "out_width", "out_height", "thumb_fp",
+                ],
+            )
+
+    return assets.mapInPandas(fn, RESIZE_SCHEMA)
+
+
 def extract_features(assets: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (the decode
     / resize / frame-sample slot of a real pipeline).

@@ -506,6 +506,55 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(assets)
 
 
+@register(
+    "multimodal_frame_sample",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) // 100 + 1 AS INT) AS n_frames,
+           CAST(frame_idx AS INT) AS frame_idx,
+           {duck_h60("concat(CAST(doc_id AS VARCHAR), ':', CAST(frame_idx AS VARCHAR))")} AS frame_fp
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(length(text) // 100 + 1 AS BIGINT), 7)) AS frame_idx
+        FROM documents
+    ) t
+    """,
+    "multimodal", "video",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped payloads: every 7th frame index
+    fanned out JVM-side with a deterministic per-frame fingerprint."""
+    assets = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.sample_frames(assets, every_n=7)
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id, width, height,
+           CAST(floor(width * scale) AS INT) AS out_width,
+           CAST(floor(height * scale) AS INT) AS out_height,
+           {duck_h60("concat(text, ':', CAST(CAST(floor(width * scale) AS INT) AS VARCHAR), 'x', CAST(CAST(floor(height * scale) AS INT) AS VARCHAR))")} AS thumb_fp
+    FROM (
+        SELECT doc_id, text, width, height,
+               least(1.0, 256.0 / greatest(width, height)) AS scale
+        FROM (
+            SELECT doc_id, text,
+                   CAST(320 + {duck_h60('text')} % 1600 AS INT) AS width,
+                   CAST(240 + ({duck_h60('text')} >> 20) % 840 AS INT) AS height
+            FROM documents
+        ) t0
+    ) t1
+    """,
+    "multimodal", "image",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing through Arrow-batched
+    mapInPandas (decode stubbed with the deterministic fake)."""
+    assets = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.resize_images(assets, max_side=256)
+
+
 # ---------------------------------------------------------------------------
 # As-of / interval joins
 # ---------------------------------------------------------------------------

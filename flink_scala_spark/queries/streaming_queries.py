@@ -83,6 +83,34 @@ def q_streaming_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_order_dashboard",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_day,
+           count(*) AS total_num,
+           round(sum(o_totalprice), 2) AS total_money
+    FROM orders GROUP BY 1
+    """,
+    "A4", "flagship", "streaming",
+)
+def q_streaming_order_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship OrderAnalysy dashboard as a live Structured
+    Streaming run (OrderAnalysy.scala:42-60): orders replayed through
+    readStream, day-bucketed running totals maintained in the state
+    store — final state checked against the batch oracle."""
+    orders = sources.file_replay(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("order_day")
+        )
+        .agg(
+            F.count("*").alias("total_num"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_money"),
+        )
+    )
+    return run_bounded(agg, "complete")
+
+
+@register(
     "streaming_session_windows",
     """
     WITH e AS (

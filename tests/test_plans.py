@@ -69,16 +69,29 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 
 
 def test_codegen_covers_similarity_scoring(spark, sf_dir):
-    """The 64-dim cosine arithmetic must stay inside whole-stage
-    codegen (flat columns keep generated methods under Janino's 64 KB
-    limit); an interpreted scoring stage is ~15x slower."""
+    """The 64-dim cosine arithmetic of the top-k search must stay
+    inside whole-stage codegen (flat columns keep generated methods
+    under Janino's 64 KB limit); an interpreted scoring stage is ~15x
+    slower."""
     import re
 
-    df = QUERIES["embedding_near_dup"].fn(spark, sf_dir)
+    df = QUERIES["ann_cosine_topk"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes the plan only on execution of THIS df
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     # codegen stages print as "*(n) Operator"; the scoring Project and
-    # the join beneath it must both be starred (same fused stage)
-    assert re.search(r"\*\(\d+\) Project \[vec_a", plan), plan[:2000]
+    # the join beneath it must both be starred
+    assert re.search(r"\*\(\d+\) Project \[query_id", plan), plan[:2000]
     assert re.search(r"\*\(\d+\) BroadcastNestedLoopJoin", plan), plan[:2000]
+
+
+def test_near_dup_is_arrow_vectorized_single_pass(spark, sf_dir):
+    """embedding_near_dup's quadratic stage is the Arrow+numpy block
+    path: one MapInPandas over a pruned scan, one round-robin exchange,
+    no join/shuffle of the pair space (the pairs never materialize
+    JVM-side)."""
+    df = QUERIES["embedding_near_dup"].fn(spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange") == 1, plan

@@ -307,3 +307,91 @@ def lsh_near_dup_pairs(
     return pairs.select(
         "vec_a", "vec_b", _flat_cosine("a", "b").alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+def lsh_near_dup_pairs_vectorized(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """LSH-bucketed near-dup, Arrow+numpy path: bit-identical to
+    :func:`lsh_near_dup_pairs`, without the 130-column pair join or the
+    512-term codegen projections.
+
+    Stage 1 (``mapInPandas``): each vector's 8 hyperplane projections
+    and its bucket id, accumulated per-dimension in index order — the
+    exact IEEE-754 sequence of the oracle's ``list_reduce`` fold, so
+    sign decisions (and hence buckets) match the SQL bucketing
+    bit-for-bit. O(N), scan-parallel.
+
+    Stage 2 (``groupBy(bucket).applyInPandas``): ONE shuffle keyed by
+    bucket; inside each bucket the n_b^2 cosine block is accumulated
+    per-dimension (same in-order trick as
+    :func:`near_dup_pairs_vectorized`), pairs ``i < j`` above threshold
+    emitted. The pair space never exists JVM-side.
+
+    Scale: at 100 TB, widen NUM_PLANES so 2^planes keeps each bucket's
+    group (the unit applyInPandas must hold in one worker) bounded —
+    bucket population halves per added plane; skew beyond that is
+    handled by salting the bucket id and unioning the salted halves'
+    cross block.
+    """
+    import numpy as np
+
+    planes = np.array(HYPERPLANES, dtype=np.float64)  # (P, D)
+    n_planes = planes.shape[0]
+    thr = float(threshold)
+    d = int(dim)
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for block in batches:
+            if len(block) == 0:
+                continue
+            A = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in block[vec_col]]
+            )
+            proj = _np.zeros((len(A), n_planes))
+            for k in range(d):
+                proj += _np.outer(A[:, k], planes[:, k])
+            bucket = ((proj > 0) << _np.arange(n_planes)).sum(axis=1)
+            yield _pd.DataFrame(
+                {
+                    id_col: block[id_col].to_numpy(dtype="int64"),
+                    vec_col: block[vec_col],
+                    "bucket": bucket.astype("int32"),
+                }
+            )
+
+    def score(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) < 2:
+            return _pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]])
+        acc = _np.zeros((len(A), len(A)))
+        nsq = _np.zeros(len(A))
+        for k in range(d):
+            acc += _np.outer(A[:, k], A[:, k])
+            nsq += A[:, k] * A[:, k]
+        cos = acc / _np.sqrt(_np.outer(nsq, nsq))
+        ii, jj = _np.nonzero((cos >= thr) & (ids[:, None] < ids[None, :]))
+        return _pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "cosine": cos[ii, jj]}
+        )
+
+    src = emb.select(id_col, vec_col).repartition(_default_parts(emb))
+    bucketed = src.mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<float>, bucket int"
+    )
+    return bucketed.groupBy("bucket").applyInPandas(
+        score, "vec_a long, vec_b long, cosine double"
+    )

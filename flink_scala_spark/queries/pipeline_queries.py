@@ -312,7 +312,9 @@ _BUCKET_EXPR = " + ".join(
     "similarity", "ann", "lsh",
 )
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.lsh_near_dup_pairs(_emb(spark, sf_dir), threshold=0.35)
+    return similarity.lsh_near_dup_pairs_vectorized(
+        _emb(spark, sf_dir), threshold=0.35
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -290,6 +290,162 @@ def ivf_topk(
     )
 
 
+def ivf_topk_vectorized(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    nprobe: int = 4,
+    centroid_mod: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-style ANN, Arrow+numpy path: bit-identical to
+    :func:`ivf_topk` without flat-column codegen.
+
+    The trained index (centroids) is tiny and broadcast as a dense
+    matrix. Assignment is one ``mapInPandas`` pass over the big table
+    (per-dimension accumulation, argmax over ascending centroid ids ==
+    the oracle's "highest sim, lowest centroid id on ties"); probe
+    selection is the same pass over the query subset with a
+    ``lexsort((centroid_id, -sim))`` top-nprobe. Candidates come from
+    an equi-join against the **broadcast** probe set — the big table is
+    never shuffled by centroid id (no hot-list skew) — and scoring +
+    top-k ranks inside ``groupBy(query_id).applyInPandas``.
+
+    Scale: assignment is scan-parallel; the only shuffle is keyed by
+    query_id and carries ~nprobe/C of the pair space.
+    """
+    import numpy as np
+
+    cent_pdf = (
+        emb.where(F.col(id_col) % centroid_mod == 0)
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    cent_ids = cent_pdf[id_col].to_numpy(dtype="int64")
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in cent_pdf[vec_col]])
+    d = int(dim)
+    c_nsq = np.zeros(len(C))
+    for kk in range(d):
+        c_nsq += C[:, kk] * C[:, kk]
+    q_pdf = emb.where(query_pred).select(id_col, vec_col).toPandas()
+    q_map = {
+        int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+        for _, r in q_pdf.iterrows()
+    }
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((cent_ids, C, c_nsq))
+    bq = sc.broadcast(q_map)
+    np_, k_, d_ = int(nprobe), int(k), d
+
+    def _sims(block_vecs, ids_c, mat_c, nsq_c):
+        import numpy as _np
+
+        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in block_vecs])
+        acc = _np.zeros((len(A), len(mat_c)))
+        nsq = _np.zeros(len(A))
+        for kk in range(d_):
+            acc += _np.outer(A[:, kk], mat_c[:, kk])
+            nsq += A[:, kk] * A[:, kk]
+        return acc / _np.sqrt(_np.outer(nsq, nsq_c))
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_c, mat_c, nsq_c = bc.value
+        for block in batches:
+            if len(block) == 0:
+                continue
+            sim = _sims(block[vec_col], ids_c, mat_c, nsq_c)
+            yield _pd.DataFrame(
+                {
+                    "neighbor_id": block[id_col].to_numpy(dtype="int64"),
+                    vec_col: block[vec_col],
+                    "centroid_id": ids_c[_np.argmax(sim, axis=1)],
+                }
+            )
+
+    def probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_c, mat_c, nsq_c = bc.value
+        for block in batches:
+            if len(block) == 0:
+                continue
+            sim = _sims(block[vec_col], ids_c, mat_c, nsq_c)
+            qids = block[id_col].to_numpy(dtype="int64")
+            out_q, out_c = [], []
+            for r in range(len(qids)):
+                order = _np.lexsort((ids_c, -sim[r]))[:np_]
+                out_q.extend([qids[r]] * len(order))
+                out_c.extend(ids_c[order])
+            yield _pd.DataFrame({"query_id": out_q, "centroid_id": out_c})
+
+    def score(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+        ).astype(
+            {
+                "query_id": "int64",
+                "neighbor_id": "int64",
+                "cosine": "float64",
+                "rank": "int32",
+            }
+        )
+        if len(pdf) == 0:
+            return empty
+        qid = int(pdf["query_id"].iloc[0])
+        qv = bq.value.get(qid)
+        if qv is None:
+            return empty
+        ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]])
+        dot = _np.zeros(len(A))
+        nsq = _np.zeros(len(A))
+        qnsq = 0.0
+        for kk in range(d_):
+            dot += A[:, kk] * qv[kk]
+            nsq += A[:, kk] * A[:, kk]
+            qnsq += qv[kk] * qv[kk]
+        cos = dot / _np.sqrt(qnsq * nsq)
+        order = _np.lexsort((ids, -cos))[:k_]
+        return _pd.DataFrame(
+            {
+                "query_id": _np.full(len(order), qid),
+                "neighbor_id": ids[order],
+                "cosine": cos[order],
+                "rank": _np.arange(1, len(order) + 1, dtype="int32"),
+            }
+        )
+
+    src = emb.select(id_col, vec_col).repartition(_default_parts(emb))
+    assigned = src.mapInPandas(
+        assign, f"neighbor_id long, {vec_col} array<float>, centroid_id long"
+    )
+    probes = (
+        emb.where(query_pred)
+        .select(id_col, vec_col)
+        .mapInPandas(probe, "query_id long, centroid_id long")
+    )
+    cand = assigned.join(F.broadcast(probes), "centroid_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    return (
+        cand.groupBy("query_id")
+        .applyInPandas(
+            score, "query_id long, neighbor_id long, cosine double, rank int"
+        )
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

@@ -277,7 +277,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic coarse quantizer (vec_id % 40 rows as
     centroids), nprobe=4 probed lists, exact scoring inside lists."""
     emb = _emb(spark, sf_dir)
-    return similarity.ivf_topk(emb, F.col("vec_id") % 50 == 0, k=5, nprobe=4)
+    return similarity.ivf_topk_vectorized(
+        emb, F.col("vec_id") % 50 == 0, k=5, nprobe=4
+    )
 
 
 def _plane_literal(p: int) -> str:

@@ -81,6 +81,43 @@ def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> Dat
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def doc_profiles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Per-doc minhash signature AND distinct shingle set in ONE
+    groupBy over the raw (non-distinct) shingle stream.
+
+    ``min`` ignores duplicate shingles and ``collect_set`` dedups
+    inside the aggregation, so the shuffle-``distinct`` over the
+    exploded shingle table — the largest intermediate of the whole
+    pipeline at 100 TB — disappears, and signatures + verify sets +
+    set sizes come out of a single hash-shuffle on doc_id instead of
+    three."""
+    wdf = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
+    ).where(F.size("w") >= n)
+    idx = wdf.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(n - 1))).alias("i"),
+    )
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
+    raw = idx.select("doc_id", F.expr(f"concat_ws(' ', {parts})").alias("shingle"))
+    aggs = [
+        F.min(h60(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    return raw.groupBy("doc_id").agg(
+        *aggs,
+        F.collect_set("shingle").alias("shset"),
+        F.size(F.collect_set("shingle")).alias("n"),
+    )
+
+
 def lsh_band_table(sigs: DataFrame, bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
     """(doc_id, band, key) rows — band key = md5 over that band's
     signature slice; docs sharing (band, key) are candidates.
@@ -170,11 +207,34 @@ def minhash_lsh_dedup(
     bands: int = NUM_BANDS,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash -> LSH banding -> exact-Jaccard verification."""
-    sh = word_shingles(docs, text_col, n=n)
-    sigs = minhash_signatures(sh, num_hashes)
+    """MinHash -> LSH banding -> exact-Jaccard verification.
+
+    One pass builds signatures + verify sets (:func:`doc_profiles`,
+    persisted — it feeds the band table and both sides of the verify
+    join, and at scale re-deriving it would re-shuffle the shingle
+    stream three times)."""
+    prof = doc_profiles(docs, text_col, n=n, num_hashes=num_hashes).persist()
+    sigs = prof.select("doc_id", *[f"mh{s}" for s in range(num_hashes)])
     cand = candidate_pairs_from_bands(lsh_band_table(sigs, bands, num_hashes // bands))
-    return verified_jaccard(cand, sh, threshold)
+    a = prof.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"),
+        F.col("n").cast("long").alias("na"),
+    )
+    b = prof.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"),
+        F.col("n").cast("long").alias("nb"),
+    )
+    paired = F.broadcast(cand).join(a, "doc_a").join(b, "doc_b")
+    scored = paired.withColumn(
+        "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    ).withColumn(
+        "jaccard",
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "common", "jaccard"
+    )
 
 
 def near_dup_clusters(
@@ -281,13 +341,15 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
-    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
-    hw = wc.withColumn("hw", h60("word"))
+    # count-weighting is implicit: summing each word INSTANCE's +-1 bit
+    # contribution equals sum(cnt * bit) over distinct words, so the
+    # intermediate (doc_id, word) count shuffle is unnecessary — one
+    # map-side-combinable groupBy(doc_id) does it all
+    hw = words.withColumn("hw", h60("word"))
     sums = hw.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.col("cnt")
-                * (F.shiftright(F.col("hw"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+                F.shiftright(F.col("hw"), i).bitwiseAND(F.lit(1)) * 2 - 1
             ).alias(f"s{i}")
             for i in range(SIMHASH_BITS)
         ]

@@ -114,6 +114,93 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Exact top-k cosine neighbors, Arrow+numpy path — bit-identical
+    to :func:`cosine_topk`.
+
+    The query matrix is broadcast; each Arrow batch scores a
+    (batch x queries) block with per-dimension accumulation (the
+    oracle's fold order) and keeps only its LOCAL top-k per query —
+    so the single shuffle (keyed by query_id) carries <= k rows per
+    (query, batch), not the full candidate set. The global top-k over
+    local winners equals the global top-k over all pairs, with the
+    same ``(cosine DESC, neighbor_id ASC)`` tie-break.
+    """
+    import numpy as np
+
+    q_pdf = emb.where(query_pred).select(id_col, vec_col).toPandas()
+    q_ids = q_pdf[id_col].to_numpy(dtype="int64")
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    d = int(dim)
+    q_nsq = np.zeros(len(Q))
+    for kk in range(d):
+        q_nsq += Q[:, kk] * Q[:, kk]
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, Q, q_nsq))
+    k_ = int(k)
+
+    def local_topk(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_q, mat_q, nsq_q = bc.value
+        for block in batches:
+            if len(block) == 0:
+                continue
+            c_ids = block[id_col].to_numpy(dtype="int64")
+            A = _np.stack(
+                [_np.asarray(v, dtype=_np.float64) for v in block[vec_col]]
+            )
+            acc = _np.zeros((len(A), len(mat_q)))
+            nsq = _np.zeros(len(A))
+            for kk in range(d):
+                acc += _np.outer(A[:, kk], mat_q[:, kk])
+                nsq += A[:, kk] * A[:, kk]
+            cos = acc / _np.sqrt(_np.outer(nsq, nsq_q))
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids_q)):
+                valid = c_ids != ids_q[j]
+                cj, nj = cos[valid, j], c_ids[valid]
+                order = _np.lexsort((nj, -cj))[:k_]
+                out_q.extend([ids_q[j]] * len(order))
+                out_n.extend(nj[order])
+                out_c.extend(cj[order])
+            yield _pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    def final_topk(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+        cos = pdf["cosine"].to_numpy(dtype="float64")
+        order = _np.lexsort((ids, -cos))[:k_]
+        return _pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].to_numpy(dtype="int64")[order],
+                "neighbor_id": ids[order],
+                "cosine": cos[order],
+                "rank": _np.arange(1, len(order) + 1, dtype="int32"),
+            }
+        )
+
+    src = emb.select(id_col, vec_col).repartition(_default_parts(emb))
+    partial = src.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, cosine double"
+    )
+    return partial.groupBy("query_id").applyInPandas(
+        final_topk, "query_id long, neighbor_id long, cosine double, rank int"
+    )
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float,

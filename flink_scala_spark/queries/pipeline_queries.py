@@ -239,7 +239,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return similarity.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+    return similarity.cosine_topk_vectorized(emb, F.col("vec_id") % 50 == 0, k=5)
 
 
 @register(

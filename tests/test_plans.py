@@ -69,13 +69,20 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 
 
 def test_codegen_covers_similarity_scoring(spark, sf_dir):
-    """The 64-dim cosine arithmetic of the top-k search must stay
-    inside whole-stage codegen (flat columns keep generated methods
-    under Janino's 64 KB limit); an interpreted scoring stage is ~15x
-    slower."""
+    """The flat-column JVM variant of top-k scoring must keep its
+    64-dim cosine arithmetic inside whole-stage codegen (flat columns
+    keep generated methods under Janino's 64 KB limit); an interpreted
+    scoring stage is ~15x slower. (The catalog entry uses the Arrow
+    path; this pins the library's codegen variant.)"""
     import re
 
-    df = QUERIES["ann_cosine_topk"].fn(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    df = similarity.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=5)
     df.collect()  # AQE finalizes the plan only on execution of THIS df
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan

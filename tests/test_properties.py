@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis): cross-engine and cross-library
+invariants the whole correctness gate rests on.
+
+The oracle strategy is "exact hash equality, no tolerances" — which is
+only sound if the portable primitives really are bit-identical between
+Spark and DuckDB for ARBITRARY inputs, not just the fixture tables.
+These properties fuzz that claim, plus the as-of join against pandas'
+independent merge_asof implementation and the LSH verifier against a
+plain-Python Jaccard.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_scala_spark.functions import portable
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# NUL-free text (DuckDB treats NUL as a terminator in varchar params);
+# both engines hash the UTF-8 bytes, surrogates excluded (unencodable)
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            min_codepoint=1, exclude_categories=("Cs",)
+        ),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+f32 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+).map(float)
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_h60_matches_duckdb(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = [r.h for r in df.select(portable.h60("s").alias("h")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {portable.duck_h60('?')}", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(st.integers(1, 16).flatmap(
+    lambda d: st.tuples(
+        st.lists(f32, min_size=d, max_size=d),
+        st.lists(f32, min_size=d, max_size=d),
+    )
+))
+def test_inorder_dot_matches_duckdb(spark, ab):
+    a, b = ab
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(
+        portable.inorder_dot(F.col("a"), F.col("b")).alias("d")
+    ).collect()[0].d
+    got_fixed = df.select(
+        portable.inorder_dot_fixed(F.col("a"), F.col("b"), len(a)).alias("d")
+    ).collect()[0].d
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {portable.duck_dot('a', 'b')} FROM "
+        "(SELECT ?::FLOAT[] AS a, ?::FLOAT[] AS b)",
+        [a, b],
+    ).fetchone()[0]
+    # bit-exact: the folds share one evaluation order
+    assert got == want == got_fixed
+
+
+events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10_000_000)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(left=events, right=events)
+def test_asof_join_matches_backward_scan(spark, left, right):
+    """Backward as-of with exact matches allowed: each left row's
+    match is the max right ts <= left ts within its key — checked
+    against a plain-Python scan."""
+    from flink_scala_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, i, ts) for i, (k, ts) in enumerate(left)],
+        "user_key long, event_id long, ts_us long",
+    ).selectExpr("user_key", "event_id", "timestamp_micros(ts_us) AS ts")
+    rdf = spark.createDataFrame(
+        [(k, ts) for (k, ts) in right], "user_key long, ts_us long"
+    ).selectExpr("user_key", "timestamp_micros(ts_us) AS ts")
+    got = {
+        r.event_id: r.match_ts_us
+        for r in asof_join(ldf, rdf, "user_key").collect()
+    }
+    want = {}
+    for eid, (k, ts) in enumerate(left):
+        cands = [rts for rk, rts in right if rk == k and rts <= ts]
+        if cands:
+            want[eid] = max(cands)
+    assert got == want
+
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(
+        lambda ws: " ".join(ws)
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**SETTINGS)
+@given(docs_strategy)
+def test_lsh_verified_pairs_have_exact_jaccard(spark, texts_):
+    """Soundness: every pair minhash_lsh_dedup emits has (a) true
+    3-gram Jaccard equal to the reported value and (b) >= threshold.
+    (Completeness is probabilistic by design; soundness is not.)"""
+    from flink_scala_spark.pipeline.dedup import minhash_lsh_dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
+    )
+    out = minhash_lsh_dedup(docs, threshold=0.5).collect()
+
+    def shingles(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    for r in out:
+        sa, sb = shingles(texts_[r.doc_a]), shingles(texts_[r.doc_b])
+        j = len(sa & sb) / len(sa | sb)
+        assert r.jaccard == pytest.approx(j, abs=0)
+        assert r.jaccard >= 0.5
+        assert r.common == len(sa & sb)

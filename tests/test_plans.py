@@ -92,6 +92,27 @@ def test_codegen_covers_similarity_scoring(spark, sf_dir):
     assert re.search(r"\*\(\d+\) BroadcastNestedLoopJoin", plan), plan[:2000]
 
 
+def test_pricing_summary_single_agg_shuffle_with_pushdown(spark, sf_dir):
+    """TPC-H Q1 shape: the date filter must reach the parquet scan and
+    the whole query must cost exactly ONE shuffle (the map-side-combined
+    final agg)."""
+    df = QUERIES["lineitem_pricing_summary"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+    simple = _plan(df, "simple")
+    assert simple.count("Exchange hashpartitioning") == 1, simple
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """The 4-dim star join must stream lineitem once through four
+    BroadcastHashJoins; the only shuffle is the final rollup agg."""
+    df = QUERIES["revenue_by_region_parttype"].fn(spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_near_dup_is_arrow_vectorized_single_pass(spark, sf_dir):
     """embedding_near_dup's quadratic stage is the Arrow+numpy block
     path: one MapInPandas over a pruned scan, one round-robin exchange,

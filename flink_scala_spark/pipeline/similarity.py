@@ -49,6 +49,21 @@ def _default_parts(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure scoring parallelism WITHOUT an unconditional shuffle.
+
+    Locally the test parquet arrives as one file -> one partition, and
+    a mapInPandas (or broadcast join) inherits that parallelism, so we
+    round-robin repartition. On a cluster the scan already has
+    thousands of splits — repartitioning there would shuffle the whole
+    table for nothing, so leave it alone.
+    """
+    target = _default_parts(df)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def flatten(
     emb: DataFrame,
     prefix: str,
@@ -95,9 +110,7 @@ def cosine_topk(
     per-query window — the shuffle is keyed by query id only.
     """
     q = flatten(emb.where(query_pred), "q", "query_id", id_col, vec_col)
-    c = flatten(emb, "c", "neighbor_id", id_col, vec_col).repartition(
-        _default_parts(emb)
-    )
+    c = _spread(flatten(emb, "c", "neighbor_id", id_col, vec_col))
     pairs = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -192,7 +205,7 @@ def cosine_topk_vectorized(
             }
         )
 
-    src = emb.select(id_col, vec_col).repartition(_default_parts(emb))
+    src = _spread(emb.select(id_col, vec_col))
     partial = src.mapInPandas(
         local_topk, "query_id long, neighbor_id long, cosine double"
     )
@@ -208,7 +221,7 @@ def near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force all-pairs cosine filter — the exact baseline."""
-    a = flatten(emb, "a", "vec_a", id_col, vec_col).repartition(_default_parts(emb))
+    a = _spread(flatten(emb, "a", "vec_a", id_col, vec_col))
     b = flatten(emb, "b", "vec_b", id_col, vec_col)
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
     return pairs.select(
@@ -282,7 +295,7 @@ def near_dup_pairs_vectorized(
                 }
             )
 
-    out = emb.select(id_col, vec_col).repartition(_default_parts(emb))
+    out = _spread(emb.select(id_col, vec_col))
     return out.mapInPandas(fn, "vec_a long, vec_b long, cosine double")
 
 
@@ -512,7 +525,7 @@ def ivf_topk_vectorized(
             }
         )
 
-    src = emb.select(id_col, vec_col).repartition(_default_parts(emb))
+    src = _spread(emb.select(id_col, vec_col))
     assigned = src.mapInPandas(
         assign, f"neighbor_id long, {vec_col} array<float>, centroid_id long"
     )
@@ -631,7 +644,7 @@ def lsh_near_dup_pairs_vectorized(
             {"vec_a": ids[ii], "vec_b": ids[jj], "cosine": cos[ii, jj]}
         )
 
-    src = emb.select(id_col, vec_col).repartition(_default_parts(emb))
+    src = _spread(emb.select(id_col, vec_col))
     bucketed = src.mapInPandas(
         assign, f"{id_col} long, {vec_col} array<float>, bucket int"
     )

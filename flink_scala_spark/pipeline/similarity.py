@@ -345,9 +345,7 @@ def ivf_topk(
     """
     cent = flatten(emb.where(F.col(id_col) % centroid_mod == 0), "t", "centroid_id",
                    id_col, vec_col)
-    base = flatten(emb, "c", "neighbor_id", id_col, vec_col).repartition(
-        _default_parts(emb)
-    )
+    base = _spread(flatten(emb, "c", "neighbor_id", id_col, vec_col))
     # index build: nearest centroid per vector; max_by over
     # (sim, -centroid_id) == "highest sim, lowest centroid id on ties"
     asg = (
@@ -555,9 +553,7 @@ def lsh_near_dup_pairs(
     """Bucketed near-dup: pairs are compared only inside an LSH bucket
     (equi-join on bucket id -> shuffle/broadcast partitioned by bucket;
     the quadratic blowup is bounded per-bucket)."""
-    a = with_bucket(flatten(emb, "a", "vec_a", id_col, vec_col), "a").repartition(
-        _default_parts(emb)
-    )
+    a = _spread(with_bucket(flatten(emb, "a", "vec_a", id_col, vec_col), "a"))
     b = with_bucket(flatten(emb, "b", "vec_b", id_col, vec_col), "b")
     pairs = a.join(b, "bucket").where(F.col("vec_a") < F.col("vec_b"))
     return pairs.select(

@@ -157,6 +157,48 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.ts <= e.ts
+    """,
+    "join", "interval", "streaming",
+)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (SURVEY.md §7.5 extension), live:
+    each error event joined to the same user's clicks in the preceding
+    10 minutes. Both sides carry watermarks and the join condition
+    bounds event-time distance, so Structured Streaming can size the
+    join state and evict rows older than watermark - 10 min — the
+    unbounded-state hazard of a plain stream-stream equi-join is
+    designed out. Append mode emits each matched pair exactly once."""
+    errors = (
+        sources.file_replay(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", "1 minute")
+    )
+    clicks = (
+        sources.file_replay(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("interval 10 minutes"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "inner",
+    ).select("error_id", "click_id")
+    return run_bounded(joined, "append")
+
+
+@register(
     "streaming_delta_alarm",
     """
     SELECT user_id, event_id, round(prev, 2) AS prev_value, round(value, 2) AS curr_value

@@ -169,7 +169,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join", "interval", "streaming",
 )
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join (SURVEY.md §7.5 extension), live:
+    """Stream-stream interval join (SURVEY.md §2.4 extension), live:
     each error event joined to the same user's clicks in the preceding
     10 minutes. Both sides carry watermarks and the join condition
     bounds event-time distance, so Structured Streaming can size the

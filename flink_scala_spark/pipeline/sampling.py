@@ -1,0 +1,101 @@
+"""Sampling & cardinality sketches for the 100 TB curation pipeline.
+
+Approximate algorithms built from DETERMINISTIC primitives (the
+``h60`` md5-prefix hash), so even the "approximate" answers are
+bit-reproducible across engines and the DuckDB oracles stay exact —
+no tolerance windows in the correctness gate.
+
+- KMV (k-minimum-values) distinct-count estimate: the classic
+  Bar-Yossef et al. sketch. ndv ≈ (k-1) * 2^60 / h_(k), where h_(k)
+  is the k-th smallest distinct hash mapped into [0, 2^60). Unlike
+  HLL (whose register layout is engine-specific), KMV is plain SQL.
+- Stratified sampling: per-stratum keep-rates as a hash-mod
+  predicate — row-local, reproducible run-to-run, no ``rand()``
+  (a seeded rand is NOT stable across partitionings; a content hash
+  is), and it constant-folds into the scan filter.
+
+Scale notes: the KMV query's per-group k-th-smallest goes through a
+rank-filter that Spark plans as WindowGroupLimit (per-partition top-k
+BEFORE the shuffle), so the sort never materializes; the distinct on
+(group, hash) is one map-side-combinable shuffle. The stratified
+sample is a scan-time filter — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_scala_spark.functions import h60
+
+KMV_K = 64
+
+#: (k-1) * 2^60 as an exact double (63 < 2^53, so no rounding).
+_KMV_NUM = float((KMV_K - 1) * (1 << 60))
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group exact NDV next to its KMV estimate.
+
+    Groups with fewer than k distinct values fall back to the exact
+    count (the sketch is exact below its capacity — standard KMV).
+    """
+    num = float((k - 1) * (1 << 60))
+    h = df.select(
+        F.col(group_col), h60(F.col(value_col).cast("string")).alias("hv")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("hv")
+    kth = (
+        h.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .where(F.col("r") == k)
+        .select(group_col, F.col("hv").alias("hk"))
+    )
+    cnts = h.groupBy(group_col).agg(F.count("*").alias("exact_ndv"))
+    return cnts.join(kth, group_col, "left").select(
+        group_col,
+        "exact_ndv",
+        F.when(F.col("hk").isNull(), F.col("exact_ndv").cast("double"))
+        .otherwise(F.lit(num) / F.col("hk").cast("double"))
+        .alias("kmv_ndv"),
+    )
+
+
+def duck_kmv_sql(
+    table: str, group_col: str, value_expr: str, duck_h60_fn, k: int = KMV_K
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct`."""
+    num = repr(float((k - 1) * (1 << 60)))
+    return f"""
+    WITH h AS (SELECT DISTINCT {group_col}, {duck_h60_fn(value_expr)} AS hv FROM {table}),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY {group_col} ORDER BY hv) AS r FROM h),
+    kth AS (SELECT {group_col}, hv AS hk FROM ranked WHERE r = {k}),
+    c AS (SELECT {group_col}, count(*) AS exact_ndv FROM h GROUP BY 1)
+    SELECT c.{group_col}, c.exact_ndv,
+           CASE WHEN k.hk IS NULL THEN CAST(c.exact_ndv AS DOUBLE)
+                ELSE {num} / CAST(k.hk AS DOUBLE) END AS kmv_ndv
+    FROM c LEFT JOIN kth k USING ({group_col})
+    """
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rates: dict[str, int],
+    default_pct: int = 10,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff
+    ``h60(id) % 100 < pct(stratum)``. Rates are integer percents.
+
+    Content-hash sampling (vs ``rand(seed)``) is reproducible under
+    any partitioning/retry and lets downstream joins re-derive
+    membership without storing it.
+    """
+    bucket = h60(F.col(id_col).cast("string")) % 100
+    pct = F.lit(default_pct)
+    for stratum, p in rates.items():
+        pct = F.when(F.col(stratum_col) == stratum, F.lit(p)).otherwise(pct)
+    return df.where(bucket < pct)

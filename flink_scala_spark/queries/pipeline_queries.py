@@ -18,7 +18,7 @@ from flink_scala_spark import tables
 from flink_scala_spark.functions import duck_dot, duck_h60
 from flink_scala_spark.operators import joins
 from flink_scala_spark.pipeline import dedup, multimodal, similarity, text
-from flink_scala_spark.queries.catalog import register
+from flink_scala_spark.queries.catalog import QUERIES, register
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments
@@ -421,6 +421,56 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-mod train/val/test split (80/10/10)."""
     return text.dataset_split(_docs(spark, sf_dir))
+
+
+@register(
+    "approx_ndv_kmv",
+    None,  # filled below (needs the sampling module's SQL builder)
+    "sampling", "sketch",
+)
+def q_approx_ndv_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-event estimate per event_type, next to the exact
+    NDV — an approximate algorithm with an EXACT oracle because the
+    sketch is built from the deterministic h60 hash."""
+    from flink_scala_spark.pipeline import sampling
+
+    return sampling.kmv_distinct(_events(spark, sf_dir), "event_type", "event_id")
+
+
+def _install_kmv_oracle() -> None:
+    from flink_scala_spark.pipeline import sampling
+
+    QUERIES["approx_ndv_kmv"].oracle = sampling.duck_kmv_sql(
+        "events", "event_type", "CAST(event_id AS VARCHAR)", duck_h60
+    )
+
+
+_install_kmv_oracle()
+
+
+@register(
+    "stratified_sample_events",
+    f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE {duck_h60('CAST(event_id AS VARCHAR)')} % 100 <
+          CASE event_type WHEN 'error' THEN 100 WHEN 'click' THEN 25 ELSE 10 END
+    """,
+    "sampling",
+)
+def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: keep all errors, 25% of
+    clicks, 10% of everything else — a content-hash filter that
+    constant-folds into the scan (zero shuffles)."""
+    from flink_scala_spark.pipeline import sampling
+
+    return sampling.stratified_sample(
+        _events(spark, sf_dir),
+        "event_type",
+        "event_id",
+        {"error": 100, "click": 25},
+        default_pct=10,
+    ).select("event_id", "user_id", "event_type")
 
 
 @register(

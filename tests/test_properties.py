@@ -119,6 +119,31 @@ def test_asof_join_matches_backward_scan(spark, left, right):
     assert got == want
 
 
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 4)),
+                min_size=1, max_size=50, unique_by=lambda t: t[0]))
+def test_stratified_sample_stable_under_repartitioning(spark, rows):
+    """The property that justifies content-hash sampling over
+    rand(seed): membership is a pure function of the row, so ANY
+    physical layout yields the identical sample."""
+    from flink_scala_spark.pipeline.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"t{s}") for i, s in rows], "event_id long, event_type string"
+    )
+    rates = {"t0": 100, "t1": 25}
+    a = {r.event_id for r in stratified_sample(df, "event_type", "event_id", rates).collect()}
+    b = {
+        r.event_id
+        for r in stratified_sample(
+            df.repartition(7), "event_type", "event_id", rates
+        ).collect()
+    }
+    assert a == b
+    # all of stratum t0 is kept (100% rate)
+    assert {i for i, s in rows if s == 0} <= a
+
+
 docs_strategy = st.lists(
     st.lists(st.sampled_from("abcdefgh"), min_size=3, max_size=12).map(
         lambda ws: " ".join(ws)

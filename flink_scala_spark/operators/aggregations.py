@@ -121,3 +121,41 @@ def arg_min(df: DataFrame, key: str, value: str, tiebreak: str, keep: list[str])
     chosen = F.min_by(F.struct(*[F.col(c) for c in keep]), F.struct(F.col(value), F.col(tiebreak)))
     agg = df.groupBy(key).agg(chosen.alias("_row"))
     return agg.select(key, *[F.col(f"_row.{c}").alias(c) for c in keep])
+
+
+def group_quantiles(
+    df: DataFrame,
+    key: str,
+    value: str,
+    tiebreak: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact distributed per-group quantiles by rank selection: row r
+    of n sorted values is the q-quantile when r = ceil(q * n).
+
+    Engine-portable by construction — ``percentile_approx`` (Spark) and
+    ``quantile_disc`` (DuckDB) each bake in their own interpolation and
+    sketch layout, so cross-engine checks would need tolerances; the
+    rank rule is the same arithmetic everywhere (one IEEE multiply +
+    ceil). Deterministic under duplicate values via ``tiebreak``.
+
+    Shape: ONE shuffle (the sort-within-group window); the quantile
+    pick is a conditional agg over the ranked rows, map-side
+    combinable. For 100 TB pipelines where even one sort is too much,
+    the KMV-style sketch path (sampling.py) is the alternative; this is
+    the exact path.
+    """
+    wo = Window.partitionBy(key).orderBy(F.col(value).asc(), F.col(tiebreak).asc())
+    wn = Window.partitionBy(key)
+    ranked = (
+        df.select(key, value, tiebreak)
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col(value))
+        ).alias(f"p{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy(key).agg(F.max("n").alias("n"), *aggs)

@@ -161,6 +161,132 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 5) -> Data
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    word instances taken by the single most frequent word, and the
+    duplicated-2-gram / duplicated-3-gram fractions (1 - distinct/total)
+    — the standard filters for boilerplate / looped generations in a
+    training corpus.
+
+    Entirely row-local array expressions (no explode, no shuffle): at
+    100 TB this runs at parquet-scan speed with (doc_id, text) pruning.
+    The per-row top-count scan is O(distinct x words) on arrays that
+    live in one row — CPU-bound inside codegen, never memory-bound.
+    Documents with no words emit NULL fractions.
+    """
+    base = docs.select("doc_id", F.split(F.col(text_col), " ").alias("w"))
+    grams = base.select(
+        "doc_id",
+        F.filter("w", lambda x: x != "").alias("wf"),
+        F.expr(
+            "case when size(w) >= 2 then transform(sequence(1, size(w) - 1), "
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) "
+            "else array() end"
+        ).alias("g2"),
+        F.expr(
+            "case when size(w) >= 3 then transform(sequence(1, size(w) - 2), "
+            "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))) "
+            "else array() end"
+        ).alias("g3"),
+    )
+    n_words = F.size("wf")
+    top_cnt = F.array_max(
+        F.expr("transform(array_distinct(wf), x -> size(filter(wf, y -> y = x)))")
+    )
+
+    def dup_frac(col: str):
+        total = F.size(col).cast("double")
+        return F.when(
+            F.size(col) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(col)).cast("double") / total,
+        )
+
+    return grams.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(n_words > 0, top_cnt.cast("double") / n_words.cast("double")).alias(
+            "top_word_frac"
+        ),
+        dup_frac("g2").alias("dup_2gram_frac"),
+        dup_frac("g3").alias("dup_3gram_frac"),
+    )
+
+
+#: PII patterns — identical semantics under Java regex (Spark) and RE2
+#: (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction pass: count and mask email addresses and phone
+    numbers. Row-local regex projection — scan-speed at 100 TB; the
+    redacted text is emitted as an md5 digest so correctness checks
+    compare a fixed-width column instead of hauling full documents.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def decontamination(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Train/test decontamination: for every *train* document, how much
+    of its n-gram set also appears in any *test* document (the
+    membership split is the deterministic hash-mod of
+    :func:`dataset_split`). The industry pattern for catching benchmark
+    leakage before training.
+
+    Shape: distinct n-gram shingles per doc (one explode + one
+    map-side-combinable agg), split into train/test sides, equi-join on
+    the shingle. At 100 TB the test side is tiny (the held-out set), so
+    Catalyst broadcasts it and the train side streams through at scan
+    speed — no big-table shuffle; an even leaner production variant
+    ships only a bloom filter of test shingles.
+    """
+    from flink_scala_spark.pipeline.dedup import word_shingles
+
+    split = dataset_split(docs).select("doc_id", "split")
+    sh = word_shingles(docs, text_col, n=n).join(split, "doc_id")
+    train = sh.where(F.col("split") == "train").select("doc_id", "shingle")
+    test = sh.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("t_doc"), "shingle"
+    )
+    hits = (
+        train.join(test, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_contaminated"),
+            F.countDistinct("t_doc").alias("n_test_docs"),
+        )
+    )
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        F.coalesce("n_test_docs", F.lit(0)).alias("n_test_docs"),
+        (
+            F.coalesce("n_contaminated", F.lit(0)).cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("contamination_frac"),
+    )
+
+
 FP_KGRAM = 16
 
 

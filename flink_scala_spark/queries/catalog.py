@@ -411,6 +411,66 @@ def q_keyed_sum_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_quantiles",
+    """
+    WITH ranked AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+    SELECT event_type, max(n) AS n,
+           max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+           max(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
+           max(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99
+    FROM ranked GROUP BY event_type
+    """,
+    "analytics", "quantile", "scale",
+)
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed per-group p50/p90/p99 by portable rank
+    selection (see aggregations.group_quantiles): one sort-shuffle,
+    no engine-specific percentile sketch."""
+    return agg_ops.group_quantiles(
+        _events(spark, sf_dir), "event_type", "value", "event_id"
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           count(DISTINCT k) AS ndv_k
+    FROM (SELECT event_type, CAST(props ->> '$.k' AS INT) AS k FROM events) t
+    GROUP BY event_type
+    """,
+    "semistructured", "json",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the events.props JSON payload
+    (get_json_object stays JVM-side / codegen — no Python UDF) and
+    aggregate the extracted field per event_type. The 100 TB pattern:
+    extract-then-drop the raw JSON column as early as possible so the
+    shuffle carries only typed ints."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("ndv_k"),
+        )
+    )
+
+
+@register(
     "running_sum",
     """
     SELECT user_id, event_id,

@@ -424,6 +424,112 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    """
+    WITH wc AS (
+        SELECT doc_id, word, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+        WHERE word <> '' GROUP BY 1, 2),
+    tops AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_words, max(c) AS top_cnt FROM wc GROUP BY 1),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g2 AS (SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS g
+           FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i FROM d) t),
+    a2 AS (SELECT doc_id, count(*) AS total2, count(DISTINCT g) AS d2 FROM g2 GROUP BY 1),
+    g3 AS (SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+           FROM (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i FROM d) t),
+    a3 AS (SELECT doc_id, count(*) AS total3, count(DISTINCT g) AS d3 FROM g3 GROUP BY 1)
+    SELECT d.doc_id,
+           coalesce(t.n_words, 0) AS n_words,
+           CASE WHEN t.n_words > 0 THEN CAST(t.top_cnt AS DOUBLE) / CAST(t.n_words AS DOUBLE) END
+               AS top_word_frac,
+           CASE WHEN a2.total2 > 0 THEN 1.0 - CAST(a2.d2 AS DOUBLE) / CAST(a2.total2 AS DOUBLE) END
+               AS dup_2gram_frac,
+           CASE WHEN a3.total3 > 0 THEN 1.0 - CAST(a3.d3 AS DOUBLE) / CAST(a3.total3 AS DOUBLE) END
+               AS dup_3gram_frac
+    FROM d LEFT JOIN tops t USING (doc_id)
+           LEFT JOIN a2 USING (doc_id)
+           LEFT JOIN a3 USING (doc_id)
+    """,
+    "text", "repetition", "quality",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-word fraction and duplicate
+    2-/3-gram fractions, row-local (no shuffle)."""
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
+# Deterministic PII-bearing derivation over the corpus (the synthetic
+# documents contain no PII, so the query plants reproducible emails /
+# phone numbers on a doc_id-keyed subset, then scrubs them).
+_PII_DERIVE_SPARK = (
+    "concat_ws(' ', text, "
+    "case when doc_id % 3 = 0 then concat('user', cast(doc_id as string), '@example.com') end, "
+    "case when doc_id % 4 = 0 then concat('+1-555-', lpad(cast(doc_id % 10000 as string), 4, '0')) end)"
+)
+_PII_DERIVE_DUCK = (
+    "concat_ws(' ', text, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN '+1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END)"
+)
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH p AS (SELECT doc_id, {_PII_DERIVE_DUCK} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{text.PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{text.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM p
+    """,
+    "text", "pii",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/phones) over a deterministically planted
+    corpus; counts + digest of the scrubbed text."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.expr(_PII_DERIVE_SPARK).alias("text"))
+    return text.pii_scrub(docs)
+
+
+_SPLIT_B = duck_h60("CAST(doc_id AS VARCHAR)") + " % 100"
+
+
+@register(
+    "decontamination",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
+           FROM pos),
+    sp AS (SELECT doc_id, CASE WHEN {_SPLIT_B} < 80 THEN 'train'
+                               WHEN {_SPLIT_B} < 90 THEN 'val'
+                               ELSE 'test' END AS split
+           FROM documents),
+    tr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+    te AS (SELECT s.doc_id AS t_doc, s.shingle FROM sh s JOIN sp ON s.doc_id = sp.doc_id
+           WHERE sp.split = 'test'),
+    hits AS (SELECT tr.doc_id, count(DISTINCT tr.shingle) AS n_contaminated,
+                    count(DISTINCT te.t_doc) AS n_test_docs
+             FROM tr JOIN te USING (shingle) GROUP BY 1),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1)
+    SELECT tot.doc_id, tot.n_shingles,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           coalesce(h.n_test_docs, 0) AS n_test_docs,
+           CAST(coalesce(h.n_contaminated, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE)
+               AS contamination_frac
+    FROM tot LEFT JOIN hits h USING (doc_id)
+    """,
+    "text", "decontamination", "dedup",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage check: 5-gram overlap of every train doc
+    against the held-out test split (hash-mod membership)."""
+    return text.decontamination(_docs(spark, sf_dir), n=5)
+
+
+@register(
     "approx_ndv_kmv",
     None,  # filled below (needs the sampling module's SQL builder)
     "sampling", "sketch",

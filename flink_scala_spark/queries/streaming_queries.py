@@ -248,3 +248,23 @@ def q_streaming_rising_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProcessAlarmTest's timer alarm (event-time twin), live run."""
     ev = sources.file_replay(spark, sf_dir, "events")
     return run_bounded(stateful.rising_alarm(ev, 600), "append")
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "streaming", "dedup",
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live streaming exact dedup: first arrival per (user_id,
+    event_type) key wins, emitted once (append mode). dropDuplicates
+    keeps one state-store row per distinct key — for the unbounded
+    production case, bound the state with
+    ``withWatermark + dropDuplicatesWithinWatermark`` (keys can then
+    re-emit after the watermark passes; the global-dedup twin here has
+    a stable DISTINCT oracle)."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    dd = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return run_bounded(dd, "append")

@@ -1,0 +1,132 @@
+"""Unit tests for the curation-pipeline additions: repetition stats,
+PII scrub, decontamination, exact group quantiles, JSON props, and the
+live streaming dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_scala_spark.operators.aggregations import group_quantiles
+from flink_scala_spark.pipeline import text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_known_values(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a b"),          # top 3/4; 2-grams [a a, a a, a b] -> dup 1/3
+            (2, "x y"),              # no repetition; single 2-gram, no 3-gram
+            (3, ""),                 # empty doc
+            (4, "w"),                # one word: no 2-grams
+        ],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert out[1]["n_words"] == 4
+    assert out[1]["top_word_frac"] == 0.75
+    assert abs(out[1]["dup_2gram_frac"] - (1 - 2 / 3)) < 1e-12
+    assert out[1]["dup_3gram_frac"] == 0.0  # [a a a, a a b] both distinct
+    assert out[2]["top_word_frac"] == 0.5
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[2]["dup_3gram_frac"] is None
+    assert out[3]["n_words"] == 0
+    assert out[3]["top_word_frac"] is None
+    assert out[4]["dup_2gram_frac"] is None
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at bob@example.com or alice@test.org thanks"),
+            (2, "call +1-555-0199 now"),
+            (3, "clean text"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in text.pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_phones"]) == (2, 0)
+    assert (out[2]["n_emails"], out[2]["n_phones"]) == (0, 1)
+    assert (out[3]["n_emails"], out[3]["n_phones"]) == (0, 0)
+    # digest equals md5 of the manually redacted strings
+    expect = docs.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", text.EMAIL_RE, "<EMAIL>"),
+                text.PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("m"),
+    )
+    for r in expect.collect():
+        assert out[r["doc_id"]]["redacted_md5"] == r["m"]
+
+
+def test_decontamination_flags_overlap(spark):
+    # doc_ids chosen so the h60 hash-mod split puts them where needed
+    # is irrelevant: we call the internals directly with a forced split.
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here with no overlap at all"),
+        ],
+    )
+    # force doc 1 train / doc 2 test by monkey-patching the split:
+    from flink_scala_spark.pipeline.dedup import word_shingles
+
+    sh = word_shingles(docs, n=5)
+    train = sh.where(F.col("doc_id") == 1)
+    test = sh.where(F.col("doc_id") == 2).withColumnRenamed("doc_id", "t_doc")
+    overlap = train.join(test, "shingle").count()
+    assert overlap == 0  # sanity: disjoint vocab -> decontamination would be clean
+
+    # identical doc as both train and test -> full contamination
+    sh2 = word_shingles(
+        _docs(spark, [(1, "one two three four five six"), (2, "one two three four five six")]),
+        n=5,
+    )
+    t1 = sh2.where(F.col("doc_id") == 1)
+    t2 = sh2.where(F.col("doc_id") == 2).withColumnRenamed("doc_id", "t_doc")
+    assert t1.join(t2, "shingle").count() == t1.count() > 0
+
+
+def test_group_quantiles_exact_rank_selection(spark):
+    rows = [("a", float(v), i) for i, v in enumerate([5, 1, 4, 2, 3])] + [
+        ("b", 10.0, 100)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, id long")
+    out = {r["k"]: r for r in group_quantiles(df, "k", "v", "id").collect()}
+    # n=5: p50 -> rank ceil(2.5)=3 -> value 3; p90 -> ceil(4.5)=5 -> 5; p99 -> ceil(4.95)=5
+    assert out["a"]["n"] == 5
+    assert out["a"]["p50"] == 3.0
+    assert out["a"]["p90"] == 5.0
+    assert out["a"]["p99"] == 5.0
+    assert out["b"]["p50"] == 10.0
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from flink_scala_spark import tables
+    from flink_scala_spark.queries.streaming_queries import q_streaming_dedup_events
+
+    live = q_streaming_dedup_events(spark, sf_dir)
+    batch = (
+        tables.load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    )
+    assert live.count() == batch.count()
+    assert live.exceptAll(batch).count() == 0
+
+
+def test_json_props_extraction(spark, sf_dir):
+    from flink_scala_spark.queries.catalog import q_events_json_props
+
+    out = q_events_json_props(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r["min_k"] is not None and r["min_k"] <= r["max_k"] for r in rows)
+    # sum of per-type counts equals total events
+    from flink_scala_spark import tables
+
+    assert sum(r["n_events"] for r in rows) == tables.load(spark, sf_dir, "events").count()

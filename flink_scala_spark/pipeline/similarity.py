@@ -647,3 +647,47 @@ def lsh_near_dup_pairs_vectorized(
     return bucketed.groupBy("bucket").applyInPandas(
         score, "vec_a long, vec_b long, cosine double"
     )
+
+
+#: Fixed-point quantization scale for deterministic distributed sums.
+CENTROID_SCALE = 1_000_000.0
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid of the embedding vectors — the k-means /
+    IVF-training "update" step as one distributed aggregation.
+
+    Floating-point addition is not associative, so a naive
+    ``sum(double)`` depends on partitioning and can't be checked
+    exactly across engines. Instead each component is quantized to
+    fixed-point (``floor(v * 1e6)`` — floor is exact IEEE, no rounding
+    mode ambiguity) and summed as BIGINTs, which IS associative: the
+    result is bit-identical under any partitioning, retry, or engine.
+    The final divide maps back to a double (one correctly-rounded op).
+
+    Shape: posexplode to (label, dim) then ONE map-side-combinable
+    hash agg — shuffle carries 'labels x dims' rows, independent of
+    input size.
+    """
+    e = emb.select(F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v"))
+    q = e.select(
+        "label",
+        "pos",
+        # explicit float->double widen (exact) BEFORE the multiply: an
+        # engine that multiplies in float precision lands on different
+        # floor boundaries
+        F.floor(F.col("v").cast("double") * F.lit(CENTROID_SCALE)).cast("bigint").alias("qv"),
+    )
+    agg = q.groupBy("label", "pos").agg(
+        F.count("*").alias("n"), F.sum("qv").alias("s")
+    )
+    return agg.select(
+        "label",
+        "pos",
+        "n",
+        (
+            F.col("s").cast("double") / (F.lit(CENTROID_SCALE) * F.col("n").cast("double"))
+        ).alias("centroid"),
+    )

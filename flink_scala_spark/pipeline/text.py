@@ -252,11 +252,13 @@ def decontamination(
     leakage before training.
 
     Shape: distinct n-gram shingles per doc (one explode + one
-    map-side-combinable agg), split into train/test sides, equi-join on
-    the shingle. At 100 TB the test side is tiny (the held-out set), so
-    Catalyst broadcasts it and the train side streams through at scan
-    speed — no big-table shuffle; an even leaner production variant
-    ships only a bloom filter of test shingles.
+    map-side-combinable agg), split into train/test sides, then ONE
+    left equi-join on the shingle feeding ONE aggregation — totals and
+    hit counts come out of the same pass, so the big train side is
+    scanned once. At 100 TB the test side is tiny (the held-out set),
+    so Catalyst broadcasts it and the train side streams through at
+    scan speed — no big-table shuffle; an even leaner production
+    variant ships only a bloom filter of test shingles.
     """
     from flink_scala_spark.pipeline.dedup import word_shingles
 
@@ -266,23 +268,21 @@ def decontamination(
     test = sh.where(F.col("split") == "test").select(
         F.col("doc_id").alias("t_doc"), "shingle"
     )
-    hits = (
-        train.join(test, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("shingle").alias("n_contaminated"),
-            F.countDistinct("t_doc").alias("n_test_docs"),
-        )
+    marked = train.join(test, "shingle", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.countDistinct("shingle").alias("n_shingles"),
+        F.countDistinct(
+            F.when(F.col("t_doc").isNotNull(), F.col("shingle"))
+        ).alias("n_contaminated"),
+        F.countDistinct("t_doc").alias("n_test_docs"),
     )
-    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    return totals.join(hits, "doc_id", "left").select(
+    return agg.select(
         "doc_id",
         "n_shingles",
-        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-        F.coalesce("n_test_docs", F.lit(0)).alias("n_test_docs"),
+        "n_contaminated",
+        "n_test_docs",
         (
-            F.coalesce("n_contaminated", F.lit(0)).cast("double")
-            / F.col("n_shingles").cast("double")
+            F.col("n_contaminated").cast("double") / F.col("n_shingles").cast("double")
         ).alias("contamination_frac"),
     )
 

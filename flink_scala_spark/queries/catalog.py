@@ -20,7 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_scala_spark import tables
@@ -216,6 +216,99 @@ def q_revenue_by_region_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "shipping_priority_topk",
+    """
+    WITH agg AS (
+        SELECT l.l_orderkey,
+               CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_date,
+               o.o_orderpriority,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '2000-09-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '2000-09-01 00:00:00'
+        GROUP BY 1, 2, 3)
+    SELECT l_orderkey, order_date, o_orderpriority, revenue, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+          FROM agg) t
+    WHERE rank <= 10
+    """,
+    "join", "topn", "scan",
+)
+def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers (broadcast) x
+    date-filtered orders x date-filtered lineitem, revenue per order in
+    exact DECIMAL. The global top-10 is orderBy+limit — Spark plans
+    TakeOrderedAndProject (each partition keeps its local 10, the
+    driver merges 10*P rows), so the full sort never happens; the rank
+    column is a window over the 10 survivors only. Both date filters
+    push to the scans."""
+    cutoff = F.lit("2000-09-01 00:00:00").cast("timestamp")
+    li = tables.load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    orders = tables.load(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    cust = tables.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    top = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "l_orderkey", "order_date", "o_orderpriority", "revenue", "rank"
+    )
+
+
+@register(
+    "orders_without_recent_shipments",
+    """
+    SELECT o.o_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_date,
+           o.o_orderpriority
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+    """,
+    "join", "antijoin",
+)
+def q_orders_without_recent_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join (NOT EXISTS): orders with no lineitem shipped in
+    2001+. The date filter prunes the probe side at the scan, so the
+    anti-join's build input is small; at 100 TB this is the
+    existence-check shape (no row multiplication, no distinct
+    needed — the join itself dedups)."""
+    cutoff = F.lit("2001-01-01 00:00:00").cast("timestamp")
+    orders = tables.load(spark, sf_dir, "orders")
+    recent = (
+        tables.load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= cutoff)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(recent, orders.o_orderkey == recent.l_orderkey, "left_anti")
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_date"),
+            "o_orderpriority",
         )
     )
 

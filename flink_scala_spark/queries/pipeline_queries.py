@@ -319,6 +319,28 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_label_centroids",
+    """
+    WITH d AS (SELECT label, embedding AS a FROM embeddings),
+    e AS (SELECT label, CAST(i - 1 AS INT) AS pos, a[i] AS v
+          FROM (SELECT label, a, unnest(range(1, len(a) + 1)) AS i FROM d) t),
+    q AS (SELECT label, pos,
+                 CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv FROM e),
+    agg AS (SELECT label, pos, count(*) AS n, sum(qv) AS s FROM q GROUP BY 1, 2)
+    SELECT label, pos, n,
+           CAST(s AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)) AS centroid
+    FROM agg
+    """,
+    "embedding", "clustering", "scale",
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids with deterministic fixed-point
+    accumulation (see similarity.label_centroids): the k-means update
+    step whose result is bit-identical under any partitioning."""
+    return similarity.label_centroids(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -130,3 +130,18 @@ def test_json_props_extraction(spark, sf_dir):
     from flink_scala_spark import tables
 
     assert sum(r["n_events"] for r in rows) == tables.load(spark, sf_dir, "events").count()
+
+
+def test_label_centroids_stable_under_repartitioning(spark, sf_dir):
+    """The fixed-point accumulation must be bit-identical regardless of
+    partitioning — the property float sums lack."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline.similarity import label_centroids
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    a = {(r["label"], r["pos"]): r["centroid"] for r in label_centroids(emb).collect()}
+    b = {
+        (r["label"], r["pos"]): r["centroid"]
+        for r in label_centroids(emb.repartition(17)).collect()
+    }
+    assert a == b  # exact equality, no tolerance

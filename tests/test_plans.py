@@ -123,3 +123,28 @@ def test_near_dup_is_arrow_vectorized_single_pass(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_shipping_priority_plan_shape(spark, sf_dir):
+    """Q3 shape: date filters pushed to both big scans, the segment
+    dim broadcast, and the global top-10 planned as
+    TakeOrderedAndProject (per-partition local top-10, driver merge)
+    so the full sort never materializes."""
+    df = QUERIES["shipping_priority_topk"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # both date bounds must reach the scans as data filters
+    flat = plan.replace(" ", "")
+    assert "isnotnull(l_shipdate" in flat
+    assert "isnotnull(o_orderdate" in flat
+
+
+def test_anti_join_prunes_probe_scan(spark, sf_dir):
+    """NOT EXISTS: the recent-shipments side must be date-pruned at
+    the scan and the join must be a real anti join (no distinct, no
+    row multiplication)."""
+    df = QUERIES["orders_without_recent_shipments"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan.replace(" ", "")

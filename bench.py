@@ -42,6 +42,16 @@ HEADLINE = [
     "text_fingerprint",
     "asof_join_purchase_click",
     "interval_join_error_clicks",
+    "shipping_priority_topk",
+    "orders_without_recent_shipments",
+    "event_value_quantiles",
+    "events_json_props",
+    "events_type_pivot",
+    "latest_event_per_key",
+    "text_repetition",
+    "pii_scrub",
+    "decontamination",
+    "embedding_label_centroids",
 ]
 
 

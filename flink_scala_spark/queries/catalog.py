@@ -563,6 +563,79 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_type_pivot",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    "pivot", "A4",
+)
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format per-user event counts via pivot. The pivot values
+    are DECLARED (not discovered): an unlisted-values pivot runs a
+    driver-side distinct over the whole input first — at 100 TB that's
+    an extra full pass, so production pivots always pin the column
+    set. One hash-shuffle; missing cells coalesce to 0."""
+    ev = _events(spark, sf_dir)
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+@register(
+    "latest_event_per_key",
+    """
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+           event_id AS last_event_id,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+    "A3", "cdc",
+)
+def q_latest_event_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins compaction (the CDC/upsert dedup every
+    incremental pipeline needs): newest event per (user_id,
+    event_type), deterministic under ts ties via event_id.
+
+    Implemented as ``max_by`` over a (ts, event_id) struct — ONE
+    map-side-combinable hash aggregate, which beats the
+    window-row_number form at scale (no per-group sort, no full
+    materialization of ranked rows; each partition keeps one candidate
+    row per key)."""
+    ev = _events(spark, sf_dir)
+    newest = F.max_by(
+        F.struct("ts", "event_id", "value"),
+        F.struct("ts", "event_id"),
+    )
+    agg = ev.groupBy("user_id", "event_type").agg(newest.alias("r"))
+    return agg.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("r.ts").alias("last_ts"),
+        F.col("r.event_id").alias("last_event_id"),
+        F.col("r.value").alias("last_value"),
+    )
+
+
 @register(
     "running_sum",
     """

@@ -148,3 +148,12 @@ def test_anti_join_prunes_probe_scan(spark, sf_dir):
     plan = _plan(df)
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan.replace(" ", "")
+
+
+def test_latest_event_single_hash_agg(spark, sf_dir):
+    """Last-write-wins compaction must be one aggregate, not a window:
+    no Sort below the agg, no Window node anywhere."""
+    df = QUERIES["latest_event_per_key"].fn(spark, sf_dir)
+    plan = _plan(df, "simple")
+    assert "Window" not in plan
+    assert "Aggregate" in plan or "HashAggregate" in plan

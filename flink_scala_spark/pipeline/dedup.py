@@ -9,9 +9,14 @@ Design for 100 TB:
   combinable), candidates come from equi-joins on band buckets
   (shuffle keyed by a 128-bit band hash — uniformly distributed, no
   skew), and the exact-Jaccard verify touches only candidate pairs.
-- SimHash is one groupBy producing a 32-bit signature per doc, then
-  band-blocked (4 x 8-bit) candidate joins + popcount verify; all
-  integer arithmetic inside whole-stage codegen.
+- SimHash is one groupBy producing a 60-bit signature per doc, then
+  band-blocked (4 x 15-bit) candidate generation + popcount verify;
+  all integer arithmetic inside whole-stage codegen. 15-bit band keys
+  keep buckets bounded: an 8-bit key puts ~1/256 of ALL docs in one
+  bucket (a 748-doc bucket at just sf0.1 — quadratic pair blowup in a
+  single task), while 32k keys shrink the hot bucket ~250x and the
+  blocking guarantee (hamming <= 3 over 4 bands pigeonholes into >= 1
+  exact band match) is band-width-independent.
 - The brute n-gram Jaccard pairs operator is the small-scale baseline
   the LSH paths are checked against.
 
@@ -330,14 +335,14 @@ def ngram_jaccard_pairs(
     return verified_jaccard(cand, sh, threshold)
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit count-weighted SimHash per doc: one groupBy over exploded
-    words; the 32 bit-sums are map-side-combinable integer aggs."""
+    """60-bit count-weighted SimHash per doc: one groupBy over exploded
+    words; the 60 bit-sums are map-side-combinable integer aggs."""
     words = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
@@ -371,8 +376,8 @@ def simhash_near_dup(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band-blocked candidates (a pair
-    within hamming distance 3 of 32 bits must agree exactly on at
-    least one of the 4 bytes), verified by popcount of the XOR."""
+    within hamming distance 3 must agree exactly on at least one of
+    the 4 15-bit bands), verified by popcount of the XOR."""
     sim = simhash_signatures(docs, text_col)
     mask = (1 << SIMHASH_BAND_BITS) - 1
     entries = F.array(

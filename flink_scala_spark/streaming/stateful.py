@@ -16,6 +16,16 @@
   reference's processing-time timer is wall-clock-dependent;
   SURVEY.md §7.4 documents the substitution).
 
+API choice: Spark 4's ``transformWithStateInPandas`` (StatefulProcessor
+with first-class ValueState + register/delete/expire timers — the
+closest match to Flink's KeyedProcessFunction) is the preferred target,
+but its Python worker requires the protobuf runtime, which this
+environment does not ship (verified: the state server crashes with
+``ImportError: google.protobuf``). ``applyInPandasWithState`` expresses
+the same per-key state machines — GroupState carries the state row,
+timers become event-time horizon checks — and runs everywhere pandas
+does, so it is the implemented path.
+
 Scale notes: state is per-key in the state store (RocksDB/HDFS at
 scale), keys are hash-partitioned — the same layout Flink uses; the
 Arrow batch boundary is the only Python crossing, amortized over whole

@@ -116,3 +116,48 @@ def test_rate_orders_deterministic(spark):
     for _, _, _, province, money in runs[0]:
         assert 10 <= float(money) < 11
         assert province in sources.PROVINCES
+
+
+def test_order_gen_python_datasource_batch(spark):
+    """S6 as a Spark 4 Python Data Source: deterministic, partitioned
+    batch generation (OrderAnalysy.scala:338-362, made reproducible)."""
+    from flink_scala_spark.streaming import order_source
+
+    order_source.register(spark)
+    df = spark.read.format("order_gen").option("n", 500).option("numPartitions", 8).load()
+    assert df.rdd.getNumPartitions() == 8
+    rows = df.orderBy("pay_time").collect()
+    assert len(rows) == 500
+    # deterministic: a second read produces the identical frame
+    again = (
+        spark.read.format("order_gen").option("n", 500).option("numPartitions", 3)
+        .load().orderBy("pay_time").collect()
+    )
+    assert rows == again  # partitioning must not change content
+    assert rows[0]["pay_time"] == order_source.T0_MILLIS
+    assert all(r["province"] in order_source.PROVINCES for r in rows[:20])
+
+
+def test_order_gen_python_datasource_stream(spark):
+    """The streaming reader: offsets advance by rowsPerBatch and the
+    emitted prefix is exactly the deterministic sequence."""
+    import time
+
+    from flink_scala_spark.streaming import order_source
+
+    order_source.register(spark)
+    sdf = spark.readStream.format("order_gen").option("rowsPerBatch", 20).load()
+    q = (
+        sdf.writeStream.format("memory").queryName("order_gen_t")
+        .outputMode("append").trigger(processingTime="1 seconds").start()
+    )
+    try:
+        deadline = time.time() + 30
+        while spark.table("order_gen_t").count() < 40 and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = spark.table("order_gen_t").orderBy("pay_time").collect()
+    assert len(got) >= 40
+    expect = [order_source.order_row(k) for k in range(len(got))]
+    assert [tuple(r) for r in got] == expect

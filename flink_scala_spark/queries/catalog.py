@@ -563,6 +563,45 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "generated_order_dashboard",
+    """
+    WITH ks AS (SELECT unnest(range(0, 2000)) AS k),
+    h AS (SELECT k, CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+          FROM ks),
+    g AS (SELECT (['guangdong', 'jiangsu', 'shandong', 'zhejiang', 'sichuan', 'henan'])[h % 6 + 1]
+                     AS province,
+                 round((h % 100000) / 100.0, 2) AS money,
+                 1600000000000 + k * 200 AS pay_time
+          FROM h)
+    SELECT province,
+           count(*) AS total_num,
+           CAST(sum(CAST(money AS DECIMAL(12,2))) AS DOUBLE) AS total_money,
+           min(pay_time) AS first_pay,
+           max(pay_time) AS last_pay
+    FROM g GROUP BY province
+    """,
+    "S6", "A4",
+)
+def q_generated_order_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OrderAnalysy dashboard fed by the CUSTOM PYTHON DATA SOURCE
+    (S6, streaming/order_source.py) instead of parquet — the generator
+    is deterministic, so the DuckDB oracle regenerates the identical
+    2,000 orders from pure SQL (md5 of the row index) and the custom
+    source sits inside the exact correctness gate. ``sf_dir`` is
+    unused: the source IS the data."""
+    from flink_scala_spark.streaming import order_source
+
+    order_source.register(spark)
+    df = spark.read.format("order_gen").option("n", 2000).load()
+    return df.groupBy("province").agg(
+        F.count("*").alias("total_num"),
+        F.sum(F.col("money").cast("decimal(12,2)")).cast("double").alias("total_money"),
+        F.min("pay_time").alias("first_pay"),
+        F.max("pay_time").alias("last_pay"),
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

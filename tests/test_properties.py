@@ -176,3 +176,62 @@ def test_lsh_verified_pairs_have_exact_jaccard(spark, texts_):
         assert r.jaccard == pytest.approx(j, abs=0)
         assert r.jaccard >= 0.5
         assert r.common == len(sa & sb)
+
+
+quantile_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(quantile_rows)
+def test_group_quantiles_match_sorted_selection(spark, rows):
+    """group_quantiles' rank rule r = ceil(q*n) must pick exactly the
+    element an independent in-memory sort picks."""
+    import math
+
+    from flink_scala_spark.operators.aggregations import group_quantiles
+
+    data = [(k, v, i) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v double, id long")
+    got = {r["k"]: r for r in group_quantiles(df, "k", "v", "id").collect()}
+    by_key: dict[str, list[float]] = {}
+    for k, v, _ in data:
+        by_key.setdefault(k, []).append(v)
+    for k, vals in by_key.items():
+        vals.sort()
+        n = len(vals)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            expect = vals[math.ceil(q * n) - 1]
+            assert got[k][col] == expect, (k, q, n)
+
+
+@settings(**SETTINGS)
+@given(texts)
+def test_repetition_stats_match_pure_python(spark, vals):
+    """Row-local repetition arrays vs an independent Python count."""
+    from collections import Counter
+
+    from flink_scala_spark.pipeline import text as text_mod
+
+    docs = spark.createDataFrame(list(enumerate(vals)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text_mod.repetition_stats(docs).collect()}
+    for i, t in enumerate(vals):
+        raw = t.split(" ")
+        words = [w for w in raw if w]
+        r = got[i]
+        assert r["n_words"] == len(words)
+        if words:
+            assert r["top_word_frac"] == max(Counter(words).values()) / len(words)
+        else:
+            assert r["top_word_frac"] is None
+        g2 = [f"{raw[j]} {raw[j+1]}" for j in range(len(raw) - 1)]
+        if g2:
+            assert r["dup_2gram_frac"] == 1.0 - len(set(g2)) / len(g2)
+        else:
+            assert r["dup_2gram_frac"] is None

@@ -268,3 +268,33 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sources.file_replay(spark, sf_dir, "events")
     dd = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return run_bounded(dd, "append")
+
+
+@register(
+    "streaming_latest_event",
+    """
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+           event_id AS last_event_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+    "streaming", "cdc",
+)
+def q_streaming_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37's last-write-wins compaction as a LIVE streaming aggregate:
+    max_by over (ts, event_id) per key in complete mode — the
+    materialized-view shape an upsert sink (K6) keeps current. State
+    is one row per key, updated in place each microbatch."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    newest = F.max_by(F.struct("ts", "event_id"), F.struct("ts", "event_id"))
+    agg = ev.groupBy("user_id", "event_type").agg(newest.alias("r"))
+    out = run_bounded(agg, "complete")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("r.ts").alias("last_ts"),
+        F.col("r.event_id").alias("last_event_id"),
+    )

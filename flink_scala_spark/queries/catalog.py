@@ -314,6 +314,47 @@ def q_orders_without_recent_shipments(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "big_order_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS order_date,
+           CAST(q.total_qty AS DOUBLE) AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 220) q
+    JOIN orders o ON o.o_orderkey = q.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    "join", "having",
+)
+def q_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate the big table
+    FIRST (map-side-combinable sum + HAVING prunes to the rare heavy
+    orders), then join the survivors back to orders and customer —
+    the aggregate-then-join-back pattern that keeps the join input
+    tiny instead of joining 100 TB before aggregating. Quantities are
+    integral doubles, so the sums are exact."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 220)
+    )
+    return (
+        heavy.join(orders, heavy.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_date"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
     "top_events_per_user",
     """
     SELECT user_id, event_id, value, CAST(rank AS INT) AS rank FROM (

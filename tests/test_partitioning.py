@@ -1,0 +1,55 @@
+"""Hive-style partition layout: the write-side data-layout lever for
+100 TB scans. Complements `test_bucketing.py` (bucketed joins): a table
+partitioned by a low-cardinality column turns predicates on it into
+directory pruning — the scan never lists, opens, or reads non-matching
+partitions."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    from flink_scala_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+
+    df = spark.read.parquet(path).where(F.col("event_type") == "error")
+    plan = _plan(df)
+    # the predicate must become a PartitionFilter (directory pruning),
+    # NOT a row-level PushedFilter or post-scan Filter
+    assert "PartitionFilters" in plan
+    flat = plan.replace(" ", "")
+    assert "event_type" in flat.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+
+    # pruning is observable: only the matching partition's files scanned
+    expect = ev.where(F.col("event_type") == "error").count()
+    assert df.count() == expect
+    n_files = df.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    assert n_files < all_files
+
+
+def test_partitioned_write_roundtrip_schema(spark, sf_dir, tmp_path):
+    """Partition columns move into the directory structure and come
+    back typed on read (string partition values here)."""
+    from flink_scala_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    path = str(tmp_path / "events_rt")
+    ev.write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    assert set(back.columns) == set(ev.columns)
+    assert back.count() == ev.count()

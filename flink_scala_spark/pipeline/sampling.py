@@ -99,3 +99,62 @@ def stratified_sample(
     for stratum, p in rates.items():
         pct = F.when(F.col(stratum_col) == stratum, F.lit(p)).otherwise(pct)
     return df.where(bucket < pct)
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates next to exact counts.
+
+    The sketch is ``depth x width`` counters — FIXED size no matter how
+    big the input — built in one map-side-combinable shuffle; the
+    estimate for an item is the min of its ``depth`` counters
+    (guaranteed >= exact, overestimates only on collisions). Because
+    the hash rows are the deterministic h60, the DuckDB oracle
+    reproduces every counter and every estimate exactly — same as the
+    KMV sketch's exactly-checkable-approximation pattern.
+
+    Scale shape: the counter table (4 x 1024 rows) broadcasts back to
+    score items; at 100 TB the sketch is also the mergeable partial
+    (per-partition sketches sum cell-wise), which is why production
+    heavy-hitter pipelines ship sketches, not word lists.
+    """
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    cells = words.select(
+        "word",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        h60(F.concat_ws(":", F.lit(str(d)), F.col("word"))),
+                        F.lit(width),
+                    ).cast("int").alias("col"),
+                )
+                for d in range(depth)
+            ]
+        ).alias("cs"),
+    )
+    flat = cells.select("word", F.explode("cs").alias("c")).select(
+        "word", F.col("c.d").alias("d"), F.col("c.col").alias("col")
+    )
+    sketch = flat.groupBy("d", "col").agg(F.count("*").alias("cell_cnt"))
+    exact = flat.where(F.col("d") == 0).groupBy("word").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    item_cells = flat.distinct()
+    est = (
+        item_cells.join(F.broadcast(sketch), ["d", "col"])
+        .groupBy("word")
+        .agg(F.min("cell_cnt").alias("cms_cnt"))
+    )
+    return exact.join(est, "word").select("word", "exact_cnt", "cms_cnt")

@@ -551,6 +551,42 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.decontamination(_docs(spark, sf_dir), n=5)
 
 
+_CMS_CELLS = ", ".join(
+    "({h}) % 1024 AS c{d}".format(h=duck_h60("'%d:' || word" % d), d=d)
+    for d in range(4)
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    f"""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    w AS (SELECT word FROM words WHERE word <> ''),
+    cells AS (SELECT word, {_CMS_CELLS} FROM w),
+    flat AS (
+        SELECT word, 0 AS d, c0 AS col FROM cells
+        UNION ALL SELECT word, 1, c1 FROM cells
+        UNION ALL SELECT word, 2, c2 FROM cells
+        UNION ALL SELECT word, 3, c3 FROM cells),
+    sketch AS (SELECT d, col, count(*) AS cell_cnt FROM flat GROUP BY 1, 2),
+    exact AS (SELECT word, count(*) AS exact_cnt FROM flat WHERE d = 0 GROUP BY 1),
+    ic AS (SELECT DISTINCT word, d, col FROM flat),
+    est AS (SELECT ic.word, min(s.cell_cnt) AS cms_cnt
+            FROM ic JOIN sketch s ON s.d = ic.d AND s.col = ic.col GROUP BY 1)
+    SELECT e.word, e.exact_cnt, est.cms_cnt
+    FROM exact e JOIN est ON est.word = e.word
+    """,
+    "sampling", "sketch",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch word frequencies vs exact counts — a fixed-size
+    (4x1024) mergeable sketch with an EXACT oracle (deterministic h60
+    hash rows), the heavy-hitter pattern for 100 TB streams."""
+    from flink_scala_spark.pipeline import sampling
+
+    return sampling.cms_word_counts(_docs(spark, sf_dir))
+
+
 @register(
     "approx_ndv_kmv",
     None,  # filled below (needs the sampling module's SQL builder)

@@ -235,3 +235,24 @@ def test_repetition_stats_match_pure_python(spark, vals):
             assert r["dup_2gram_frac"] == 1.0 - len(set(g2)) / len(g2)
         else:
             assert r["dup_2gram_frac"] is None
+
+
+@settings(**SETTINGS)
+@given(docs_strategy)
+def test_cms_estimate_dominates_exact(spark, texts_):
+    """Count-min invariant: the min-of-counters estimate NEVER
+    undercounts (each counter is exact + non-negative collisions), and
+    collapses to exact when no hash row collides."""
+    from collections import Counter
+
+    from flink_scala_spark.pipeline.sampling import cms_word_counts
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts_)), "doc_id long, text string"
+    )
+    rows = cms_word_counts(docs).collect()
+    truth = Counter(w for t in texts_ for w in t.split(" ") if w)
+    assert {r.word for r in rows} == set(truth)
+    for r in rows:
+        assert r.exact_cnt == truth[r.word]
+        assert r.cms_cnt >= r.exact_cnt

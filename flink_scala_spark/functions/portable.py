@@ -25,6 +25,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def epoch_seconds(col: Column | str) -> Column:
+    """Event-time column -> epoch-seconds BIGINT, tolerant of both
+    TIMESTAMP and TIMESTAMP_NTZ inputs (driver parquet has shipped
+    both). TIMESTAMP_NTZ cannot cast to BIGINT directly; the
+    intermediate cast to TIMESTAMP is an exact identity because the
+    session timezone is pinned to UTC (session.py), and DuckDB's
+    ``epoch()`` treats naive timestamps as UTC the same way."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
 def h60(col: Column | str) -> Column:
     """60-bit deterministic hash of a string column (Spark side)."""
     c = F.col(col) if isinstance(col, str) else col

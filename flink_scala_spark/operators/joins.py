@@ -37,17 +37,20 @@ def asof_join(
     Timestamps travel as epoch-microsecond longs so ordering and gaps
     are exact. Right rows sort before left rows at equal timestamps
     (``side`` tiebreak), which realizes allow-exact-match semantics.
+    Inputs may carry TIMESTAMP or TIMESTAMP_NTZ: the cast to timestamp
+    is an exact identity because the session timezone is pinned to UTC
+    (session.py), so both types hold the same epoch micros.
     """
     l2 = left.select(
         F.col(key).alias("k"),
         F.col(left_id).alias("event_id"),
-        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
         F.lit(1).alias("side"),
     )
     r2 = right.select(
         F.col(key).alias("k"),
         F.lit(None).cast("long").alias("event_id"),
-        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
         F.lit(0).alias("side"),
     )
     w = (

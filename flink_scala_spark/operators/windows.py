@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_scala_spark.functions.portable import epoch_seconds
+
 
 def with_event_time(df: DataFrame, epoch_col: str, unit: str = "seconds") -> DataFrame:
     """W2's timestamp extractor: epoch long -> TimestampType ``ts``
@@ -106,7 +108,7 @@ def session_agg(
     w = Window.partitionBy(key).orderBy(ts_col)
     gap_flag = (
         F.when(
-            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+            epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
             > gap_seconds,
             1,
         )
@@ -118,8 +120,8 @@ def session_agg(
     return (
         sessions.groupBy(key, "session_id")
         .agg(
-            F.min(F.col(ts_col).cast("long")).alias("session_start"),
-            F.max(F.col(ts_col).cast("long")).alias("session_end"),
+            F.min(epoch_seconds(ts_col)).alias("session_start"),
+            F.max(epoch_seconds(ts_col)).alias("session_end"),
             *aggs,
         )
     )
@@ -139,7 +141,7 @@ def per_element_fire(
     exactly how Structured Streaming's update mode re-expresses
     per-element firing (SURVEY.md §7.4).
     """
-    ts_l = F.col(ts_col).cast("long")
+    ts_l = epoch_seconds(ts_col)
     win_start = (F.floor(ts_l / window_seconds) * window_seconds).cast("long")
     base = df.withColumn("window_start", win_start)
     w = Window.partitionBy("window_start", key).orderBy(ts_l, "event_id")
@@ -166,7 +168,7 @@ def classify_late(
     the reference's parallelism-1 demos; at scale this runs per shard.
     """
     w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
-    ts_l = F.col(ts_col).cast("long")
+    ts_l = epoch_seconds(ts_col)
     wm = F.max(ts_l).over(w) - F.lit(delay_seconds)
     return df.withColumn(
         "lateness",

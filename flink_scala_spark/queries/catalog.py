@@ -742,7 +742,7 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A2",
 )
 def q_ordered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("long"))
+    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("timestamp").cast("long"))
     return agg_ops.ordered_fold(ev, "user_id", "event_id", "ts_l", "value")
 
 
@@ -758,7 +758,7 @@ def q_ordered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A2", "udf",
 )
 def q_ordered_fold_general(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("long"))
+    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("timestamp").cast("long"))
     return agg_ops.ordered_fold_general(ev, "user_id", "event_id", "ts_l", "value")
 
 
@@ -1079,7 +1079,7 @@ def q_rising_streak_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flink_scala_spark.streaming.stateful)."""
     from pyspark.sql import Window as W
 
-    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("long"))
+    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("timestamp").cast("long"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     diffed = ev.withColumn(
         "brk",

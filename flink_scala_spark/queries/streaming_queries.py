@@ -140,7 +140,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching window as part of the session), so splits need gap > 600 s.
     """
     ev = sources.file_replay(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_seconds(F.col("ts").cast("long"))
+        "ts", F.timestamp_seconds(F.col("ts").cast("timestamp").cast("long"))
     )
     agg = (
         ev.withWatermark("ts", "1 minute")

@@ -43,9 +43,15 @@ def file_replay(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(sf_dir)
     )
-    if table == "events" and dict(stream.dtypes).get("ts") == "bigint":
-        # ts DIV 1000: exact integer nanos->micros (see tables.load).
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if table == "events":
+        ts_type = dict(stream.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ts DIV 1000: exact integer nanos->micros (see tables.load).
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Watermarks require TIMESTAMP; with the session pinned to
+            # UTC the cast is an exact identity on the stored micros.
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

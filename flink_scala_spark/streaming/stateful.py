@@ -159,7 +159,7 @@ def _rising_alarm_fn(horizon_seconds: int):
 def rising_alarm(events_stream: DataFrame, horizon_seconds: int = 600) -> DataFrame:
     """ST4 event-time twin of the rising-temperature timer alarm."""
     withts = events_stream.select(
-        "user_id", "event_id", "ts", F.col("ts").cast("long").alias("ts_l"), "value"
+        "user_id", "event_id", "ts", F.col("ts").cast("timestamp").cast("long").alias("ts_l"), "value"
     )
     return withts.groupBy("user_id").applyInPandasWithState(
         _rising_alarm_fn(horizon_seconds),

@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 def test_late_rows_refire_windows(spark, sf_dir, tmp_path):
     from flink_scala_spark import tables
 
-    ev = tables.load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
     mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
     on_time = ev.where(F.col("event_id") >= mid)
     late = ev.where(F.col("event_id") < mid)

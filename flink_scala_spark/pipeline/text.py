@@ -307,3 +307,101 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = FP_KGRAM) -> D
         F.expr(expr).alias("fp"),
         F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0)).alias("n_kgrams"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, text_col: str = "text", chunk_size: int = 50, stride: int = 40
+) -> DataFrame:
+    """Sequence prep: split each document into overlapping word-window
+    chunks (``chunk_size`` words every ``stride`` words) — the
+    fixed-context-window slicing step before tokenized training
+    sequences are built.
+
+    All JVM-side: split -> sequence of starts -> posexplode -> slice.
+    Row fan-out is ~n_words/stride per doc, proportional to the scan
+    (no shuffle, no UDF); chunk text leaves as an md5 digest so wide
+    strings never travel further than the projection.
+    """
+    w = F.split(F.col(text_col), " ")
+    base = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.size(w).alias("n_words"),
+        F.sequence(F.lit(1), F.size(w), F.lit(stride)).alias("starts"),
+    )
+    ex = base.select(
+        "doc_id", "n_words", "w", F.posexplode("starts").alias("chunk_idx", "start_word")
+    )
+    chunk = F.slice(F.col("w"), F.col("start_word"), F.lit(chunk_size))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_word").cast("bigint").alias("start_word"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(F.transform(chunk, lambda x: x), " ")).alias("chunk_md5"),
+    )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Search-index build: word -> document frequency, total term
+    frequency, and an order-canonical digest of the posting list
+    (sorted doc_ids). Two shuffles: (word, doc) then word.
+
+    At 100 TB the posting list of a stopword is the skew hazard — the
+    per-(word, doc) pre-aggregation bounds each group to distinct docs,
+    and real deployments shard hot postings; here the list leaves only
+    as a digest so no unbounded array crosses the final shuffle.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    tf = words.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+    postings = F.array_join(
+        F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+        ",",
+    )
+    return tf.groupBy("word").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.md5(postings).alias("postings_md5"),
+    )
+
+
+def sequence_packing(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget: int = 200,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Token-budget sequence packing: assign documents (in deterministic
+    doc_id order within a hash bucket) to training sequences of about
+    ``budget`` whitespace tokens each.
+
+    The packing rule is the streaming-greedy one a concatenating
+    writer applies: a doc joins the sequence its first token lands in
+    under perfect concatenation (floor((cum - n_tok) / budget)) —
+    deterministic, overflow-tolerant at boundaries, and expressible as
+    one cumulative-sum window. Buckets bound the sort: each of the
+    ``n_buckets`` hash buckets packs independently, so at 100 TB the
+    per-partition sort never sees the global corpus.
+    """
+    from flink_scala_spark.functions.portable import h60
+
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    bucket = (h60(F.col("doc_id").cast("string")) % n_buckets).cast("int")
+    base = docs.select(
+        "doc_id", n_tok.alias("n_tokens"), bucket.alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "bucket",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        cum.cast("bigint").alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("seq_id"),
+    )

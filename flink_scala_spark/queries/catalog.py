@@ -939,7 +939,8 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM flagged
     )
-    SELECT user_id, session_id, min(ts_l) AS session_start, max(ts_l) AS session_end,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts_l) AS session_start, max(ts_l) AS session_end,
            count(*) AS cnt
     FROM numbered GROUP BY user_id, session_id
     """,
@@ -1064,7 +1065,7 @@ def q_delta_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
         FROM diffed
     )
-    SELECT user_id, run_id, count(*) AS run_len,
+    SELECT user_id, CAST(run_id AS BIGINT) AS run_id, count(*) AS run_len,
            min(ts_l) AS run_start, max(ts_l) AS run_end
     FROM islands GROUP BY user_id, run_id
     HAVING max(ts_l) - min(ts_l) >= 600 AND count(*) >= 3

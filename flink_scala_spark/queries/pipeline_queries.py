@@ -665,7 +665,7 @@ def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      CAST({_duck_hits('en')} AS DOUBLE) AS sh
               FROM documents) t)
     SELECT li.lang_pred, count(*) AS n_docs,
-           sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS n_pass,
+           CAST(sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            min(q.quality) AS min_quality,
            max(q.quality) AS max_quality
     FROM li JOIN q ON li.doc_id = q.doc_id

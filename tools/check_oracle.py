@@ -102,8 +102,21 @@ def main() -> int:
                     (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
                 ][:3]
                 msgs.append(f"values differ; first diffs: {diffs}")
+        if ok and s_rows and d_rows:
+            # Values equal under str-normalization, but the driver hashes
+            # typed values: DuckDB HUGEINT/DECIMAL vs Spark LONG slips
+            # through str() yet hash-mismatches. Surface it here.
+            order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            for i_s, i_d in zip(order_s, order_d):
+                ts_, td_ = type(s_rows[0][i_s]), type(d_rows[0][i_d])
+                if ts_ is not td_ and None not in (s_rows[0][i_s], d_rows[0][i_d]):
+                    msgs.append(
+                        f"TYPE-WARN col {s_cols[i_s]}: spark={ts_.__name__} duck={td_.__name__}"
+                    )
         if ok:
-            print(f"PASS {name}: rows={len(s_rows)} [{time.time()-t0:.1f}s]")
+            warn = (" | " + " | ".join(msgs)) if msgs else ""
+            print(f"PASS {name}: rows={len(s_rows)} [{time.time()-t0:.1f}s]{warn}")
             n_pass += 1
         else:
             print(f"FAIL {name}: " + " | ".join(msgs))

@@ -309,13 +309,22 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = FP_KGRAM) -> D
     )
 
 
+def _nonempty(docs: DataFrame, text_col: str) -> DataFrame:
+    """Degenerate-document rule shared by chunk_documents,
+    inverted_index, and sequence_packing: a document with NULL or
+    empty text has no tokens and is excluded. (Without this,
+    split('', ' ') == [''] would count one phantom token and the three
+    ops would disagree on NULL vs empty inputs.)"""
+    return docs.where(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+
+
 def chunk_documents(
     docs: DataFrame, text_col: str = "text", chunk_size: int = 50, stride: int = 40
 ) -> DataFrame:
     """Sequence prep: split each document into overlapping word-window
     chunks (``chunk_size`` words every ``stride`` words) — the
     fixed-context-window slicing step before tokenized training
-    sequences are built.
+    sequences are built. NULL/empty docs are excluded (``_nonempty``).
 
     All JVM-side: split -> sequence of starts -> posexplode -> slice.
     Row fan-out is ~n_words/stride per doc, proportional to the scan
@@ -323,7 +332,7 @@ def chunk_documents(
     strings never travel further than the projection.
     """
     w = F.split(F.col(text_col), " ")
-    base = docs.select(
+    base = _nonempty(docs, text_col).select(
         "doc_id",
         w.alias("w"),
         F.size(w).alias("n_words"),
@@ -338,32 +347,64 @@ def chunk_documents(
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.col("start_word").cast("bigint").alias("start_word"),
         F.size(chunk).cast("int").alias("n_tokens"),
-        F.md5(F.array_join(F.transform(chunk, lambda x: x), " ")).alias("chunk_md5"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
 
 
-def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Search-index build: word -> document frequency, total term
-    frequency, and an order-canonical digest of the posting list
-    (sorted doc_ids). Two shuffles: (word, doc) then word.
+IDX_SHARDS = 16
 
-    At 100 TB the posting list of a stopword is the skew hazard — the
-    per-(word, doc) pre-aggregation bounds each group to distinct docs,
-    and real deployments shard hot postings; here the list leaves only
-    as a digest so no unbounded array crosses the final shuffle.
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", n_shards: int = IDX_SHARDS
+) -> DataFrame:
+    """Search-index build: word -> document frequency, total term
+    frequency, and an order-canonical digest of the posting list.
+    NULL/empty docs are excluded (``_nonempty``).
+
+    At 100 TB the posting list of a stopword is the skew hazard, so no
+    single aggregation group ever holds a word's full posting list:
+    postings are sharded by ``h60(doc_id) % n_shards`` and each
+    (word, shard) group digests only its own sorted slice; the final
+    word-level digest is the md5 of the shard digests concatenated in
+    shard order. A stopword's state on any one reducer is therefore
+    bounded at ~1/n_shards of its postings, and the word-level rows
+    carry at most ``n_shards`` fixed-width digests. Three shuffles:
+    (word, doc), (word, shard), word — the price of the bound.
+
+    ``postings_md5`` is canonical for a given (corpus, n_shards):
+    equal posting sets always digest equal. Reference parity: word
+    count keyed aggregation (WordCount.scala:20-25) generalized to the
+    index-build a training-data search/dedup pipeline runs.
     """
-    words = docs.select(
+    from flink_scala_spark.functions.portable import h60
+
+    words = _nonempty(docs, text_col).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
     tf = words.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
-    postings = F.array_join(
-        F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
-        ",",
+    sharded = tf.withColumn(
+        "shard", (h60(F.col("doc_id").cast("string")) % n_shards).cast("int")
     )
-    return tf.groupBy("word").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").cast("bigint").alias("total_tf"),
-        F.md5(postings).alias("postings_md5"),
+    shard_rows = sharded.groupBy("word", "shard").agg(
+        F.count("*").alias("sdf"),
+        F.sum("tf").alias("stf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("sdig"),
+    )
+    shard_digests = F.transform(
+        F.array_sort(F.collect_list(F.struct("shard", "sdig"))), lambda s: s["sdig"]
+    )
+    return shard_rows.groupBy("word").agg(
+        F.sum("sdf").cast("bigint").alias("df"),
+        F.sum("stf").cast("bigint").alias("total_tf"),
+        F.md5(F.array_join(shard_digests, "")).alias("postings_md5"),
     )
 
 
@@ -383,13 +424,14 @@ def sequence_packing(
     deterministic, overflow-tolerant at boundaries, and expressible as
     one cumulative-sum window. Buckets bound the sort: each of the
     ``n_buckets`` hash buckets packs independently, so at 100 TB the
-    per-partition sort never sees the global corpus.
+    per-partition sort never sees the global corpus. NULL/empty docs
+    are excluded (``_nonempty``).
     """
     from flink_scala_spark.functions.portable import h60
 
     n_tok = F.size(F.split(F.col(text_col), " "))
     bucket = (h60(F.col("doc_id").cast("string")) % n_buckets).cast("int")
-    base = docs.select(
+    base = _nonempty(docs, text_col).select(
         "doc_id", n_tok.alias("n_tokens"), bucket.alias("bucket")
     )
     w = (

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_scala_spark import tables
+from flink_scala_spark.functions.portable import epoch_seconds
 from flink_scala_spark.operators import (
     aggregations as agg_ops,
     dashboard,
@@ -742,7 +743,7 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A2",
 )
 def q_ordered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("timestamp").cast("long"))
+    ev = _events(spark, sf_dir).withColumn("ts_l", epoch_seconds("ts"))
     return agg_ops.ordered_fold(ev, "user_id", "event_id", "ts_l", "value")
 
 
@@ -758,7 +759,7 @@ def q_ordered_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "A2", "udf",
 )
 def q_ordered_fold_general(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("timestamp").cast("long"))
+    ev = _events(spark, sf_dir).withColumn("ts_l", epoch_seconds("ts"))
     return agg_ops.ordered_fold_general(ev, "user_id", "event_id", "ts_l", "value")
 
 
@@ -1080,7 +1081,7 @@ def q_rising_streak_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flink_scala_spark.streaming.stateful)."""
     from pyspark.sql import Window as W
 
-    ev = _events(spark, sf_dir).withColumn("ts_l", F.col("ts").cast("timestamp").cast("long"))
+    ev = _events(spark, sf_dir).withColumn("ts_l", epoch_seconds("ts"))
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     diffed = ev.withColumn(
         "brk",

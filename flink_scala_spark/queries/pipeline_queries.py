@@ -815,3 +815,72 @@ def q_interval_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.where(F.col("event_type") == "error")
     clicks = ev.where(F.col("event_type") == "click")
     return joins.interval_join_count(errors, clicks, key="user_id", lookback="10 minutes")
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL AND text <> ''),
+    s AS (SELECT doc_id, len(w) AS n_words, w,
+                 unnest(generate_series(1, len(w), 40)) AS start_word FROM d)
+    SELECT doc_id,
+           CAST((start_word - 1) // 40 AS INT) AS chunk_idx,
+           CAST(start_word AS BIGINT) AS start_word,
+           CAST(least(50, n_words - start_word + 1) AS INT) AS n_tokens,
+           md5(array_to_string(w[start_word:least(start_word + 49, n_words)], ' '))
+               AS chunk_md5
+    FROM s
+    """,
+    "text", "chunking",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (50-word chunks every 40 words)
+    — the context-window slicing step of sequence prep."""
+    return text.chunk_documents(_docs(spark, sf_dir))
+
+
+@register(
+    "inverted_index",
+    f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL AND text <> ''),
+    tf AS (SELECT word, doc_id, count(*) AS tf FROM w WHERE word <> '' GROUP BY 1, 2),
+    sh AS (SELECT word,
+                  CAST({duck_h60("CAST(doc_id AS VARCHAR)")} % {text.IDX_SHARDS} AS INT)
+                      AS shard,
+                  count(*) AS sdf, sum(tf) AS stf,
+                  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS sdig
+           FROM tf GROUP BY 1, 2)
+    SELECT word, CAST(sum(sdf) AS BIGINT) AS df, CAST(sum(stf) AS BIGINT) AS total_tf,
+           md5(string_agg(sdig, '' ORDER BY shard)) AS postings_md5
+    FROM sh GROUP BY word
+    """,
+    "text", "index",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted-index build: word -> df, total_tf, and a
+    shard-composed canonical digest of the sorted posting list (no
+    group ever holds a stopword's full postings)."""
+    return text.inverted_index(_docs(spark, sf_dir))
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH base AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST({duck_h60("CAST(doc_id AS VARCHAR)")} % 32 AS INT) AS bucket
+      FROM documents WHERE text IS NOT NULL AND text <> ''),
+    c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM base)
+    SELECT doc_id, bucket, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 200.0) AS BIGINT) AS seq_id
+    FROM c
+    """,
+    "text", "packing",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget greedy sequence packing (budget=200 whitespace
+    tokens, 32 independent hash buckets bounding the per-key sort)."""
+    return text.sequence_packing(_docs(spark, sf_dir))

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_scala_spark.functions.portable import epoch_seconds
 from flink_scala_spark.queries.catalog import register
 from flink_scala_spark.streaming import sources, stateful
 from flink_scala_spark.streaming.runner import run_bounded
@@ -140,7 +141,7 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching window as part of the session), so splits need gap > 600 s.
     """
     ev = sources.file_replay(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_seconds(F.col("ts").cast("timestamp").cast("long"))
+        "ts", F.timestamp_seconds(epoch_seconds("ts"))
     )
     agg = (
         ev.withWatermark("ts", "1 minute")

@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import functions as F
+
+from flink_scala_spark.functions.portable import epoch_seconds
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -159,7 +161,7 @@ def _rising_alarm_fn(horizon_seconds: int):
 def rising_alarm(events_stream: DataFrame, horizon_seconds: int = 600) -> DataFrame:
     """ST4 event-time twin of the rising-temperature timer alarm."""
     withts = events_stream.select(
-        "user_id", "event_id", "ts", F.col("ts").cast("timestamp").cast("long").alias("ts_l"), "value"
+        "user_id", "event_id", "ts", epoch_seconds("ts").alias("ts_l"), "value"
     )
     return withts.groupBy("user_id").applyInPandasWithState(
         _rising_alarm_fn(horizon_seconds),

@@ -145,3 +145,65 @@ def test_label_centroids_stable_under_repartitioning(spark, sf_dir):
         for r in label_centroids(emb.repartition(17)).collect()
     }
     assert a == b  # exact equality, no tolerance
+
+
+def test_chunk_documents_known_values(spark):
+    # 90 words -> starts [1, 41, 81]: chunks of 50, 50, 10 words.
+    words = [f"w{i}" for i in range(90)]
+    docs = _docs(spark, [(1, " ".join(words))])
+    out = sorted(
+        text.chunk_documents(docs).collect(), key=lambda r: r["chunk_idx"]
+    )
+    assert [(r["chunk_idx"], r["start_word"], r["n_tokens"]) for r in out] == [
+        (0, 1, 50),
+        (1, 41, 50),
+        (2, 81, 10),
+    ]
+    import hashlib
+
+    assert out[2]["chunk_md5"] == hashlib.md5(" ".join(words[80:]).encode()).hexdigest()
+
+
+def test_inverted_index_digest_and_counts(spark):
+    docs = _docs(spark, [(1, "a b a"), (2, "b c"), (3, "a")])
+    out = {r["word"]: r for r in text.inverted_index(docs).collect()}
+    assert (out["a"]["df"], out["a"]["total_tf"]) == (2, 3)
+    assert (out["b"]["df"], out["b"]["total_tf"]) == (2, 2)
+    assert (out["c"]["df"], out["c"]["total_tf"]) == (1, 1)
+    # Digest is canonical: same posting set -> same digest, regardless of
+    # input partitioning.
+    again = {
+        r["word"]: r["postings_md5"]
+        for r in text.inverted_index(docs.repartition(7)).collect()
+    }
+    assert {w: r["postings_md5"] for w, r in out.items()} == again
+
+
+def test_degenerate_docs_consistent_across_text_ops(spark):
+    # NULL and empty text must be invisible to all three sequence-prep
+    # ops (ADVICE r1: split('', ' ') == [''] counted a phantom token).
+    docs = _docs(spark, [(1, "a b"), (2, ""), (3, None)])
+    chunks = text.chunk_documents(docs).collect()
+    idx_words = text.inverted_index(docs).collect()
+    packed = text.sequence_packing(docs).collect()
+    assert {r["doc_id"] for r in chunks} == {1}
+    assert {r["word"] for r in idx_words} == {"a", "b"}
+    assert {r["doc_id"] for r in packed} == {1}
+    assert packed[0]["n_tokens"] == 2 and packed[0]["seq_id"] == 0
+
+
+def test_sequence_packing_greedy_rule(spark):
+    # Single bucket scenario: force doc ids that hash to one bucket is
+    # brittle; instead verify the invariant per bucket: seq_id ==
+    # floor((cum - n_tokens) / budget) and cum is a running sum in
+    # doc_id order within the bucket.
+    docs = _docs(
+        spark, [(i, " ".join(["t"] * (30 + i))) for i in range(1, 21)]
+    )
+    rows = text.sequence_packing(docs, budget=100).collect()
+    by_bucket = {}
+    for r in sorted(rows, key=lambda r: (r["bucket"], r["doc_id"])):
+        run = by_bucket.setdefault(r["bucket"], 0) + r["n_tokens"]
+        by_bucket[r["bucket"]] = run
+        assert r["cum_tokens"] == run
+        assert r["seq_id"] == (run - r["n_tokens"]) // 100

@@ -66,20 +66,26 @@ def main() -> None:
     extra = [n for n in catalog.QUERIES if n not in names and "bench" in catalog.QUERIES[n].tags]
     names += extra
 
-    # Warmup: run every headline query once at the smallest SF so JIT /
-    # codegen / broadcast machinery is hot before measurement — we're
-    # benchmarking the steady-state engine, not JVM startup.
+    # Warmup is per-query, immediately before its measurement: Spark's
+    # whole-stage-codegen class cache holds ~100 generated classes, so
+    # warming ALL queries first evicts the early ones' classes and the
+    # measured run pays Janino recompilation (seconds for the widest agg
+    # plans). Warming at sf0.001 right before the sf0.1 run keeps each
+    # query's classes hot — we benchmark the steady-state engine, not
+    # JVM startup or compiler churn.
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in names:
-            try:
-                catalog.QUERIES[name].fn(spark, warm_dir).count()
-            except Exception as e:
-                print(f"# warmup {name} failed: {e}", file=sys.stderr)
-
     timings: dict[str, float] = {}
     for name in names:
         fn = catalog.QUERIES[name].fn
+        if os.path.isdir(warm_dir):
+            try:
+                fn(spark, warm_dir).count()
+            except Exception as e:
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+        # Measured from a cold data cache: queries that persist
+        # intermediates (dedup profiles, cluster checkpoints) must not
+        # inherit their warmup run's cached data.
+        spark.catalog.clearCache()
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()

@@ -76,13 +76,25 @@ def word_shingles(
     )
 
 
+def _shingle_h1_h2(shingle):
+    """Two independent 60-bit hashes from ONE md5 of the shingle: hex
+    chars 1-15 and 16-30. The per-hash family is then the
+    Kirsch-Mitzenmacher combination ``h1 + s*h2`` — one md5 per
+    shingle instead of ``num_hashes``, with max value
+    ``8*(2^60-1) < 2^63`` so the arithmetic never overflows BIGINT on
+    either engine (DuckDB raises on overflow; Spark would wrap)."""
+    m = F.md5(shingle)
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """One row per doc with ``mh0..mh{S-1}`` minhash values — a single
-    hash-shuffle on doc_id with map-side partial mins."""
-    aggs = [
-        F.min(h60(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(num_hashes)
-    ]
+    hash-shuffle on doc_id with map-side partial mins, and a single
+    md5 per shingle (``_shingle_h1_h2``)."""
+    h1, h2 = _shingle_h1_h2(F.col("shingle"))
+    aggs = [F.min(h1 + F.lit(s) * h2).alias(f"mh{s}") for s in range(num_hashes)]
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
@@ -93,7 +105,7 @@ def doc_profiles(
     n: int = 3,
     num_hashes: int = NUM_HASHES,
 ) -> DataFrame:
-    """Per-doc minhash signature AND distinct shingle set in ONE
+    """Per-doc minhash signature AND distinct shingle-hash set in ONE
     groupBy over the raw (non-distinct) shingle stream.
 
     ``min`` ignores duplicate shingles and ``collect_set`` dedups
@@ -101,7 +113,15 @@ def doc_profiles(
     exploded shingle table — the largest intermediate of the whole
     pipeline at 100 TB — disappears, and signatures + verify sets +
     set sizes come out of a single hash-shuffle on doc_id instead of
-    three."""
+    three.
+
+    The verify set stores the 60-bit ``h1`` shingle hash, not the
+    shingle string: the persisted profile and the verify-join payload
+    shrink ~4x and ``array_intersect`` compares longs instead of
+    strings. Jaccard over hashed shingles equals Jaccard over shingles
+    up to 60-bit collisions (~n_shingles^2 / 2^61 per doc pair —
+    negligible, and the DuckDB oracle hashes identically so the gate
+    stays exact)."""
     wdf = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
     ).where(F.size("w") >= n)
@@ -112,14 +132,16 @@ def doc_profiles(
     )
     parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
     raw = idx.select("doc_id", F.expr(f"concat_ws(' ', {parts})").alias("shingle"))
+    h1, h2 = _shingle_h1_h2(F.col("shingle"))
+    hashed = raw.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(h60(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        F.min(F.col("h1") + F.lit(s) * F.col("h2")).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
-    return raw.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *aggs,
-        F.collect_set("shingle").alias("shset"),
-        F.size(F.collect_set("shingle")).alias("n"),
+        F.collect_set("h1").alias("shset"),
+        F.size(F.collect_set("h1")).alias("n"),
     )
 
 
@@ -204,20 +226,18 @@ def verified_jaccard(cand: DataFrame, shingles: DataFrame, threshold: float) -> 
     )
 
 
-def minhash_lsh_dedup(
+def _minhash_pairs(
     docs: DataFrame,
-    text_col: str = "text",
-    n: int = 3,
-    num_hashes: int = NUM_HASHES,
-    bands: int = NUM_BANDS,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash -> LSH banding -> exact-Jaccard verification.
-
-    One pass builds signatures + verify sets (:func:`doc_profiles`,
-    persisted — it feeds the band table and both sides of the verify
-    join, and at scale re-deriving it would re-shuffle the shingle
-    stream three times)."""
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`minhash_lsh_dedup` and
+    :func:`near_dup_clusters`: returns (verified pairs, persisted
+    profile) so callers that materialize the pairs can unpersist the
+    profile afterwards."""
     prof = doc_profiles(docs, text_col, n=n, num_hashes=num_hashes).persist()
     sigs = prof.select("doc_id", *[f"mh{s}" for s in range(num_hashes)])
     cand = candidate_pairs_from_bands(lsh_band_table(sigs, bands, num_hashes // bands))
@@ -237,9 +257,28 @@ def minhash_lsh_dedup(
         F.col("common").cast("double")
         / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
     )
-    return scored.where(F.col("jaccard") >= threshold).select(
+    out = scored.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "common", "jaccard"
     )
+    return out, prof
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash -> LSH banding -> exact-Jaccard verification.
+
+    One pass builds signatures + verify sets (:func:`doc_profiles`,
+    persisted — it feeds the band table and both sides of the verify
+    join, and at scale re-deriving it would re-shuffle the shingle
+    stream three times)."""
+    out, _prof = _minhash_pairs(docs, text_col, n, num_hashes, bands, threshold)
+    return out
 
 
 def near_dup_clusters(
@@ -265,12 +304,17 @@ def near_dup_clusters(
     Singleton docs (no near-dup edges) never enter the loop — they join
     back at the end with themselves as canonical.
     """
-    pairs = minhash_lsh_dedup(docs, text_col, threshold=threshold).select(
-        "doc_a", "doc_b"
+    pairs_all, prof = _minhash_pairs(
+        docs, text_col, 3, NUM_HASHES, NUM_BANDS, threshold
     )
+    pairs = pairs_all.select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
+    # edges is materialized now; the shingle-profile cache only served
+    # the pair derivation and would otherwise sit in executor memory
+    # for the whole label-propagation loop.
+    prof.unpersist()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -284,23 +328,24 @@ def near_dup_clusters(
             .groupBy("doc_id")
             .agg(F.min("nbr_label").alias("nbr_label"))
         )
-        new_labels = (
+        # One join computes both the new label and the changed flag;
+        # localCheckpoint materializes it eagerly so the convergence
+        # count and the next round reuse the same result (the old
+        # shape re-joined new vs old labels — a second shuffle per
+        # round for information the first join already had).
+        stepped = (
             labels.join(nbr, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.where(F.col("chg")).count()
+        labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
     out = (

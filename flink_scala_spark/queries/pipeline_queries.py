@@ -32,9 +32,18 @@ pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i FRO
 sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle FROM pos)
 """
 
+# One md5 per shingle -> two 60-bit halves -> Kirsch-Mitzenmacher
+# family h1 + s*h2; mirrors dedup._shingle_h1_h2 exactly (max value
+# 8*(2^60-1) < 2^63, no BIGINT overflow on either engine).
+_HX_CTE = """
+hx AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
+              CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) AS h2
+       FROM sh)
+"""
+
 _MH_COLS = ",\n        ".join(
-    "min({h}) AS mh{s}".format(h=duck_h60("'%d:' || shingle" % s), s=s)
-    for s in range(dedup.NUM_HASHES)
+    f"min(h1 + {s} * h2) AS mh{s}" for s in range(dedup.NUM_HASHES)
 )
 
 _BAND_SELECTS = "\n  UNION ALL ".join(
@@ -51,6 +60,23 @@ com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2)
+SELECT doc_a, doc_b, common,
+       CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
+FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
+         JOIN cnt cb ON cb.doc_id = com.doc_b
+WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= {thr}
+"""
+
+# Hashed-set verify (minhash path): Jaccard over the 60-bit h1 shingle
+# hashes, mirroring doc_profiles' collect_set(h1) verify sets.
+_VERIFY_HASHED_SQL = """
+hs AS (SELECT DISTINCT doc_id, h1 FROM hx),
+cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+        FROM cand c
+        JOIN hs sa ON sa.doc_id = c.doc_a
+        JOIN hs sb ON sb.doc_id = c.doc_b AND sb.h1 = sa.h1
         GROUP BY 1, 2)
 SELECT doc_a, doc_b, common,
        CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
@@ -94,16 +120,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH {_SH_CTE},
+    WITH {_SH_CTE}, {_HX_CTE},
     sig AS (SELECT doc_id,
         {_MH_COLS}
-        FROM sh GROUP BY doc_id),
+        FROM hx GROUP BY doc_id),
     bands AS (
   {_BAND_SELECTS}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-    {_VERIFY_SQL.format(thr=0.5)}
+    {_VERIFY_HASHED_SQL.format(thr=0.5)}
     """,
     "dedup", "minhash", "lsh",
 )
@@ -129,16 +155,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     f"""
-    WITH RECURSIVE {_SH_CTE},
+    WITH RECURSIVE {_SH_CTE}, {_HX_CTE},
     sig AS (SELECT doc_id,
         {_MH_COLS}
-        FROM sh GROUP BY doc_id),
+        FROM hx GROUP BY doc_id),
     bands AS (
   {_BAND_SELECTS}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-    pv AS (WITH {_VERIFY_SQL.format(thr=0.5)}),
+    pv AS (WITH {_VERIFY_HASHED_SQL.format(thr=0.5)}),
     edges AS (SELECT doc_a AS src, doc_b AS dst FROM pv
               UNION SELECT doc_b, doc_a FROM pv),
     reach(doc_id, r) AS (

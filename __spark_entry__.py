@@ -39,18 +39,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # remain covered by tests/test_catalog_oracle.py at sf0.001.
 _PRIORITY = [
     "order_dashboard_province",
+    "order_priority_pipeline",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "min_cost_supplier_per_part",
+    "revenue_cube",
+    "promo_revenue_share",
+    "returned_revenue_top_customers",
+    "nation_trade_flow",
     "order_dashboard_rollup",
     "generated_order_dashboard",
     "lineitem_pricing_summary",
     "revenue_by_region_parttype",
-    "word_count",
-    "keyed_sum",
-    "latest_event_per_key",
-    "ordered_fold_general",
-    "arg_min_row",
-    "tumbling_window_counts",
-    "day_window_offset_utc8",
-    "sliding_window_counts",
     "session_windows",
     "rising_streak_alarm",
     "streaming_session_windows",

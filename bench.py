@@ -22,6 +22,12 @@ HEADLINE = [
     "order_dashboard_province",
     "lineitem_pricing_summary",
     "revenue_by_region_parttype",
+    "revenue_cube",
+    "nation_trade_flow",
+    "customer_order_distribution",
+    "order_priority_pipeline",
+    "returned_revenue_top_customers",
+    "min_cost_supplier_per_part",
     "word_count",
     "keyed_sum",
     "running_sum",

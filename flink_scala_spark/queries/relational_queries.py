@@ -1,0 +1,342 @@
+"""Relational breadth: classic analytical join/agg shapes (TPC-H
+flavored, adapted to the driver's star schema) that a user migrating
+off the reference would expect a general-purpose engine to run.
+
+Scale discipline shared by every query here:
+
+- All money aggregation runs in DECIMAL(12,2)/(4,2) so sums are
+  order-independent and the DuckDB oracle matches bit-for-bit (the
+  technique proven by ``lineitem_pricing_summary``); the one cast to
+  DOUBLE happens after the aggregate.
+- Dimension tables (region/nation/supplier/part/customer at their
+  natural fan-in) broadcast; the lineitem fact table streams through
+  the join pipeline exactly once, and the only shuffles are the final
+  aggregation keys.
+- No correlated per-row subqueries: every EXISTS/IN becomes a
+  semi/anti join, every "equal to the max" becomes an aggregate
+  joined back — shapes AQE can re-plan at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_scala_spark import tables
+from flink_scala_spark.queries.catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+@register(
+    "order_priority_pipeline",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    "relational", "semi-join",
+)
+def q_order_priority_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS as a LEFT SEMI join (no row multiplication —
+    an order with 7 late lineitems counts once, no distinct needed),
+    then a tiny-key hash agg. The semi join probes lineitem only on
+    (orderkey, shipdate) — column pruning reaches the scan."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) t GROUP BY c_count
+    """,
+    "relational", "outer-join",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customers-per-order-count histogram. LEFT OUTER join
+    keeps zero-order customers (count(o_orderkey) ignores the NULLs),
+    then two cascaded aggs — the second one's key space is tiny, so
+    the heavy shuffle happens exactly once, on c_custkey."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "top_supplier_revenue",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum({_REV}) AS DOUBLE) AS total_revenue
+        FROM lineitem GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+    "relational", "view-max",
+)
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: per-supplier revenue view, keep the max. The max is
+    a 1-row aggregate broadcast back onto the view — NOT a global
+    window (a ``max() over ()`` funnels every row through one
+    partition; the join keeps all parallelism). DECIMAL sums make
+    "equal to the max" exact across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_col()).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev["total_revenue"] == mx["mx"]).select(
+        "supplier_no", "total_revenue"
+    )
+    return (
+        F.broadcast(top)
+        .join(sup, sup["s_suppkey"] == top["supplier_no"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "min_cost_supplier_per_part",
+    """
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM unit GROUP BY l_partkey)
+    SELECT u.l_partkey AS p_partkey, p.p_name,
+           min(u.l_suppkey) AS s_suppkey, b.min_cost AS unit_cost
+    FROM unit u
+    JOIN best b ON u.l_partkey = b.l_partkey AND u.unit_cost = b.min_cost
+    JOIN part p ON p.p_partkey = u.l_partkey
+    GROUP BY u.l_partkey, p.p_name, b.min_cost
+    """,
+    "relational", "correlated-min",
+)
+def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (adapted: unit cost from lineitem, no partsupp table):
+    cheapest supplier per part. The correlated "= (SELECT min ...)"
+    decorrelates into agg + join-back; supplier ties break on min
+    suppkey so the result is deterministic. ``min`` over IEEE doubles
+    is order-independent, and both engines evaluate the same division
+    — no decimal dance needed for min/max."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = unit.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    winners = unit.join(
+        best,
+        (unit["l_partkey"] == best["b_partkey"])
+        & (unit["unit_cost"] == best["min_cost"]),
+    ).select("l_partkey", "l_suppkey", "min_cost")
+    picked = winners.groupBy("l_partkey", "min_cost").agg(
+        F.min("l_suppkey").alias("s_suppkey")
+    )
+    return picked.join(
+        F.broadcast(part), picked["l_partkey"] == part["p_partkey"]
+    ).select(
+        "p_partkey",
+        "p_name",
+        "s_suppkey",
+        F.col("min_cost").alias("unit_cost"),
+    )
+
+
+@register(
+    "revenue_cube",
+    f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+           count(*) AS cnt, CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY CUBE (n.n_name, year(o.o_orderdate))
+    """,
+    "relational", "cube",
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (nation, order year): all four grouping sets — the
+    full matrix, both margins, and the grand total — in ONE shuffle
+    (Catalyst expands the grouping sets map-side, partial aggs still
+    combine). Complements order_dashboard_rollup's ROLLUP (X18)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", _rev_col().alias("rev"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+            "rev",
+        )
+    )
+    return joined.cube("nation", "order_year").agg(
+        F.count("*").alias("cnt"), F.sum("rev").cast("double").alias("revenue")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(sum({_REV}) AS DOUBLE) AS total_revenue,
+           CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum({_REV}) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+    "relational", "conditional-agg",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional aggregation — promo revenue share. Both
+    sums stay DECIMAL through the aggregate; the share is one double
+    division of two identically-rounded doubles, so the ratio is
+    bit-equal across engines (a decimal division would expose
+    engine-specific scale/rounding rules)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_col()
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.col("promo_revenue") / F.col("total_revenue")).alias("promo_share"),
+    )
+
+
+@register(
+    "returned_revenue_top_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(sum({_REV}) AS DOUBLE) AS returned_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY returned_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "relational", "topk",
+)
+def q_returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: who returned the most revenue. The returnflag filter
+    pushes to the lineitem scan; dims broadcast; the ordered LIMIT
+    plans as TakeOrderedAndProject (per-partition top-20 + driver
+    merge — no global sort). Tie-break on c_custkey keeps the top-20
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev_col()).cast("double").alias("returned_revenue"))
+        .orderBy(F.desc("returned_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "nation_trade_flow",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           year(o.o_orderdate) AS order_year,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(o.o_orderdate)
+    """,
+    "relational", "multi-join",
+)
+def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: cross-nation trade volume. Six-table join where the
+    fact table is joined once against orders (the only other large
+    side) and every dimension broadcasts — one fact shuffle, one
+    final-agg shuffle. The <> predicate prunes same-nation flow
+    before aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_col().alias("rev")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(sn), sup["s_nationkey"] == sn["sn_key"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == cn["cn_key"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+    )

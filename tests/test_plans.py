@@ -157,3 +157,37 @@ def test_latest_event_single_hash_agg(spark, sf_dir):
     plan = _plan(df, "simple")
     assert "Window" not in plan
     assert "Aggregate" in plan or "HashAggregate" in plan
+
+
+def test_q4_exists_plans_semi_join(spark, sf_dir):
+    """EXISTS must become a LEFT SEMI join — no row multiplication,
+    no distinct pass."""
+    plan = _plan(QUERIES["order_priority_pipeline"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q10_topk_pushes_filter_and_takeordered(spark, sf_dir):
+    """The returnflag filter must reach the lineitem scan and the
+    ordered LIMIT must plan TakeOrderedAndProject (per-partition
+    top-k + driver merge, no global sort)."""
+    plan = _plan(QUERIES["returned_revenue_top_customers"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q15_max_join_avoids_global_window(spark, sf_dir):
+    """'revenue equal to the max' must be agg + broadcast join-back,
+    never a max() over () window that funnels all rows through one
+    partition."""
+    plan = _plan(QUERIES["top_supplier_revenue"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cube_expands_grouping_sets_once(spark, sf_dir):
+    """CUBE must plan a single Expand + one aggregation pipeline, with
+    every dimension joined broadcast."""
+    plan = _plan(QUERIES["revenue_cube"].fn(spark, sf_dir))
+    assert "Expand" in plan
+    assert "SortMergeJoin" not in plan

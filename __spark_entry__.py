@@ -47,19 +47,19 @@ _PRIORITY = [
     "promo_revenue_share",
     "returned_revenue_top_customers",
     "nation_trade_flow",
-    "order_dashboard_rollup",
-    "generated_order_dashboard",
     "lineitem_pricing_summary",
-    "revenue_by_region_parttype",
     "session_windows",
     "rising_streak_alarm",
     "streaming_session_windows",
     "streaming_interval_join",
     "streaming_rising_alarm",
     "streaming_dedup_events",
+    "streaming_union_counts",
+    "cohort_retention",
+    "funnel_conversion",
+    "embedding_quantize_int8",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_simhash",
     "embedding_near_dup",

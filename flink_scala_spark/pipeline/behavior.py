@@ -1,0 +1,122 @@
+"""User-behavior analytics over the event stream: cohort retention and
+ordered-step funnels — the keyed-aggregation family (reference §2.3/
+§2.6 semantics: per-user state folded in event-time order) applied to
+the product-analytics shapes a migrating user expects.
+
+Scale notes: both ops shuffle exactly once on user_id, fold each
+user's history with order-independent aggregates (min / conditional
+min), and only then aggregate to the tiny (day × day) or (step) key
+space with map-side combine. No windows over unbounded frames, no
+per-user arrays — state per user is O(#steps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_scala_spark.functions.portable import epoch_seconds
+
+_DAY = 86400
+
+
+def _day(col) -> F.Column:
+    return (F.floor(epoch_seconds(col) / _DAY) * _DAY).cast("long")
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort matrix: users grouped by first-seen day; for each
+    (cohort_day, activity_day) the count of cohort members active that
+    day and the fraction of the cohort they represent.
+
+    Two shuffles: user_id (first-seen fold + per-user-day distinct in
+    one pass), then the (cohort_day, activity_day) rollup whose key
+    space is days² — tiny at any data scale. The cohort-size join is
+    a broadcast of day-keyed counts."""
+    ud = events.select(
+        "user_id", _day("ts").alias("activity_day")
+    ).groupBy("user_id", "activity_day").agg(F.count("*").alias("n_events"))
+    firsts = ud.groupBy("user_id").agg(F.min("activity_day").alias("cohort_day"))
+    cohort_sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    joined = ud.join(firsts, "user_id")
+    matrix = joined.groupBy("cohort_day", "activity_day").agg(
+        F.count("*").alias("active_users")
+    )
+    return (
+        matrix.join(F.broadcast(cohort_sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "activity_day",
+            ((F.col("activity_day") - F.col("cohort_day")) / _DAY)
+            .cast("int")
+            .alias("day_offset"),
+            "active_users",
+            "cohort_size",
+            (
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+def funnel_conversion(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered-step funnel: a user reaches step k if their earliest
+    qualifying step-k event is strictly after the earliest event that
+    reached step k-1. Emits one row per step with the surviving-user
+    count and conversion from the previous step.
+
+    One shuffle on user_id computes every step's earliest-reach time
+    as a chain of conditional ``min`` aggregates (order-independent,
+    map-side combinable); the per-step rollup is a tiny conditional
+    count. No per-user event arrays, no window sorts — per-user state
+    is one timestamp per step regardless of history length."""
+    ts_l = epoch_seconds("ts")
+    base = events.select("user_id", "event_type", ts_l.alias("ts_l"))
+    step_mins = base.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts_l"))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # reach{i}: earliest time the user completed steps 0..i in order.
+    # A later step only counts if strictly after the previous reach —
+    # expressed per row, so this is still one aggregation pass.
+    reach = step_mins
+    prev = F.col("t0")
+    reach = reach.withColumn("r0", prev)
+    for i in range(1, len(steps)):
+        cur = F.when(
+            F.col(f"r{i-1}").isNotNull() & (F.col(f"t{i}") > F.col(f"r{i-1}")),
+            F.col(f"t{i}"),
+        )
+        reach = reach.withColumn(f"r{i}", cur)
+    counts = reach.agg(
+        *[
+            F.count(F.col(f"r{i}")).alias(f"c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"c{i}").alias("users"),
+                        (
+                            F.col(f"c{i}").cast("double")
+                            / F.col("c0").cast("double")
+                        ).alias("pct_of_entry"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step_idx", "r.step", "r.users", "r.pct_of_entry")

@@ -691,3 +691,31 @@ def label_centroids(
             F.col("s").cast("double") / (F.lit(CENTROID_SCALE) * F.col("n").cast("double"))
         ).alias("centroid"),
     )
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/transfer
+    step an ANN index at 100 TB runs before anything else (4x smaller
+    vectors, SIMD-friendly integer dot products downstream).
+
+    ``scale = 127 / max|v|``; ``q_i = floor(v_i * scale + 0.5)``
+    (floor(x+0.5) rather than round() because half-way rounding of
+    round() differs between engines — floor is bit-identical).
+    Emits the quantized array, the scale to dequantize, and the max
+    absolute reconstruction error. Row-local array expressions only —
+    scales with the scan, no shuffle, no UDF."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(max_abs == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / max_abs)
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    dq_err = F.when(max_abs == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(v, q, lambda x, qi: F.abs(x - qi.cast("double") / scale))
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("qvec"),
+        dq_err.alias("max_abs_err"),
+    )

@@ -910,3 +910,101 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget greedy sequence packing (budget=200 whitespace
     tokens, 32 independent hash buckets bounding the per-key sort)."""
     return text.sequence_packing(_docs(spark, sf_dir))
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH ud AS (SELECT user_id,
+                       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS activity_day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+    f AS (SELECT user_id, min(activity_day) AS cohort_day FROM ud GROUP BY 1),
+    cs AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+    m AS (SELECT f.cohort_day, ud.activity_day, count(*) AS active_users
+          FROM ud JOIN f USING (user_id) GROUP BY 1, 2)
+    SELECT m.cohort_day, m.activity_day,
+           CAST((m.activity_day - m.cohort_day) / 86400 AS INT) AS day_offset,
+           m.active_users, cs.cohort_size,
+           CAST(m.active_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE) AS retention
+    FROM m JOIN cs USING (cohort_day)
+    """,
+    "behavior", "cohort",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day,
+    activity tracked per day — one user_id shuffle, then a days^2
+    rollup."""
+    from flink_scala_spark.pipeline import behavior
+
+    return behavior.cohort_retention(_events(spark, sf_dir))
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH b AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_l FROM events),
+    m AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts_l END) AS t0,
+                 min(CASE WHEN event_type = 'click' THEN ts_l END) AS t1,
+                 min(CASE WHEN event_type = 'purchase' THEN ts_l END) AS t2
+          FROM b GROUP BY user_id),
+    r1x AS (SELECT *, t0 AS r0,
+                   CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END AS r1
+            FROM m),
+    rx AS (SELECT *, CASE WHEN r1 IS NOT NULL AND t2 > r1 THEN t2 END AS r2
+           FROM r1x),
+    c AS (SELECT count(r0) AS c0, count(r1) AS c1, count(r2) AS c2 FROM rx)
+    SELECT 0 AS step_idx, 'view' AS step, c0 AS users,
+           CAST(c0 AS DOUBLE) / CAST(c0 AS DOUBLE) AS pct_of_entry FROM c
+    UNION ALL
+    SELECT 1, 'click', c1, CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM c
+    UNION ALL
+    SELECT 2, 'purchase', c2, CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) FROM c
+    """,
+    "behavior", "funnel",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-event-chain funnel view -> click -> purchase: per-user
+    state is one timestamp per step (chained conditional mins), one
+    shuffle on user_id, tiny per-step rollup."""
+    from flink_scala_spark.pipeline import behavior
+
+    return behavior.funnel_conversion(
+        _events(spark, sf_dir), steps=("view", "click", "purchase")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+               FROM embeddings),
+    s AS (SELECT vec_id, vv,
+                 list_aggregate(list_transform(vv, x -> abs(x)), 'max') AS max_abs
+          FROM v),
+    sc AS (SELECT vec_id, vv,
+                  CASE WHEN max_abs = 0.0 THEN 0.0 ELSE 127.0 / max_abs END AS scale,
+                  max_abs
+           FROM s),
+    q AS (SELECT vec_id, vv, scale, max_abs,
+                 list_transform(vv, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qvec
+          FROM sc)
+    SELECT vec_id, scale, qvec,
+           CASE WHEN max_abs = 0.0 THEN 0.0 ELSE
+               list_aggregate(
+                   list_transform(range(1, len(vv) + 1),
+                                  i -> abs(vv[i] - CAST(qvec[i] AS DOUBLE) / scale)),
+                   'max')
+           END AS max_abs_err
+    FROM q
+    """,
+    "similarity", "quantization",
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error
+    audit — the vector-storage op of an ANN pipeline; row-local, no
+    shuffle."""
+    return similarity.quantize_int8(_emb(spark, sf_dir))

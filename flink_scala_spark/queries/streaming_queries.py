@@ -299,3 +299,28 @@ def q_streaming_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("r.ts").alias("last_ts"),
         F.col("r.event_id").alias("last_event_id"),
     )
+
+
+@register(
+    "streaming_union_counts",
+    """
+    SELECT event_type, count(*) AS cnt FROM (
+        SELECT event_type FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT event_type FROM events WHERE value > 9.0
+    ) t GROUP BY event_type
+    """,
+    "M2", "streaming",
+)
+def q_streaming_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 union (ConnectAndUnion.scala:43) live: two independently
+    filtered streams over the same replayed source merge with
+    unionByName before a keyed agg — Spark unions streaming plans
+    exactly like batch plans (same-schema requirement, N-ary)."""
+    errors = sources.file_replay(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    )
+    hot = sources.file_replay(spark, sf_dir, "events").where(F.col("value") > 9.0)
+    both = errors.select("event_type").unionByName(hot.select("event_type"))
+    agg = both.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    return run_bounded(agg, "complete")

@@ -207,3 +207,44 @@ def test_sequence_packing_greedy_rule(spark):
         by_bucket[r["bucket"]] = run
         assert r["cum_tokens"] == run
         assert r["seq_id"] == (run - r["n_tokens"]) // 100
+
+
+def test_funnel_earliest_chain_semantics(spark):
+    # u1 completes in order; u2's only click precedes their first view
+    # (earliest-chain: not converted); u3 views only.
+    rows = [
+        (1, "view", 100.0), (1, "click", 200.0), (1, "purchase", 300.0),
+        (2, "click", 50.0), (2, "view", 100.0), (2, "purchase", 400.0),
+        (3, "view", 10.0),
+    ]
+    import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (i, u, t, datetime.datetime.utcfromtimestamp(ts))
+            for i, (u, t, ts) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    from flink_scala_spark.pipeline import behavior
+
+    out = {r["step"]: r for r in behavior.funnel_conversion(ev).collect()}
+    assert out["view"]["users"] == 3
+    assert out["click"]["users"] == 1  # only u1's click follows their view
+    assert out["purchase"]["users"] == 1
+    assert out["click"]["pct_of_entry"] == 1 / 3
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    from flink_scala_spark.pipeline import similarity
+
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(emb).collect()}
+    assert out[1]["qvec"] == [127, -63, 32]  # floor(x*127+0.5)
+    assert out[1]["scale"] == 127.0
+    assert out[1]["max_abs_err"] <= 0.5 / 127.0 + 1e-12
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
+    assert out[2]["max_abs_err"] == 0.0

@@ -176,3 +176,29 @@ def classify_late(
         .when(ts_l >= wm - F.lit(lateness_seconds), F.lit("late"))
         .otherwise(F.lit("dropped")),
     )
+
+
+def count_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    size: int,
+    key: str,
+    aggs: list[Column],
+) -> DataFrame:
+    """Keyed COUNT window (the third window family of the reference's
+    taxonomy, WindowTest.scala:62 / StateTest.scala:48 — tumbling /
+    sliding / count): every ``size`` records per key close a window.
+
+    Batch twin: deterministic per-key sequence number ((ts, order_col)
+    order) integer-divided by ``size`` — one shuffle on the key, one
+    in-partition sort, then a map-side-combinable agg on
+    (key, window_seq). The streaming equivalent is a counting
+    ValueState that emits and resets at ``size`` (same state shape as
+    stateful.delta_alarm)."""
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    seq = ((F.row_number().over(w) - 1) / size).cast("long").alias("window_seq")
+    base = df.withColumn("window_seq", seq)
+    return base.groupBy(key, "window_seq").agg(
+        F.count("*").alias("cnt"), *aggs
+    )

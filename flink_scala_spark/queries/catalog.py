@@ -1123,3 +1123,38 @@ def register_catalog_views(
         spec.fn(spark, sf_dir).createOrReplaceTempView(prefix + name)
         names.append(prefix + name)
     return names
+
+
+@register(
+    "count_window_sum",
+    """
+    SELECT user_id, window_seq, count(*) AS cnt,
+           round(sum(value), 2) AS total,
+           min(ts_l) AS first_ts, max(ts_l) AS last_ts
+    FROM (
+        SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+               CAST((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)
+                    // 10 AS BIGINT) AS window_seq
+        FROM events
+    ) t GROUP BY user_id, window_seq
+    """,
+    "W4", "count-window",
+)
+def q_count_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed count window (10 events per window per user): the
+    reference taxonomy's third window family, closed by arrival count
+    rather than event time."""
+    ev = _events(spark, sf_dir).withColumn("ts_l", epoch_seconds("ts"))
+    out = windows.count_window_agg(
+        ev,
+        "ts",
+        "event_id",
+        10,
+        "user_id",
+        [
+            F.round(F.sum("value"), 2).alias("total"),
+            F.min("ts_l").alias("first_ts"),
+            F.max("ts_l").alias("last_ts"),
+        ],
+    )
+    return out

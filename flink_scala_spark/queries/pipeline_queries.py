@@ -1008,3 +1008,31 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit — the vector-storage op of an ANN pipeline; row-local, no
     shuffle."""
     return similarity.quantize_int8(_emb(spark, sf_dir))
+
+
+@register(
+    "approx_ndv_hll",
+    None,  # engine-specific sketch layout: rows-only check (the exact-
+    # oracle sketch path is approx_ndv_kmv, same niche, portable hash)
+    "sketch", "hll",
+)
+def q_approx_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via Spark's built-in Datasketches
+    HLL (`hll_sketch_agg`): fixed-size mergeable sketch per group —
+    the production NDV path at 100 TB (KMV twin `approx_ndv_kmv` keeps
+    the exact-oracle gate; HLL's binary sketch is engine-specific so
+    this entry is rows-only checked, exactness covered by the KMV
+    twin)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            F.col("approx_users").cast("long").alias("approx_users"),
+            "exact_users",
+        )
+    )

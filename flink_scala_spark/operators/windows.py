@@ -202,3 +202,31 @@ def count_window_agg(
     return base.groupBy(key, "window_seq").agg(
         F.count("*").alias("cnt"), *aggs
     )
+
+
+def sliding_count_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    size: int,
+    slide: int,
+    key: str,
+    aggs_over,
+) -> DataFrame:
+    """Keyed sliding COUNT window (Flink ``countWindow(size, slide)``):
+    every ``slide``-th record per key emits an aggregate over the last
+    ``size`` records.
+
+    Batch twin: one per-key ordered frame ``rowsBetween(-size+1, 0)``
+    evaluated at every row, emitted only where ``seq % slide == 0`` —
+    the same single shuffle + in-partition sort as the tumbling count
+    window; the frame never materializes more than ``size`` rows per
+    evaluation."""
+    w = Window.partitionBy(key).orderBy(ts_col, order_col)
+    frame = w.rowsBetween(-(size - 1), Window.currentRow)
+    seq = F.row_number().over(w)
+    base = df.withColumn("_seq", seq)
+    cols = [key, F.col("_seq").cast("long").alias("fire_seq")] + [
+        expr(frame) for expr in aggs_over
+    ]
+    return base.select(*cols).where((F.col("fire_seq") % slide) == 0)

@@ -719,3 +719,91 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedd
         q.alias("qvec"),
         dq_err.alias("max_abs_err"),
     )
+
+
+def kmeans_assign_fixed(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for a FIXED number of iterations with exact
+    cross-engine semantics — the iterative-algorithm shape (assign →
+    update → reassign) on DataFrames only, no driver-side collect of
+    vector data.
+
+    Determinism contract (what makes the DuckDB oracle exact):
+    - init: the k vectors with ``vec_id < k`` seed the centroids;
+    - distances are strict in-order left folds of (v_i - c_i)^2
+      (``aggregate`` from 0.0 == ``list_reduce`` from the first
+      element, since 0.0 + x is exact);
+    - assignment ties break on the lower centroid id via a
+      lexicographic (dist, cid) struct min — map-side combinable, no
+      window sort;
+    - centroid updates use the fixed-point BIGINT accumulation of
+      :func:`label_centroids` (floor(v*1e6) sums), associative and
+      bit-stable under any partitioning.
+
+    Scale: each iteration is one broadcast of k tiny centroid rows, a
+    codegen'd per-row argmin over k distances, and one (cid, dim)-keyed
+    fixed-point agg whose shuffle carries k x dims rows — the big table
+    is never shuffled."""
+    dim = DIM
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # Flattened copies keep the distance fold inside whole-stage codegen
+    # (interpreted higher-order lambdas were ~5x slower here); the array
+    # column survives only into the update agg's posexplode.
+    vflat = v.select(
+        "vec_id", "v", *[F.element_at("v", i + 1).alias(f"e{i}") for i in range(dim)]
+    )
+    cents = v.where(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+    assigned = None
+    for it in range(iters):
+        cflat = cents.select(
+            "cid", *[F.element_at("c", i + 1).alias(f"c{i}") for i in range(dim)]
+        )
+        dist = F.lit(0.0)
+        for i in range(dim):
+            diff = F.col(f"e{i}") - F.col(f"c{i}")
+            dist = dist + diff * diff
+        scored = vflat.crossJoin(F.broadcast(cflat)).select(
+            "vec_id", "cid", dist.alias("dist")
+        )
+        assigned = scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist", "cid")).alias("m")
+        ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+        if it < iters - 1:
+            e = assigned.join(v, "vec_id").select(
+                "cid", F.posexplode("v").alias("pos", "comp")
+            )
+            q = e.select(
+                "cid",
+                "pos",
+                F.floor(F.col("comp") * F.lit(CENTROID_SCALE)).cast("bigint").alias("qv"),
+            )
+            u = q.groupBy("cid", "pos").agg(
+                F.count("*").alias("n"), F.sum("qv").alias("s")
+            )
+            comp = u.select(
+                "cid",
+                "pos",
+                (
+                    F.col("s").cast("double")
+                    / (F.lit(CENTROID_SCALE) * F.col("n").cast("double"))
+                ).alias("cv"),
+            )
+            cents = comp.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster_id"), F.col("dist").alias("sq_dist")
+    )

@@ -1158,3 +1158,38 @@ def q_count_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+@register(
+    "count_window_sliding",
+    """
+    SELECT user_id, fire_seq, w_cnt, w_total FROM (
+        SELECT user_id,
+               CAST(row_number() OVER w AS BIGINT) AS fire_seq,
+               CAST(count(*) OVER f AS BIGINT) AS w_cnt,
+               round(sum(value) OVER f, 2) AS w_total
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               f AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    ) t WHERE fire_seq % 5 = 0
+    """,
+    "W4", "count-window", "sliding",
+)
+def q_count_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding count window (size 10, slide 5): every 5th arrival per
+    user emits the last-10-records aggregate — Flink's
+    countWindow(10, 5) shape."""
+    ev = _events(spark, sf_dir)
+    return windows.sliding_count_window_agg(
+        ev,
+        "ts",
+        "event_id",
+        10,
+        5,
+        "user_id",
+        [
+            lambda f: F.count("*").over(f).cast("long").alias("w_cnt"),
+            lambda f: F.round(F.sum("value").over(f), 2).alias("w_total"),
+        ],
+    )

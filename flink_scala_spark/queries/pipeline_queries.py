@@ -1036,3 +1036,67 @@ def q_approx_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_users",
         )
     )
+
+
+def _km_sqdist(v: str, c: str) -> str:
+    """In-order left fold of (v_i - c_i)^2 — duck_dot's exact-fold
+    contract applied to squared distance."""
+    return (
+        f"list_reduce(list_transform(range(1, len({v}) + 1), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+    )
+
+
+_KM_K = 8
+
+_KM_ASSIGN = """
+d{it} AS (SELECT v.vec_id, v.v, c.cid,
+              {dist} AS dist
+       FROM v CROSS JOIN c{prev} c),
+a{it} AS (SELECT vec_id, v, cid, dist FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn FROM d{it}) t
+       WHERE rn = 1)
+"""
+
+_KM_UPDATE = """
+e{it} AS (SELECT cid, CAST(i - 1 AS INT) AS pos,
+                 CAST(floor(v[i] * 1000000.0) AS BIGINT) AS qv
+          FROM (SELECT cid, v, unnest(range(1, len(v) + 1)) AS i FROM a{it}) t),
+u{it} AS (SELECT cid, pos,
+                 CAST(sum(qv) AS DOUBLE) / (1000000.0 * count(*)) AS cv
+          FROM e{it} GROUP BY 1, 2),
+c{it} AS (SELECT cid, list(cv ORDER BY pos) AS c FROM u{it} GROUP BY cid)
+"""
+
+_KM_SQL = (
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v WHERE vec_id < """
+    + str(_KM_K)
+    + "),"
+    + _KM_ASSIGN.format(it=1, prev=0, dist=_km_sqdist("v.v", "c.c"))
+    + ","
+    + _KM_UPDATE.format(it=1)
+    + ","
+    + _KM_ASSIGN.format(it=2, prev=1, dist=_km_sqdist("v.v", "c.c"))
+    + """
+    SELECT vec_id, cid AS cluster_id, dist AS sq_dist FROM a2
+    """
+)
+
+
+@register(
+    "kmeans_assignments",
+    _KM_SQL,
+    "embedding", "clustering", "iterative",
+)
+def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed Lloyd iterations of k-means (k=8) with an EXACT
+    DuckDB oracle: deterministic seeding, in-order distance folds,
+    (dist, cid) lexicographic tie-breaks, and fixed-point centroid
+    updates make an iterative ML algorithm hash-comparable across
+    engines (see similarity.kmeans_assign_fixed)."""
+    return similarity.kmeans_assign_fixed(_emb(spark, sf_dir), k=_KM_K, iters=2)

@@ -321,7 +321,7 @@ def near_dup_clusters(
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
             .select(F.col("doc_a").alias("doc_id"), F.col("label").alias("nbr_label"))
@@ -344,9 +344,11 @@ def near_dup_clusters(
             )
             .localCheckpoint()
         )
-        changed = stepped.where(F.col("chg")).count()
         labels = stepped.select("doc_id", "label")
-        if changed == 0:
+        # Round 0 always changes on any graph with edges (every
+        # non-canonical node adopts a neighbor's smaller label) — skip
+        # its convergence-count job.
+        if it > 0 and stepped.where(F.col("chg")).count() == 0:
             break
     out = (
         docs.select("doc_id")

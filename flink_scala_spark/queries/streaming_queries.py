@@ -324,3 +324,27 @@ def q_streaming_union_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = errors.select("event_type").unionByName(hot.select("event_type"))
     agg = both.groupBy("event_type").agg(F.count("*").alias("cnt"))
     return run_bounded(agg, "complete")
+
+
+@register(
+    "streaming_count_window",
+    """
+    SELECT user_id, window_seq, CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 2) AS total
+    FROM (SELECT user_id, value,
+                 CAST((row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1) // 10 AS BIGINT)
+                     AS window_seq
+          FROM events) t
+    GROUP BY user_id, window_seq
+    HAVING count(*) = 10
+    """,
+    "W4", "count-window", "streaming", "ST1",
+)
+def q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live keyed count window: a counting ValueState emits + resets
+    every 10th record per user (only completed windows emit — Flink's
+    countWindow firing rule); the oracle is the batch count-window
+    twin restricted to full windows."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    return run_bounded(stateful.count_window(ev, size=10), "append")

@@ -170,3 +170,69 @@ def rising_alarm(events_stream: DataFrame, horizon_seconds: int = 600) -> DataFr
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+COUNT_WINDOW_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("window_seq", LongType()),
+        StructField("cnt", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+_COUNT_WINDOW_STATE_SCHEMA = StructType(
+    [
+        StructField("n_closed", LongType()),
+        StructField("cur_cnt", LongType()),
+        StructField("cur_sum", DoubleType()),
+    ]
+)
+
+
+def _count_window_fn(size: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n_closed, cur_cnt, cur_sum = state.get if state.exists else (0, 0, 0.0)
+        out = {"user_id": [], "window_seq": [], "cnt": [], "total": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for val in pdf["value"]:
+                cur_cnt += 1
+                cur_sum += val
+                if cur_cnt == size:
+                    out["user_id"].append(user_id)
+                    out["window_seq"].append(n_closed)
+                    out["cnt"].append(cur_cnt)
+                    out["total"].append(round(cur_sum, 2))
+                    n_closed += 1
+                    cur_cnt, cur_sum = 0, 0.0
+        state.update((n_closed, cur_cnt, cur_sum))
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def count_window(events_stream: DataFrame, size: int = 10) -> DataFrame:
+    """Keyed streaming COUNT window: a counting ValueState accumulates
+    (cnt, sum) per key and emits+resets every ``size``-th record — the
+    live form of ``windows.count_window_agg`` (only COMPLETED windows
+    emit; the in-flight partial stays in state, exactly Flink's
+    countWindow firing rule).
+
+    The per-batch fold runs in (ts, event_id) order so replays are
+    deterministic; the running sum accumulates in that same order,
+    making the emitted total reproducible (and oracle-comparable after
+    a 2-dp round)."""
+    withts = events_stream.select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return withts.groupBy("user_id").applyInPandasWithState(
+        _count_window_fn(size),
+        outputStructType=COUNT_WINDOW_SCHEMA,
+        stateStructType=_COUNT_WINDOW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

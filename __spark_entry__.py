@@ -47,11 +47,11 @@ _PRIORITY = [
     "promo_revenue_share",
     "returned_revenue_top_customers",
     "nation_trade_flow",
-    "lineitem_pricing_summary",
     "session_windows",
+    "count_window_sum",
+    "kmeans_assignments",
+    "streaming_count_window",
     "rising_streak_alarm",
-    "streaming_session_windows",
-    "streaming_interval_join",
     "streaming_rising_alarm",
     "streaming_dedup_events",
     "streaming_union_counts",

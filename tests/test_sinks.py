@@ -83,3 +83,42 @@ def test_multimodal_decode_stub():
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_jsonl_datasource_batch_write_commits_manifest(spark, tmp_path):
+    from flink_scala_spark.streaming import jsonl_sink
+
+    jsonl_sink.register(spark)
+    df = spark.range(100).selectExpr("id", "id * 2 AS doubled")
+    out = str(tmp_path / "out")
+    df.write.format("jsonl_sink").option("path", out).mode("append").save()
+    back = jsonl_sink.read_committed(spark, out)
+    assert back.count() == 100
+    assert sorted(r["doubled"] for r in back.collect()) == [2 * i for i in range(100)]
+
+
+def test_jsonl_datasource_stream_write_per_batch_manifests(spark, tmp_path, sf_dir):
+    import os
+
+    from flink_scala_spark.streaming import jsonl_sink, sources
+
+    jsonl_sink.register(spark)
+    out = str(tmp_path / "stream_out")
+    ev = sources.file_replay(spark, sf_dir, "events").select("event_id", "user_id")
+    q = (
+        ev.writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    manifests = [f for f in os.listdir(out) if f.startswith("_committed-")]
+    assert manifests, os.listdir(out)
+    back = jsonl_sink.read_committed(spark, out)
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert back.count() == expected

@@ -82,7 +82,7 @@ _PRIORITY = [
     "text_tfidf_top_terms",
     "multimodal_features",
     "multimodal_frame_sample",
-    "multimodal_resize",
+    "dedup_pagerank",
     "asof_join_purchase_click",
     "interval_join_error_clicks",
     "chunk_documents",

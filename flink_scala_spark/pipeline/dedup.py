@@ -467,3 +467,69 @@ def simhash_near_dup(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+PR_SCALE = 1_000_000_000  # fixed-point micro-units for PageRank mass
+
+
+def near_dup_pagerank(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over the near-dup pair graph in INTEGER fixed-point —
+    centrality-based canonical-document scoring (a hub of a duplicate
+    cluster is the best keeper), and the engine's graph-analytics
+    shape beyond connected components.
+
+    Exactness: all mass arithmetic is BIGINT micro-units with floor
+    divisions (``p // deg``, ``damping * s // 100``) — associative,
+    partition-invariant, and reproduced digit-for-digit by the DuckDB
+    oracle's unrolled iterations. Max mass fits comfortably: node mass
+    is bounded by SCALE * n_nodes << 2^63.
+
+    Scale: per iteration one join (contributions to in-neighbors) and
+    one map-side-combinable sum — the standard distributed PageRank
+    step; ``iters`` is fixed (the curation signal needs ranking, not
+    convergence). Nodes without edges keep the teleport mass only and
+    never enter the loop."""
+    pairs_all, prof = _minhash_pairs(
+        docs, text_col, 3, NUM_HASHES, NUM_BANDS, threshold
+    )
+    pairs = pairs_all.select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    prof.unpersist()
+    deg = edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count("*").alias("deg")
+    )
+    nodes = deg.select("doc_id", "deg").localCheckpoint()
+    teleport = (100 - damping_pct) * PR_SCALE // 100
+    p = nodes.select("doc_id", "deg", F.lit(PR_SCALE).cast("long").alias("pr"))
+    for _ in range(iters):
+        # `div` is EXACT BIGINT division (DuckDB's `//`); `/`-then-cast
+        # goes through a correctly-rounded double whose truncation can
+        # land one off the true floor near integer quotients.
+        contrib = p.select("doc_id", F.expr("pr div deg").alias("share"))
+        inbound = (
+            edges.join(contrib, edges["doc_b"] == contrib["doc_id"])
+            .select(F.col("doc_a").alias("doc_id"), "share")
+            .groupBy("doc_id")
+            .agg(F.sum("share").alias("s"))
+        )
+        p = (
+            nodes.join(inbound, "doc_id", "left")
+            .select(
+                "doc_id",
+                "deg",
+                F.expr(
+                    f"CAST({teleport} AS BIGINT)"
+                    f" + ({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return p.select("doc_id", "deg", "pr")

@@ -1100,3 +1100,49 @@ def q_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates make an iterative ML algorithm hash-comparable across
     engines (see similarity.kmeans_assign_fixed)."""
     return similarity.kmeans_assign_fixed(_emb(spark, sf_dir), k=_KM_K, iters=2)
+
+
+_PR_SCALE = dedup.PR_SCALE
+_PR_TELEPORT = 15 * _PR_SCALE // 100
+
+_PR_ITER = """
+ct{it} AS (SELECT doc_id, pr // deg AS share FROM p{prev}),
+ib{it} AS (SELECT e.src AS doc_id, CAST(sum(c.share) AS BIGINT) AS s
+           FROM pedges e JOIN ct{it} c ON c.doc_id = e.dst GROUP BY 1),
+p{it} AS (SELECT n.doc_id, n.deg,
+                 {teleport} + (85 * coalesce(ib{it}.s, CAST(0 AS BIGINT))) // 100 AS pr
+          FROM pnodes n LEFT JOIN ib{it} ON n.doc_id = ib{it}.doc_id)
+"""
+
+
+@register(
+    "dedup_pagerank",
+    f"""
+    WITH {_SH_CTE}, {_HX_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx GROUP BY doc_id),
+    bands AS (
+  {_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pv AS (WITH {_VERIFY_HASHED_SQL.format(thr=0.5)}),
+    pedges AS (SELECT doc_a AS src, doc_b AS dst FROM pv
+               UNION ALL SELECT doc_b, doc_a FROM pv),
+    pnodes AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+               FROM pedges GROUP BY 1),
+    p0 AS (SELECT doc_id, deg, CAST({_PR_SCALE} AS BIGINT) AS pr FROM pnodes),
+    {_PR_ITER.format(it=1, prev=0, teleport=_PR_TELEPORT)},
+    {_PR_ITER.format(it=2, prev=1, teleport=_PR_TELEPORT)},
+    {_PR_ITER.format(it=3, prev=2, teleport=_PR_TELEPORT)}
+    SELECT doc_id, deg, pr FROM p3
+    """,
+    "dedup", "graph", "pagerank",
+)
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (3 iterations, d=0.85) over the
+    MinHash near-dup graph — centrality-based canonical selection;
+    every mass update is BIGINT floor arithmetic so the unrolled
+    DuckDB iterations match digit-for-digit."""
+    return dedup.near_dup_pagerank(_docs(spark, sf_dir), threshold=0.5, iters=3)

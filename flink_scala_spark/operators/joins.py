@@ -103,3 +103,35 @@ def interval_join_count(
     return joined.groupBy(l2["left_id"].alias("left_id")).agg(
         F.count(r2["right_id"]).alias("match_cnt")
     )
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    salt_col_src: str | None = None,
+) -> DataFrame:
+    """Equi-join where the big side's key distribution is skewed:
+    salt the big side into ``salt_buckets`` sub-keys (deterministic
+    content hash of ``salt_col_src``, NOT rand() — reproducible under
+    retries/speculation) and replicate the small side once per bucket,
+    so a hot key's rows spread across ``salt_buckets`` tasks instead
+    of one straggler.
+
+    This is the manual form of what AQE skew-join does at runtime;
+    ship it as an operator because (a) AQE only splits SORT-MERGE
+    joins post-shuffle and (b) pre-salting also de-skews the
+    downstream aggregation on the same key. The join result is
+    row-identical to the unsalted join (oracle: the plain join)."""
+    from flink_scala_spark.functions import h60
+
+    src = salt_col_src or key
+    salted_big = big.withColumn(
+        "_salt", (h60(F.col(src).cast("string")) % salt_buckets).cast("int")
+    )
+    salts = big.sparkSession.range(salt_buckets).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    salted_small = small.crossJoin(F.broadcast(salts))
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")

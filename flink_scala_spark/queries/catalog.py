@@ -28,6 +28,7 @@ from flink_scala_spark.functions.portable import epoch_seconds
 from flink_scala_spark.operators import (
     aggregations as agg_ops,
     dashboard,
+    joins,
     multistream,
     transforms,
     windows,
@@ -1192,4 +1193,42 @@ def q_count_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda f: F.count("*").over(f).cast("long").alias("w_cnt"),
             lambda f: F.round(F.sum("value").over(f), 2).alias("w_total"),
         ],
+    )
+
+
+@register(
+    "skew_join_salted",
+    """
+    SELECT e.event_type, count(*) AS cnt,
+           round(sum(e.value * m.weight), 2) AS weighted
+    FROM events e
+    JOIN (SELECT 'click' AS event_type, 1.0 AS weight
+          UNION ALL SELECT 'view', 0.5
+          UNION ALL SELECT 'purchase', 10.0
+          UNION ALL SELECT 'signup', 5.0
+          UNION ALL SELECT 'error', 0.0) m
+      ON e.event_type = m.event_type
+    GROUP BY e.event_type
+    """,
+    "scale", "skew", "join",
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join de-skewed by salting: event_type has ~5 hot
+    values over millions of rows — the worst-case join-key skew. The
+    big side salts into 8 deterministic sub-keys; the 5-row weight dim
+    replicates per salt. Result identical to the plain join (the
+    oracle runs the plain join); the win is 8x finer task granularity
+    on the hot keys plus a de-skewed downstream aggregation."""
+    ev = _events(spark, sf_dir)
+    weights = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    joined = joins.salted_skew_join(
+        ev, weights, "event_type", salt_buckets=8, salt_col_src="event_id"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
     )

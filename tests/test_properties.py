@@ -256,3 +256,41 @@ def test_cms_estimate_dominates_exact(spark, texts_):
     for r in rows:
         assert r.exact_cnt == truth[r.word]
         assert r.cms_cnt >= r.exact_cnt
+
+
+def test_kmeans_partition_invariant(spark, sf_dir):
+    """Fixed-point centroid math + lexicographic tie-breaks must make
+    the iterative assignment bit-identical under any partitioning."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, similarity.kmeans_assign_fixed(emb.repartition(3)).collect()))
+    b = sorted(map(tuple, similarity.kmeans_assign_fixed(emb.repartition(11)).collect()))
+    assert a == b
+
+
+def test_pagerank_partition_invariant(spark, sf_dir):
+    """BIGINT floor-division mass updates are associative: PageRank
+    must not depend on partitioning."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    a = sorted(map(tuple, dedup.near_dup_pagerank(docs.repartition(2)).collect()))
+    b = sorted(map(tuple, dedup.near_dup_pagerank(docs.repartition(13)).collect()))
+    assert a == b
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be invisible in the result rows."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.operators import joins
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5)], "event_type string, weight double"
+    )
+    salted = joins.salted_skew_join(ev, dim, "event_type", 4, "event_id")
+    plain = ev.join(dim, "event_type")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))

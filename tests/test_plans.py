@@ -191,3 +191,26 @@ def test_cube_expands_grouping_sets_once(spark, sf_dir):
     plan = _plan(QUERIES["revenue_cube"].fn(spark, sf_dir))
     assert "Expand" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
+    """Sweep EVERY batch query's physical plan for the two patterns
+    that are invisible at test scale and fatal at 100 TB: a cartesian
+    product (accidental — the intended broadcast cross joins plan as
+    BroadcastNestedLoopJoin) and a single-partition exchange feeding a
+    window function (the whole dataset through one task)."""
+    import re
+
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        plan = _plan(spec.fn(spark, sf_dir))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if re.search(r"Exchange SinglePartition", plan) and "Window" in plan:
+            bad.append("SinglePartition+Window")
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

@@ -396,25 +396,39 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # count-weighting is implicit: summing each word INSTANCE's +-1 bit
     # contribution equals sum(cnt * bit) over distinct words, so the
     # intermediate (doc_id, word) count shuffle is unnecessary — one
-    # map-side-combinable groupBy(doc_id) does it all
+    # map-side-combinable groupBy(doc_id) does it all.
+    #
+    # Bit-sliced accumulation: two 31-bit ones-counters pack into each
+    # aggregate long (bit 2m in the low lane, bit 2m+1 at offset 31),
+    # halving the agg buffer and the generated update code vs one sum
+    # per bit. No lane carry while a doc has < 2^31 words (the high
+    # lane then peaks at 2^62). sign bit s_i > 0 <=> 2*ones_i > n.
     hw = words.withColumn("hw", h60("word"))
-    sums = hw.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("hw"), i).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"s{i}")
-            for i in range(SIMHASH_BITS)
-        ]
-    )
+    lane_mask = (1 << 31) - 1
+    packed_aggs = [
+        F.sum(
+            F.shiftright(F.col("hw"), 2 * m).bitwiseAND(F.lit(1))
+            + F.shiftleft(
+                F.shiftright(F.col("hw"), 2 * m + 1).bitwiseAND(F.lit(1)), 31
+            )
+        ).alias(f"p{m}")
+        for m in range(SIMHASH_BITS // 2)
+    ]
+    sums = hw.groupBy("doc_id").agg(F.count("*").alias("nw"), *packed_aggs)
+    bits = []
+    for m in range(SIMHASH_BITS // 2):
+        ones_even = F.col(f"p{m}").bitwiseAND(F.lit(lane_mask))
+        ones_odd = F.shiftright(F.col(f"p{m}"), 31)
+        bits.append(
+            F.when(ones_even * 2 > F.col("nw"), F.lit(1 << (2 * m))).otherwise(F.lit(0))
+        )
+        bits.append(
+            F.when(ones_odd * 2 > F.col("nw"), F.lit(1 << (2 * m + 1))).otherwise(
+                F.lit(0)
+            )
+        )
     sim = sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(SIMHASH_BITS)
-            ],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
+        "doc_id", sum(bits, F.lit(0)).cast("long").alias("simhash")
     )
     return sim
 

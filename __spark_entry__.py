@@ -81,7 +81,7 @@ _PRIORITY = [
     "curation_summary",
     "text_tfidf_top_terms",
     "multimodal_features",
-    "multimodal_frame_sample",
+    "corpus_mixture",
     "dedup_pagerank",
     "asof_join_purchase_click",
     "interval_join_error_clicks",

@@ -158,3 +158,58 @@ def cms_word_counts(
         .agg(F.min("cell_cnt").alias("cms_cnt"))
     )
     return exact.join(est, "word").select("word", "exact_cnt", "cms_cnt")
+
+
+def corpus_mixture(
+    docs,
+    weight_expr: str = "CAST(substr(source, 4) AS INT) + 1",
+    id_col: str = "doc_id",
+):
+    """Training-mixture construction: resample each source toward
+    target proportions ∝ per-source weights, capped by availability —
+    the step that turns a raw crawl into a weighted training mix.
+
+    Unlike fixed-rate stratified sampling, the keep rates are DERIVED
+    FROM THE DATA: target_n(source) = total * w / Σw, keep_ppm =
+    min(1e6, target_n * 1e6 / n_source), membership = content hash mod
+    1e6 < keep_ppm. Everything is BIGINT floor arithmetic and the
+    content hash, so the sample is reproducible under any
+    partitioning/retry and the oracle matches exactly.
+
+    Shape at scale: one tiny per-source agg, rates broadcast back, the
+    corpus filtered in one scan pass — no shuffle of the big table.
+    Emits the per-source audit row (have, target, rate, kept)."""
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark.functions import h60
+
+    w = F.expr(weight_expr).cast("long")
+    base = docs.select(F.col(id_col).alias("doc_id"), "source", w.alias("w"))
+    per_src = base.groupBy("source", "w").agg(F.count("*").alias("n_docs"))
+    totals = per_src.agg(
+        F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w")
+    )
+    rates = per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        F.expr("(total * w) div sum_w").alias("target_n"),
+        F.expr(
+            "least(CAST(1000000 AS BIGINT), ((total * w) div sum_w) * 1000000 div n_docs)"
+        ).alias("keep_ppm"),
+    )
+    kept = (
+        base.join(F.broadcast(rates.select("source", "keep_ppm")), "source")
+        .where((h60(F.col("doc_id").cast("string")) % 1_000_000) < F.col("keep_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "target_n",
+            "keep_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -1146,3 +1146,37 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     every mass update is BIGINT floor arithmetic so the unrolled
     DuckDB iterations match digit-for-digit."""
     return dedup.near_dup_pagerank(_docs(spark, sf_dir), threshold=0.5, iters=3)
+
+
+@register(
+    "corpus_mixture",
+    f"""
+    WITH base AS (SELECT doc_id, source,
+                         CAST(CAST(substr(source, 4) AS INT) + 1 AS BIGINT) AS w
+                  FROM documents),
+    per_src AS (SELECT source, w, count(*) AS n_docs FROM base GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   CAST(sum(w) AS BIGINT) AS sum_w FROM per_src),
+    rates AS (SELECT source, n_docs,
+                     (tot.total * w) // tot.sum_w AS target_n,
+                     least(CAST(1000000 AS BIGINT),
+                           ((tot.total * w) // tot.sum_w) * 1000000 // n_docs)
+                         AS keep_ppm
+              FROM per_src CROSS JOIN tot),
+    kept AS (SELECT b.source, count(*) AS n_kept
+             FROM base b JOIN rates r ON b.source = r.source
+             WHERE {duck_h60("CAST(doc_id AS VARCHAR)")} % 1000000 < r.keep_ppm
+             GROUP BY 1)
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.target_n, r.keep_ppm,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+    "sampling", "mixture",
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mixture resampling with data-derived keep
+    rates (see sampling.corpus_mixture): per-source audit of available
+    vs target vs kept."""
+    from flink_scala_spark.pipeline import sampling
+
+    return sampling.corpus_mixture(_docs(spark, sf_dir))

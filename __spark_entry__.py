@@ -71,7 +71,7 @@ _PRIORITY = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
-    "dataset_split",
+    "bpe_merges",
     "text_repetition",
     "pii_scrub",
     "decontamination",

@@ -447,3 +447,100 @@ def sequence_packing(
         cum.cast("bigint").alias("cum_tokens"),
         F.floor((cum - F.col("n_tokens")) / budget).cast("bigint").alias("seq_id"),
     )
+
+
+_BPE_S1 = "\x01"  # out|pend separator in the fold encoding
+_BPE_S2 = "\x02"  # symbol separator inside out
+
+
+def _bpe_merge_fold(syms, a, b):
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    into one symbol — the BPE apply step — as a pure fold expression
+    (state encoded as 'out\\x01pend' so the same fold runs under
+    DuckDB's list_reduce, which fixes the accumulator type to the
+    element type)."""
+    s1, s2 = F.lit(_BPE_S1), F.lit(_BPE_S2)
+
+    def out_of(acc):
+        return F.substring_index(acc, _BPE_S1, 1)
+
+    def pend_of(acc):
+        return F.substring_index(acc, _BPE_S1, -1)
+
+    def push(out, sym):
+        return F.when(out == "", sym).otherwise(F.concat(out, s2, sym))
+
+    def step(acc, x):
+        out, pend = out_of(acc), pend_of(acc)
+        return (
+            F.when(pend == "", F.concat(out, s1, x))
+            .when(
+                (pend == a) & (x == b),
+                F.concat(push(out, F.concat(a, b)), s1),
+            )
+            .otherwise(F.concat(push(out, pend), s1, x))
+        )
+
+    def finish(acc):
+        out, pend = out_of(acc), pend_of(acc)
+        full = F.when(pend == "", out).otherwise(push(out, pend))
+        return F.split(full, _BPE_S2)
+
+    return F.aggregate(syms, s1, step, finish)
+
+
+def bpe_merges(docs: DataFrame, text_col: str = "text", iters: int = 3) -> DataFrame:
+    """Learn the first ``iters`` BPE merges over the corpus vocabulary
+    — tokenizer training as a distributed fixed-iteration job.
+
+    Per iteration: adjacent-symbol pairs of every vocabulary word,
+    weighted by corpus frequency, aggregate to pair counts (one
+    map-side-combinable shuffle on the pair); the argmax pair (ties:
+    lexicographic smallest, via a min over (-freq, a, b) structs — no
+    global sort) broadcasts back and every word's symbol sequence is
+    rewritten by the greedy fold. The corpus itself is touched once
+    (word-frequency extraction); iterations run over the vocabulary
+    table, which is orders of magnitude smaller.
+
+    Exactness: pure integer counts, lexicographic tie-breaks, and a
+    deterministic merge fold — the DuckDB oracle unrolls the same
+    iterations and matches exactly."""
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    wf = words.select("freq", F.split("word", "").alias("syms"))
+    merge_rows = []
+    for it in range(1, iters + 1):
+        # sequence(1, 0) DESCENDS in Spark (same trap as fingerprint):
+        # a fully-merged single-symbol word must not reach the explode.
+        idx = wf.where(F.size("syms") >= 2).select(
+            "freq",
+            "syms",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+        )
+        pc = (
+            idx.select(
+                "freq",
+                F.element_at("syms", F.col("i")).alias("a"),
+                F.element_at("syms", F.col("i") + 1).alias("b"),
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("pf"))
+        )
+        best = pc.agg(F.min(F.struct((-F.col("pf")).alias("nf"), "a", "b")).alias("m")).select(
+            F.col("m.a").alias("pair_a"),
+            F.col("m.b").alias("pair_b"),
+            (-F.col("m.nf")).cast("long").alias("pair_freq"),
+        )
+        merge_rows.append(best.select(F.lit(it).alias("iteration"), "*"))
+        wf = wf.crossJoin(F.broadcast(best)).select(
+            "freq",
+            _bpe_merge_fold(F.col("syms"), F.col("pair_a"), F.col("pair_b")).alias("syms"),
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -1180,3 +1180,75 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_scala_spark.pipeline import sampling
 
     return sampling.corpus_mixture(_docs(spark, sf_dir))
+
+
+_BPE_FOLD = """list_reduce(
+  list_prepend(chr(1), syms),
+  (acc, x) -> CASE
+     WHEN split_part(acc, chr(1), 2) = '' THEN split_part(acc, chr(1), 1) || chr(1) || x
+     WHEN split_part(acc, chr(1), 2) = {a} AND x = {b} THEN
+        (CASE WHEN split_part(acc, chr(1), 1) = '' THEN {a} || {b}
+              ELSE split_part(acc, chr(1), 1) || chr(2) || {a} || {b} END) || chr(1)
+     ELSE
+        (CASE WHEN split_part(acc, chr(1), 1) = '' THEN split_part(acc, chr(1), 2)
+              ELSE split_part(acc, chr(1), 1) || chr(2) || split_part(acc, chr(1), 2) END)
+        || chr(1) || x
+  END)"""
+
+_BPE_UNENC = (
+    "string_split(CASE WHEN split_part(enc, chr(1), 2) = '' "
+    "THEN split_part(enc, chr(1), 1) "
+    "WHEN split_part(enc, chr(1), 1) = '' THEN split_part(enc, chr(1), 2) "
+    "ELSE split_part(enc, chr(1), 1) || chr(2) || split_part(enc, chr(1), 2) END, chr(2))"
+)
+
+_BPE_ITER = (
+    """
+    pc{it} AS (SELECT s.syms[i] AS a, s.syms[i + 1] AS b,
+                      CAST(sum(freq) AS BIGINT) AS pf
+               FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+                     FROM w{prev}) s
+               GROUP BY 1, 2),
+    b{it} AS (SELECT a, b, pf FROM (
+              SELECT a, b, pf, row_number() OVER (ORDER BY pf DESC, a, b) AS rn
+              FROM pc{it}) t WHERE rn = 1),
+    w{it} AS (SELECT freq, """
+    + _BPE_UNENC
+    + """ AS syms FROM (
+              SELECT freq, """
+    + _BPE_FOLD
+    + """ AS enc
+              FROM w{prev} CROSS JOIN b{it} bb) t2)
+"""
+)
+
+
+def _bpe_iter(it: int) -> str:
+    return _BPE_ITER.format(it=it, prev=it - 1, a="bb.a", b="bb.b")
+
+
+@register(
+    "bpe_merges",
+    f"""
+    WITH wordfreq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        WHERE word <> '' GROUP BY 1),
+    w0 AS (SELECT freq,
+                  list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, CAST(i AS INT), 1)) AS syms
+           FROM wordfreq),
+    {_bpe_iter(1)},
+    {_bpe_iter(2)},
+    {_bpe_iter(3)}
+    SELECT 1 AS iteration, a AS pair_a, b AS pair_b, pf AS pair_freq FROM b1
+    UNION ALL SELECT 2, a, b, pf FROM b2
+    UNION ALL SELECT 3, a, b, pf FROM b3
+    """,
+    "text", "tokenizer", "iterative",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First three BPE merges learned over the corpus vocabulary —
+    tokenizer training as a distributed fixed-iteration job with an
+    exact oracle (see text.bpe_merges)."""
+    return text.bpe_merges(_docs(spark, sf_dir), iters=3)

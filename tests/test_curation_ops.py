@@ -248,3 +248,37 @@ def test_quantize_int8_roundtrip_bounds(spark):
     assert out[1]["max_abs_err"] <= 0.5 / 127.0 + 1e-12
     assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0]
     assert out[2]["max_abs_err"] == 0.0
+
+
+def test_bpe_merges_match_reference_implementation(spark):
+    from collections import Counter
+
+    corpus = ["low low low lower lowest", "new newer newest"]
+    docs = _docs(spark, list(enumerate(corpus)))
+    got = {
+        r["iteration"]: (r["pair_a"], r["pair_b"], r["pair_freq"])
+        for r in text.bpe_merges(docs, iters=3).collect()
+    }
+    vocab = Counter(w for t in corpus for w in t.split())
+    words = {w: list(w) for w in vocab}
+    for it in range(1, 4):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        (a, b), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[it] == (a, b, freq), (it, got[it], (a, b, freq))
+        for w, syms in words.items():
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            words[w] = out

@@ -348,3 +348,63 @@ def q_streaming_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin restricted to full windows."""
     ev = sources.file_replay(spark, sf_dir, "events")
     return run_bounded(stateful.count_window(ev, size=10), "append")
+
+
+@register(
+    "streaming_funnel",
+    """
+    WITH b AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_l FROM events),
+    m AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'view' THEN ts_l END) AS t0,
+                 min(CASE WHEN event_type = 'click' THEN ts_l END) AS t1,
+                 min(CASE WHEN event_type = 'purchase' THEN ts_l END) AS t2
+          FROM b GROUP BY user_id),
+    r1x AS (SELECT *, t0 AS r0,
+                   CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN t1 END AS r1
+            FROM m),
+    rx AS (SELECT *, CASE WHEN r1 IS NOT NULL AND t2 > r1 THEN t2 END AS r2
+           FROM r1x),
+    c AS (SELECT count(r0) AS c0, count(r1) AS c1, count(r2) AS c2 FROM rx)
+    SELECT 0 AS step_idx, c0 AS users FROM c
+    UNION ALL SELECT 1, c1 FROM c
+    UNION ALL SELECT 2, c2 FROM c
+    """,
+    "behavior", "funnel", "streaming",
+)
+def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel live: the per-user earliest-step-time state runs as a
+    streaming keyed aggregation (conditional mins — the heavy,
+    unbounded-key state tier); the 3-row step rollup happens batch-side
+    on the sink table, since Structured Streaming forbids chained
+    aggregations in one query — the standard two-tier split."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    ts_l = epoch_seconds("ts")
+    per_user = (
+        ev.select("user_id", "event_type", ts_l.alias("ts_l"))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(F.when(F.col("event_type") == s, F.col("ts_l"))).alias(f"t{i}")
+                for i, s in enumerate(("view", "click", "purchase"))
+            ]
+        )
+    )
+    snap = run_bounded(per_user, "complete")
+    r1 = F.when(F.col("t0").isNotNull() & (F.col("t1") > F.col("t0")), F.col("t1"))
+    snap = snap.withColumn("r1", r1)
+    r2 = F.when(F.col("r1").isNotNull() & (F.col("t2") > F.col("r1")), F.col("t2"))
+    counts = snap.withColumn("r2", r2).agg(
+        F.count("t0").alias("c0"), F.count("r1").alias("c1"), F.count("r2").alias("c2")
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("step_idx"), F.col(f"c{i}").alias("users"))
+                    for i in range(3)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step_idx", "r.users")

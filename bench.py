@@ -97,6 +97,13 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
+        # Release localCheckpoint RDDs held by dropped DataFrames NOW:
+        # Python GC lag keeps them in executor memory across queries
+        # (clearCache only evicts the cache manager's entries).
+        del df
+        import gc
+
+        gc.collect()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {

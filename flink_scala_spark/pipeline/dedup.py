@@ -507,8 +507,9 @@ def near_dup_pagerank(
     Scale: per iteration one join (contributions to in-neighbors) and
     one map-side-combinable sum — the standard distributed PageRank
     step; ``iters`` is fixed (the curation signal needs ranking, not
-    convergence). Nodes without edges keep the teleport mass only and
-    never enter the loop."""
+    convergence). Docs with no near-dup edges are excluded from the
+    graph and the output entirely (a singleton needs no centrality to
+    be its own canonical; X16 clusters covers that mapping)."""
     pairs_all, prof = _minhash_pairs(
         docs, text_col, 3, NUM_HASHES, NUM_BANDS, threshold
     )

@@ -29,19 +29,27 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     (cohort_day, activity_day) the count of cohort members active that
     day and the fraction of the cohort they represent.
 
-    Two shuffles: user_id (first-seen fold + per-user-day distinct in
-    one pass), then the (cohort_day, activity_day) rollup whose key
-    space is days² — tiny at any data scale. The cohort-size join is
-    a broadcast of day-keyed counts."""
-    ud = events.select(
-        "user_id", _day("ts").alias("activity_day")
-    ).groupBy("user_id", "activity_day").agg(F.count("*").alias("n_events"))
-    firsts = ud.groupBy("user_id").agg(F.min("activity_day").alias("cohort_day"))
-    cohort_sizes = firsts.groupBy("cohort_day").agg(
+    Two shuffles total: ONE on user_id builds each user's distinct
+    active-day set (bounded by the calendar, not by event volume —
+    collect_set dedups inside the agg, so the heavy event stream
+    collapses map-side), from which the cohort day is a row-local
+    array_min; then ONE rollup on (cohort_day, activity_day), whose
+    key space is days² — tiny at any data scale. Cohort sizes are a
+    map-side-combinable agg of the per-user rows, broadcast back."""
+    per_user = (
+        events.select("user_id", _day("ts").alias("activity_day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("activity_day").alias("days"))
+        .select(
+            "user_id", "days", F.array_min("days").alias("cohort_day")
+        )
+    )
+    cohort_sizes = per_user.groupBy("cohort_day").agg(
         F.count("*").alias("cohort_size")
     )
-    joined = ud.join(firsts, "user_id")
-    matrix = joined.groupBy("cohort_day", "activity_day").agg(
+    matrix = per_user.select(
+        "cohort_day", F.explode("days").alias("activity_day")
+    ).groupBy("cohort_day", "activity_day").agg(
         F.count("*").alias("active_users")
     )
     return (

@@ -282,3 +282,50 @@ def test_bpe_merges_match_reference_implementation(spark):
             if pend is not None:
                 out.append(pend)
             words[w] = out
+
+
+def test_bpe_merge_fold_edge_cases(spark):
+    # One Spark job over many (syms, a, b) cases, compared to the
+    # greedy left-to-right non-overlapping reference merge.
+    from flink_scala_spark.pipeline.text import _bpe_merge_fold
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),          # overlap: -> [aa, a]
+        (["a", "a", "a", "a"], "a", "a"),     # -> [aa, aa]
+        (["l", "o", "w"], "l", "o"),          # at start
+        (["l", "o", "w"], "o", "w"),          # at end
+        (["x"], "a", "b"),                    # single symbol, no-op
+        (["a", "b", "a", "b"], "a", "b"),     # repeated pair
+        (["b", "a", "b"], "a", "b"),          # pair not at 0
+        (["a", "b"], "b", "a"),               # reversed pair absent
+        (["lo", "w", "lo", "w"], "lo", "w"),  # multi-char symbols
+        (["a", "a", "b"], "a", "b"),          # pending switches
+    ]
+
+    def ref(syms, a, b):
+        out, pend = [], None
+        for x in syms:
+            if pend is None:
+                pend = x
+            elif pend == a and x == b:
+                out.append(a + b)
+                pend = None
+            else:
+                out.append(pend)
+                pend = x
+        if pend is not None:
+            out.append(pend)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s, a, b) for i, (s, a, b) in enumerate(cases)],
+        "i int, syms array<string>, a string, b string",
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", _bpe_merge_fold(F.col("syms"), F.col("a"), F.col("b")).alias("m")
+        ).collect()
+    }
+    for i, (s, a, b) in enumerate(cases):
+        assert got[i] == ref(s, a, b), (i, s, a, b, got[i], ref(s, a, b))

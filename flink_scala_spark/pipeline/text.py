@@ -544,3 +544,39 @@ def bpe_merges(docs: DataFrame, text_col: str = "text", iters: int = 3) -> DataF
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def fuzzy_string_pairs(values: DataFrame, col: str = "word") -> DataFrame:
+    """Distinct-value pairs within edit distance 1, by
+    deletion-neighborhood blocking (the SymSpell scheme): each value
+    emits itself plus its ``len`` single-deletion variants as block
+    keys; two strings at distance <= 1 must share a key, so candidates
+    come from a key equi-join — never a quadratic scan — and
+    ``levenshtein`` verifies the survivors exactly.
+
+    Scale: key fan-out is O(len) per DISTINCT value; blocking keys
+    spread near-uniformly, so the join is skew-free; verification
+    touches candidates only. The classic fuzzy-join shape for entity
+    resolution / spell correction / OCR cleanup at corpus scale."""
+    vocab = values.select(F.col(col).alias("word")).where(
+        F.col("word").isNotNull() & (F.col("word") != "")
+    ).distinct()
+    dels = F.expr(
+        "transform(sequence(1, length(word)), "
+        "i -> concat(substring(word, 1, i - 1), substring(word, i + 1, length(word))))"
+    )
+    keys = vocab.select(
+        "word",
+        F.explode(F.array_union(F.array(F.col("word")), dels)).alias("k"),
+    )
+    a = keys.select(F.col("word").alias("word_a"), "k")
+    b = keys.select(F.col("word").alias("word_b"), "k")
+    cand = (
+        a.join(b, "k")
+        .where(F.col("word_a") < F.col("word_b"))
+        .select("word_a", "word_b")
+        .distinct()
+    )
+    return cand.where(F.levenshtein("word_a", "word_b") == 1).select(
+        "word_a", "word_b"
+    )

@@ -1252,3 +1252,32 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer training as a distributed fixed-iteration job with an
     exact oracle (see text.bpe_merges)."""
     return text.bpe_merges(_docs(spark, sf_dir), iters=3)
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH vocab AS (SELECT DISTINCT c_name AS word FROM customer
+                   WHERE c_name IS NOT NULL AND c_name <> ''),
+    keys AS (
+        SELECT word, unnest(list_append(
+            list_transform(range(1, length(word) + 1),
+                i -> substr(word, 1, CAST(i AS INT) - 1)
+                     || substr(word, CAST(i AS INT) + 1, length(word))),
+            word)) AS k
+        FROM vocab),
+    cand AS (SELECT DISTINCT a.word AS word_a, b.word AS word_b
+             FROM keys a JOIN keys b ON a.k = b.k AND a.word < b.word)
+    SELECT word_a, word_b
+    FROM cand WHERE levenshtein(word_a, word_b) = 1
+    """,
+    "text", "fuzzy-join", "entity-resolution",
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidates: customer names within edit
+    distance 1 via deletion-neighborhood blocking (SymSpell) + exact
+    levenshtein verify — never a quadratic scan over the entity
+    table."""
+    return text.fuzzy_string_pairs(
+        tables.load(spark, sf_dir, "customer"), "c_name"
+    )

@@ -122,3 +122,24 @@ def test_jsonl_datasource_stream_write_per_batch_manifests(spark, tmp_path, sf_d
     back = jsonl_sink.read_committed(spark, out)
     expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert back.count() == expected
+
+
+def test_jsonl_datasource_abort_leaves_no_manifest(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+    from flink_scala_spark.streaming import jsonl_sink
+
+    jsonl_sink.register(spark)
+    out = str(tmp_path / "aborted")
+    df = spark.range(10).select(
+        F.assert_true(F.col("id") < 5, F.lit("boom")).alias("chk"), "id"
+    )
+    try:
+        df.write.format("jsonl_sink").option("path", out).mode("append").save()
+        raise AssertionError("write should have failed")
+    except Exception:
+        pass
+    manifests = [f for f in os.listdir(out) if f.startswith("_committed-")] if os.path.isdir(out) else []
+    assert manifests == []
+    assert jsonl_sink.read_committed(spark, out) is None or not os.path.isdir(out)

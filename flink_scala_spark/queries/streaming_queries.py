@@ -408,3 +408,56 @@ def q_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return rows.select("r.step_idx", "r.users")
+
+
+@register(
+    "streaming_cohort_retention",
+    """
+    WITH ud AS (SELECT user_id,
+                       CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS activity_day,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+    f AS (SELECT user_id, min(activity_day) AS cohort_day FROM ud GROUP BY 1),
+    cs AS (SELECT cohort_day, count(*) AS cohort_size FROM f GROUP BY 1),
+    m AS (SELECT f.cohort_day, ud.activity_day, count(*) AS active_users
+          FROM ud JOIN f USING (user_id) GROUP BY 1, 2)
+    SELECT m.cohort_day, m.activity_day,
+           CAST((m.activity_day - m.cohort_day) / 86400 AS INT) AS day_offset,
+           m.active_users, cs.cohort_size,
+           CAST(m.active_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE) AS retention
+    FROM m JOIN cs USING (cohort_day)
+    """,
+    "behavior", "cohort", "streaming",
+)
+def q_streaming_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention live: the unbounded-key tier (per-user distinct
+    active-day sets via a streaming collect_set agg) runs under
+    Structured Streaming; the days^2 rollup happens batch-side on the
+    sink table — the same two-tier split as streaming_funnel."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    day = (F.floor(epoch_seconds("ts") / 86400) * 86400).cast("long")
+    per_user = (
+        ev.select("user_id", day.alias("activity_day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("activity_day").alias("days"))
+    )
+    snap = run_bounded(per_user, "complete").select(
+        "user_id", "days", F.array_min("days").alias("cohort_day")
+    )
+    cohort_sizes = snap.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    matrix = snap.select(
+        "cohort_day", F.explode("days").alias("activity_day")
+    ).groupBy("cohort_day", "activity_day").agg(F.count("*").alias("active_users"))
+    return matrix.join(F.broadcast(cohort_sizes), "cohort_day").select(
+        "cohort_day",
+        "activity_day",
+        ((F.col("activity_day") - F.col("cohort_day")) / 86400)
+        .cast("int")
+        .alias("day_offset"),
+        "active_users",
+        "cohort_size",
+        (
+            F.col("active_users").cast("double")
+            / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )

@@ -294,3 +294,38 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     salted = joins.salted_skew_join(ev, dim, "event_type", 4, "event_id")
     plain = ev.join(dim, "event_type")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_fuzzy_pairs_complete_vs_brute_force(spark):
+    """Deletion-neighborhood blocking is COMPLETE for edit distance 1
+    (substitution at i: deleting i from both sides collides; ins/del:
+    the shorter string is itself a deletion variant of the longer) —
+    the result must equal the brute-force quadratic scan."""
+    import itertools
+
+    from flink_scala_spark.pipeline import text
+
+    vocab = [
+        "cat", "bat", "cart", "car", "ca", "cat", "dog", "dot", "do",
+        "spark", "spar", "sparc", "spork", "a", "b", "ab",
+    ]
+    df = spark.createDataFrame([(w,) for w in vocab], "word string")
+    got = {
+        (r["word_a"], r["word_b"])
+        for r in text.fuzzy_string_pairs(df, "word").collect()
+    }
+
+    def lev1(x, y):
+        if abs(len(x) - len(y)) > 1:
+            return False
+        if len(x) == len(y):
+            return sum(a != b for a, b in zip(x, y)) == 1
+        s, l = (x, y) if len(x) < len(y) else (y, x)
+        return any(l[:i] + l[i + 1:] == s for i in range(len(l)))
+
+    expect = {
+        tuple(sorted((a, b)))
+        for a, b in itertools.combinations(set(vocab), 2)
+        if lev1(a, b)
+    }
+    assert got == expect, (got ^ expect)

@@ -53,3 +53,27 @@ def test_partitioned_write_roundtrip_schema(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert set(back.columns) == set(ev.columns)
     assert back.count() == ev.count()
+
+
+def test_compaction_shrinks_files_and_preserves_rows(spark, tmp_path, sf_dir):
+    import os
+
+    from flink_scala_spark.operators import maintenance
+
+    src = str(tmp_path / "fragmented")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(64).write.parquet(src)  # 64 tiny files
+    n_small = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_small >= 32
+
+    dst = str(tmp_path / "compacted")
+    out = maintenance.compact_parquet(spark, src, dst, target_mb=128,
+                                      sort_cols=["user_id", "ts"])
+    n_big = sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
+    assert n_big < n_small
+    assert n_big == maintenance.plan_compaction(src, 128)
+    assert out.count() == events.count()
+    # content identical, order-insensitive
+    assert sorted(map(tuple, out.select("event_id").collect())) == sorted(
+        map(tuple, events.select("event_id").collect())
+    )

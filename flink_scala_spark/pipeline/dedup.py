@@ -548,3 +548,57 @@ def near_dup_pagerank(
             .localCheckpoint()
         )
     return p.select("doc_id", "deg", "pr")
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus_profiles: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    bands: int = NUM_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup check of a NEW document batch against an EXISTING
+    corpus — the incremental production path: the corpus side is the
+    stored profile table :func:`doc_profiles` produced when the corpus
+    was ingested (signature + hashed shingle set), so corpus text is
+    never re-read, re-shingled, or re-hashed.
+
+    Candidates come from a band-key equi-join between the new batch's
+    band table and the corpus's; only cross-side pairs survive, so the
+    join cost scales with |new| x collision rate, not |corpus|^2 —
+    ingesting a 0.1% daily delta against a 100 TB corpus touches the
+    profiles, not the data. Verification intersects the two hashed
+    shingle sets row-locally as usual."""
+    new_prof = doc_profiles(new_docs, text_col, n=n, num_hashes=num_hashes).persist()
+    sig_cols = [f"mh{s}" for s in range(num_hashes)]
+    nb = lsh_band_table(new_prof.select("doc_id", *sig_cols), bands, num_hashes // bands)
+    cb = lsh_band_table(
+        corpus_profiles.select("doc_id", *sig_cols), bands, num_hashes // bands
+    )
+    cand = (
+        nb.select(F.col("doc_id").alias("new_id"), "band", "key")
+        .join(cb.select(F.col("doc_id").alias("corpus_id"), "band", "key"), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = new_prof.select(
+        F.col("doc_id").alias("new_id"), F.col("shset").alias("set_a"),
+        F.col("n").cast("long").alias("na"),
+    )
+    b = corpus_profiles.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shset").alias("set_b"),
+        F.col("n").cast("long").alias("nb"),
+    )
+    paired = F.broadcast(cand).join(a, "new_id").join(b, "corpus_id")
+    scored = paired.withColumn(
+        "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    ).withColumn(
+        "jaccard",
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "new_id", "corpus_id", "common", "jaccard"
+    )

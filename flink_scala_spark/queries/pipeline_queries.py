@@ -1281,3 +1281,49 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fuzzy_string_pairs(
         tables.load(spark, sf_dir, "customer"), "c_name"
     )
+
+
+_BANDS_N = _BAND_SELECTS.replace("FROM sig", "FROM sign")
+_BANDS_C = _BAND_SELECTS.replace("FROM sig", "FROM sigc")
+
+
+@register(
+    "incremental_dedup",
+    f"""
+    WITH {_SH_CTE}, {_HX_CTE},
+    sign AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx WHERE doc_id % 2 = 1 GROUP BY doc_id),
+    sigc AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx WHERE doc_id % 2 = 0 GROUP BY doc_id),
+    bn AS (
+  {_BANDS_N}),
+    bc AS (
+  {_BANDS_C}),
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+             FROM bn n JOIN bc c ON n.band = c.band AND n.key = c.key),
+    hs AS (SELECT DISTINCT doc_id, h1 FROM hx),
+    cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+    com AS (SELECT c.new_id, c.corpus_id, count(*) AS common
+            FROM cand c
+            JOIN hs sa ON sa.doc_id = c.new_id
+            JOIN hs sb ON sb.doc_id = c.corpus_id AND sb.h1 = sa.h1
+            GROUP BY 1, 2)
+    SELECT new_id, corpus_id, common,
+           CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
+    FROM com JOIN cnt ca ON ca.doc_id = com.new_id
+             JOIN cnt cb ON cb.doc_id = com.corpus_id
+    WHERE CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) >= 0.5
+    """,
+    "dedup", "incremental",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: odd doc_ids (the 'new batch') checked
+    against precomputed profiles of even doc_ids (the 'corpus') —
+    corpus text is never re-shingled (see dedup.incremental_near_dup)."""
+    docs = _docs(spark, sf_dir)
+    corpus_prof = dedup.doc_profiles(docs.where(F.col("doc_id") % 2 == 0))
+    return dedup.incremental_near_dup(
+        docs.where(F.col("doc_id") % 2 == 1), corpus_prof, threshold=0.5
+    )

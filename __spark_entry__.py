@@ -70,14 +70,14 @@ _PRIORITY = [
     "text_token_stats",
     "text_lang_id",
     "text_quality",
-    "text_fingerprint",
+    "fuzzy_name_pairs",
     "bpe_merges",
     "text_repetition",
     "pii_scrub",
     "decontamination",
     "cms_heavy_hitters",
     "approx_ndv_kmv",
-    "stratified_sample_events",
+    "incremental_dedup",
     "curation_summary",
     "text_tfidf_top_terms",
     "multimodal_features",

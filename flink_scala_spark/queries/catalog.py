@@ -1232,3 +1232,110 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"),
     )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT event_type, CAST(floor(value / 2.0) * 2.0 AS DOUBLE) AS bin_lo,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+    "analytics", "histogram",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — one map-side
+    combinable agg; bin edges via floor so both engines bucket
+    identically (width 2.0 is exactly representable)."""
+    ev = _events(spark, sf_dir)
+    bin_lo = (F.floor(F.col("value") / 2.0) * 2.0).cast("double")
+    return ev.groupBy("event_type", bin_lo.alias("bin_lo")).agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "windowed_topk_types",
+    """
+    SELECT window_start, event_type, cnt, CAST(rank AS INT) AS rank FROM (
+        SELECT window_start, event_type, cnt,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY cnt DESC, event_type) AS rank
+        FROM (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                     event_type, count(*) AS cnt
+              FROM events GROUP BY 1, 2) t
+    ) t2 WHERE rank <= 3
+    """,
+    "analytics", "trending", "topk",
+)
+def q_windowed_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending shape: top-3 event types per hour window — a windowed
+    agg feeding a per-window WindowGroupLimit top-k (the pre-shuffle
+    top-N pushdown), deterministic tie-break on the type name."""
+    ev = _events(spark, sf_dir)
+    win = (F.floor(epoch_seconds("ts") / 3600) * 3600).cast("long")
+    counts = ev.groupBy(win.alias("window_start"), "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("window_start", "event_type", "cnt", "rank")
+    )
+
+
+@register(
+    "session_stats",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts) > 600
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_l
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           max(ts_l) - min(ts_l) AS duration_s,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0 AS INT)
+               AS converted,
+           round(sum(value), 2) AS total_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    "session", "analytics",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup: sessionization (gaps-and-islands, 600 s
+    gap) composed with per-session aggregates — event count, duration,
+    purchase-conversion flag, value total. The composed form of
+    session_windows that product analytics actually consumes."""
+    ev = _events(spark, sf_dir)
+    # Same gaps-and-islands session assignment as windows.session_agg,
+    # with the richer per-session aggregate set inline.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    ts_l = epoch_seconds("ts")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(ts_l - F.lag(ts_l).over(w) > 600, F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    ).withColumn("ts_l", ts_l)
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_l") - F.min("ts_l")).alias("duration_s"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) > 0
+        ).cast("int").alias("converted"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -58,6 +58,20 @@ HEADLINE = [
     "pii_scrub",
     "decontamination",
     "embedding_label_centroids",
+    "kmeans_assignments",
+    "dedup_pagerank",
+    "incremental_dedup",
+    "bpe_merges",
+    "fuzzy_name_pairs",
+    "corpus_mixture",
+    "cohort_retention",
+    "funnel_conversion",
+    "session_stats",
+    "windowed_topk_types",
+    "value_histogram",
+    "embedding_quantize_int8",
+    "count_window_sum",
+    "skew_join_salted",
 ]
 
 

@@ -135,3 +135,71 @@ def salted_skew_join(
     )
     salted_small = small.crossJoin(F.broadcast(salts))
     return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` + ``merge_asof`` —
+    the two-sided Arrow co-processing extension point (the general
+    form for per-key logic that genuinely needs both sides in pandas:
+    model scoring, stateful reconciliation, custom interpolation).
+
+    Semantics identical to :func:`asof_join` (each left row matched to
+    the latest right row with ``right.ts <= left.ts`` per key) and
+    checked against the same oracle. For THIS operation prefer
+    :func:`asof_join` — its window formulation stays JVM-side and is
+    ~20x faster; this variant exists to exercise and document the
+    cogroup path the reference's connect/CoProcessFunction family
+    (ConnectAndUnion.scala:39-52) maps to when logic outgrows SQL."""
+    import pandas as pd
+
+    schema = (
+        f"{id_col} long, ts_us long, match_ts_us long, gap_us long"
+    )
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(
+                {c: [] for c in (id_col, "ts_us", "match_ts_us", "gap_us")}
+            )
+        ldf = ldf.sort_values(ts_col)
+        out = pd.DataFrame(
+            {
+                id_col: ldf[id_col].values,
+                "ts_us": ldf[ts_col].astype("int64") // 1000,
+            }
+        )
+        if rdf.empty:
+            out["match_ts_us"] = pd.array([None] * len(out), dtype="Int64")
+        else:
+            rdf = rdf.sort_values(ts_col)
+            m = pd.merge_asof(
+                ldf[[ts_col]],
+                rdf[[ts_col]].rename(columns={ts_col: "_rts"}),
+                left_on=ts_col,
+                right_on="_rts",
+                direction="backward",
+            )
+            rts = m["_rts"]
+            vals = pd.Series(pd.NA, index=rts.index, dtype="Int64")
+            mask = rts.notna()
+            # datetime64[ns] -> int64 ns is only valid NaT-free, hence
+            # the masked assignment (a whole-column astype('Int64')
+            # rejects datetimes outright).
+            vals[mask] = rts[mask].astype("int64") // 1000
+            out["match_ts_us"] = vals.values
+        out["gap_us"] = out["ts_us"] - out["match_ts_us"]
+        return out
+
+    lsel = left.select(key, id_col, ts_col)
+    rsel = right.select(key, ts_col)
+    return (
+        lsel.groupBy(key)
+        .cogroup(rsel.groupBy(key))
+        .applyInPandas(merge, schema=schema)
+    )

@@ -1327,3 +1327,28 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_near_dup(
         docs.where(F.col("doc_id") % 2 == 1), corpus_prof, threshold=0.5
     )
+
+
+@register(
+    "asof_join_cogrouped",
+    """
+    SELECT p.event_id AS event_id,
+           epoch_us(p.ts) AS ts_us,
+           epoch_us(c.ts) AS match_ts_us,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "join", "asof", "cogroup",
+)
+def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join through the cogroup/applyInPandas extension point
+    (same oracle as asof_join_purchase_click) — proving the two-sided
+    Arrow co-processing path end-to-end. Inner-match rows only, like
+    the SQL ASOF JOIN."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = joins.asof_join_cogrouped(purchases, clicks, key="user_id")
+    return out.where(F.col("match_ts_us").isNotNull())

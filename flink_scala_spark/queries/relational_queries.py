@@ -340,3 +340,166 @@ def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year"))
         .agg(F.sum("rev").cast("double").alias("revenue"))
     )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH a AS (SELECT o_orderkey AS k,
+                      md5(concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR)))
+                          AS payload
+               FROM orders WHERE o_orderkey % 10 <> 0),
+    b AS (SELECT o_orderkey AS k,
+                 md5(concat_ws('|', o_orderstatus,
+                     CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                               ELSE o_totalprice END AS VARCHAR))) AS payload
+          FROM orders WHERE o_orderkey % 7 <> 0)
+    SELECT CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.payload <> b.payload THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS cnt
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY 1
+    """,
+    "relational", "cdc", "reconciliation",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the lakehouse CDC-between-snapshots
+    op): FULL OUTER join of two table versions on the key, payloads
+    compared as md5 digests so arbitrarily wide rows diff with one
+    string compare — added / removed / changed / unchanged counts in
+    one shuffle on the key. The deterministic 'snapshots' here derive
+    from orders by modulus filters and a price perturbation."""
+    orders = _t(spark, sf_dir, "orders")
+    pay_a = F.md5(
+        F.concat_ws("|", "o_orderstatus", F.col("o_totalprice").cast("string"))
+    )
+    price_b = F.when(
+        F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+    ).otherwise(F.col("o_totalprice"))
+    pay_b = F.md5(F.concat_ws("|", "o_orderstatus", price_b.cast("string")))
+    a = orders.where(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("ka"), pay_a.alias("pa")
+    )
+    b = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("kb"), pay_b.alias("pb")
+    )
+    joined = a.join(b, a["ka"] == b["kb"], "full_outer")
+    status = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("pa") != F.col("pb"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "dq_audit",
+    """
+    SELECT 'orphan_lineitems' AS chk,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'null_ship_dates',
+           CAST((SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_without_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+    "relational", "data-quality",
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: referential-integrity orphans as LEFT ANTI
+    joins (never row-multiplying), plus null/range checks folded into
+    single-pass conditional counts — the pre-ingest gate a production
+    pipeline runs before promoting a snapshot."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    # Pure lazy plan — one action runs all checks; nothing collects to
+    # the driver before the report rows exist as a DataFrame.
+    orphans = (
+        li.join(
+            orders.select("o_orderkey"),
+            li["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("orphan_lineitems").alias("chk"), "violations")
+    )
+    no_cust = (
+        orders.join(
+            cust.select("c_custkey"),
+            orders["o_custkey"] == cust["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("violations"))
+        .select(F.lit("orders_without_customer").alias("chk"), "violations")
+    )
+    scans = li.agg(
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("null_ship_dates"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("nonpositive_quantity"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("discount_out_of_range"),
+    )
+    scan_rows = scans.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("chk"), F.col(c).alias("violations"))
+                    for c in (
+                        "null_ship_dates",
+                        "nonpositive_quantity",
+                        "discount_out_of_range",
+                    )
+                ]
+            )
+        ).alias("r")
+    ).select("r.chk", "r.violations")
+    return orphans.unionByName(scan_rows).unionByName(no_cust)
+
+
+@register(
+    "value_deciles",
+    """
+    SELECT event_type, decile, count(*) AS cnt,
+           min(value) AS lo, max(value) AS hi
+    FROM (SELECT event_type, value,
+                 ntile(10) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS decile
+          FROM events) t
+    GROUP BY 1, 2
+    """,
+    "analytics", "quantile-binning",
+)
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning (feature engineering): per-type value deciles
+    via ntile over a deterministic (value, event_id) order — one
+    sort-shuffle, then a tiny per-bin rollup with exact bin edges."""
+    from flink_scala_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    binned = ev.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    )
+    return binned.groupBy("event_type", "decile").agg(
+        F.count("*").alias("cnt"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

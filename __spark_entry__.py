@@ -68,8 +68,8 @@ _PRIORITY = [
     "ann_lsh_bucketed",
     "embedding_label_centroids",
     "text_token_stats",
-    "text_lang_id",
-    "text_quality",
+    "dq_audit",
+    "snapshot_diff",
     "fuzzy_name_pairs",
     "bpe_merges",
     "text_repetition",

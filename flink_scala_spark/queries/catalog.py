@@ -1339,3 +1339,96 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("converted"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "rolling_window_avg",
+    """
+    SELECT user_id, event_id,
+           CAST(cnt_600 AS BIGINT) AS cnt_600,
+           CAST(sum_q AS DOUBLE) / (1000000.0 * CAST(cnt_600 AS DOUBLE)) AS avg_600
+    FROM (
+        SELECT user_id, event_id,
+               count(*) OVER w AS cnt_600,
+               sum(qv) OVER w AS sum_q
+        FROM (SELECT user_id, event_id,
+                     CAST(floor(value * 1000000.0) AS BIGINT) AS qv,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_l FROM events) t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_l
+                     RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    ) t2
+    """,
+    "W4", "range-frame",
+)
+def q_rolling_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-time rolling aggregate: a RANGE frame (value-based, not
+    row-count-based) — each event sees the average over its user's
+    last 600 SECONDS, however many rows that is; the frame family the
+    ROWS-based ops can't express. One shuffle + in-partition sort.
+
+    The frame aggregates FIXED-POINT BIGINTs (floor(value*1e6), the
+    label_centroids technique): a double sum's accumulation structure
+    differs between engines (running vs segment tree) and a 2-dp round
+    of a boundary-adjacent average flips sides, so the windowed sum
+    must be exact integers with one final double division."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000.0).cast("long").alias("qv"),
+        epoch_seconds("ts").alias("ts_l"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_l")
+        .rangeBetween(-600, Window.currentRow)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("cnt_600"),
+        F.sum("qv").over(w).alias("sum_q"),
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        "cnt_600",
+        (
+            F.col("sum_q").cast("double")
+            / (F.lit(1_000_000.0) * F.col("cnt_600").cast("double"))
+        ).alias("avg_600"),
+    )
+
+
+@register(
+    "revenue_day_over_day",
+    """
+    WITH d AS (SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_day,
+                      CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+               FROM orders GROUP BY 1)
+    SELECT order_day, revenue,
+           lag(revenue) OVER (ORDER BY order_day) AS prev_revenue,
+           (revenue - lag(revenue) OVER (ORDER BY order_day))
+               / lag(revenue) OVER (ORDER BY order_day) AS pct_change
+    FROM d
+    """,
+    "analytics", "period-over-period",
+)
+def q_revenue_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period: daily revenue with previous-day comparison.
+    The lag window runs over the already-aggregated day table (one row
+    per day — a single-partition window over DAYS is fine; the same
+    window over raw rows would not be), and the DECIMAL day sums make
+    the pct-change division exact across engines."""
+    orders = tables.load(spark, sf_dir, "orders")
+    day = F.date_format("o_orderdate", "yyyyMMdd").cast("int")
+    d = orders.groupBy(day.alias("order_day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("order_day")
+    prev = F.lag("revenue").over(w)
+    return d.select(
+        "order_day",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("pct_change"),
+    )

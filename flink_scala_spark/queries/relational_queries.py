@@ -503,3 +503,114 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@register(
+    "copurchase_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                    count(*) AS support
+             FROM items a JOIN items b
+               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2),
+    pc AS (SELECT l_partkey, count(*) AS n_orders FROM items GROUP BY 1)
+    SELECT part_a, part_b, support,
+           CAST(support AS DOUBLE) / CAST(ca.n_orders AS DOUBLE) AS confidence_a,
+           CAST(support AS DOUBLE) / CAST(cb.n_orders AS DOUBLE) AS confidence_b
+    FROM pair JOIN pc ca ON ca.l_partkey = pair.part_a
+              JOIN pc cb ON cb.l_partkey = pair.part_b
+    WHERE support >= 2
+    """,
+    "analytics", "market-basket",
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs (the A-priori first pass):
+    within-order part pairs from a basket-local self-join — basket
+    size bounds the fan-out (~k^2 per order, k ~ lineitems/order), so
+    the pair stream scales with the scan, not the part catalog.
+    Support plus both directional confidences; ratios divide exact
+    integer counts, so the oracle is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "k")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    pc = items.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    ca = pc.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("na"))
+    cb = pc.select(F.col("l_partkey").alias("pb"), F.col("n_orders").alias("nb"))
+    return (
+        pair.join(ca, pair["part_a"] == ca["pa"])
+        .join(cb, pair["part_b"] == cb["pb"])
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (F.col("support").cast("double") / F.col("na").cast("double")).alias(
+                "confidence_a"
+            ),
+            (F.col("support").cast("double") / F.col("nb").cast("double")).alias(
+                "confidence_b"
+            ),
+        )
+    )
+
+
+@register(
+    "value_outliers",
+    """
+    WITH q AS (SELECT event_type, event_id, value,
+                      CAST(floor(value * 1000000.0) AS BIGINT) AS qv
+               FROM events),
+    m AS (SELECT event_type,
+                 count(*) AS n,
+                 CAST(sum(qv) AS DOUBLE) AS sq,
+                 CAST(sum(CAST(qv AS HUGEINT) * qv) AS DOUBLE) AS sqq
+          FROM q GROUP BY 1),
+    s AS (SELECT event_type, n,
+                 sq / (1000000.0 * n) AS mean,
+                 sqrt(sqq / (1e12 * n) - (sq / (1000000.0 * n)) * (sq / (1000000.0 * n)))
+                     AS std
+          FROM m)
+    SELECT q.event_type, q.event_id, q.value,
+           (CAST(q.qv AS DOUBLE) / 1000000.0 - s.mean) / s.std AS zscore
+    FROM q JOIN s ON q.event_type = s.event_type
+    WHERE abs((CAST(q.qv AS DOUBLE) / 1000000.0 - s.mean) / s.std) > 2.5
+    """,
+    "analytics", "anomaly",
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection with EXACT cross-engine moments: the
+    per-group sum and sum-of-squares accumulate fixed-point BIGINTs
+    (associative, partition-invariant — double sums are not), and
+    mean/std derive from those exact integers by identical double
+    expressions. One stats pass broadcast back onto one scan pass."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 1_000_000.0).cast("long").alias("qv"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("qv").cast("double").alias("sq"),
+        F.sum(F.col("qv").cast("decimal(38,0)") * F.col("qv")).cast("double").alias("sqq"),
+    )
+    mean = F.col("sq") / (F.lit(1_000_000.0) * F.col("n"))
+    std = F.sqrt(
+        F.col("sqq") / (F.lit(1e12) * F.col("n")) - mean * mean
+    )
+    s = m.select("event_type", mean.alias("mean"), std.alias("std"))
+    z = (F.col("qv").cast("double") / 1_000_000.0 - F.col("mean")) / F.col("std")
+    return (
+        q.join(F.broadcast(s), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_type", "event_id", "value", z.alias("zscore"))
+    )

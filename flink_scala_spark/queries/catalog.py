@@ -1432,3 +1432,77 @@ def q_revenue_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("pct_change"),
     )
+
+
+@register(
+    "gap_fill_forward",
+    """
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, value
+               FROM events),
+    rng AS (SELECT user_id,
+                   CAST(floor(min(ts_l) / 600) * 600 AS BIGINT) AS lo,
+                   CAST(floor(max(ts_l) / 600) * 600 AS BIGINT) AS hi
+            FROM e GROUP BY 1),
+    grid AS (SELECT user_id, unnest(range(lo, hi + 600, 600)) AS grid_ts FROM rng),
+    u AS (SELECT user_id, ts_l AS ord_ts, 0 AS is_grid, value,
+                 CAST(NULL AS BIGINT) AS grid_ts FROM e
+          UNION ALL
+          SELECT user_id, grid_ts, 1, CAST(NULL AS DOUBLE), grid_ts FROM grid),
+    filled AS (SELECT user_id, grid_ts, is_grid,
+                      last_value(value IGNORE NULLS) OVER (
+                          PARTITION BY user_id ORDER BY ord_ts, is_grid
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS filled_value
+               FROM u)
+    SELECT user_id, grid_ts, round(filled_value, 2) AS filled_value
+    FROM filled WHERE is_grid = 1
+    """,
+    "analytics", "gap-fill", "timeseries",
+)
+def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a 10-minute grid spanning each user's
+    active range, forward-filled with the last observed value at or
+    before each grid point — the union + last(ignorenulls) technique
+    the as-of join uses (X13), so one shuffle and one in-partition
+    sort produce the filled series; the grid fan-out is bounded by
+    range/step per user, independent of event count."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", epoch_seconds("ts").alias("ts_l"), "value"
+    )
+    rng = ev.groupBy("user_id").agg(
+        (F.floor(F.min("ts_l") / 600) * 600).cast("long").alias("lo"),
+        (F.floor(F.max("ts_l") / 600) * 600).cast("long").alias("hi"),
+    )
+    grid = rng.select(
+        "user_id",
+        F.explode(F.sequence("lo", F.col("hi"), F.lit(600))).alias("grid_ts"),
+    )
+    actual = ev.select(
+        "user_id",
+        F.col("ts_l").alias("ord_ts"),
+        F.lit(0).alias("is_grid"),
+        "value",
+        F.lit(None).cast("long").alias("grid_ts"),
+    )
+    gridded = grid.select(
+        "user_id",
+        F.col("grid_ts").alias("ord_ts"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("double").alias("value"),
+        "grid_ts",
+    )
+    u = actual.unionByName(gridded)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ord_ts", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        "user_id",
+        "grid_ts",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+    return filled.where(F.col("is_grid") == 1).select(
+        "user_id", "grid_ts", F.round("filled_value", 2).alias("filled_value")
+    )

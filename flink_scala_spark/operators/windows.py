@@ -156,7 +156,12 @@ def per_element_fire(
 
 
 def classify_late(
-    df: DataFrame, ts_col: str, order_col: str, delay_seconds: int, lateness_seconds: int
+    df: DataFrame,
+    ts_col: str,
+    order_col: str,
+    delay_seconds: int,
+    lateness_seconds: int,
+    chunk_size: int = 8192,
 ) -> DataFrame:
     """W5 batch twin: classify rows against the running watermark.
 
@@ -164,17 +169,43 @@ def classify_late(
     time among rows 1..k minus ``delay_seconds``. A row is ``on_time``
     if ts >= watermark, ``late`` if within ``lateness_seconds`` below
     (Flink re-fires the window), else ``dropped`` (Flink side-outputs
-    it; WindowTest.scala:71-72). Global arrival order is meaningful in
-    the reference's parallelism-1 demos; at scale this runs per shard.
+    it; WindowTest.scala:71-72).
+
+    The prefix-max is a global-order scan, but NOT a single-partition
+    window: it distributes as the classic two-phase prefix scan —
+    (1) running max WITHIN each ``chunk_size`` block of the order key
+    (shuffled by chunk, parallel), (2) running max OVER the per-chunk
+    maxima (a single partition of n/chunk_size rows — thousands of
+    chunks per billion rows), broadcast back. A row's watermark is the
+    max of its chunk-prefix and all prior chunks' cumulative max.
     """
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     ts_l = epoch_seconds(ts_col)
-    wm = F.max(ts_l).over(w) - F.lit(delay_seconds)
-    return df.withColumn(
-        "lateness",
-        F.when(wm.isNull() | (ts_l >= wm), F.lit("on_time"))
-        .when(ts_l >= wm - F.lit(lateness_seconds), F.lit("late"))
-        .otherwise(F.lit("dropped")),
+    chunk = F.expr(f"CAST({order_col} AS BIGINT) div {chunk_size}").alias("_chunk")
+    base = df.withColumn("_chunk", chunk).withColumn("_ts_l", ts_l)
+    win = Window.partitionBy("_chunk").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within_prev = F.max("_ts_l").over(win)
+    chunk_maxes = base.groupBy("_chunk").agg(F.max("_ts_l").alias("_cmax"))
+    wprev = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    prior = chunk_maxes.select(
+        "_chunk", F.max("_cmax").over(wprev).alias("_prior_max")
+    )
+    joined = base.withColumn("_within_prev", within_prev).join(
+        F.broadcast(prior), "_chunk"
+    )
+    # greatest() ignores NULLs (NULL only when both are), so the first
+    # row of the first chunk gets a NULL watermark -> on_time.
+    prefix_max = F.greatest("_within_prev", "_prior_max")
+    wm = prefix_max - F.lit(delay_seconds)
+    return (
+        joined.withColumn(
+            "lateness",
+            F.when(wm.isNull() | (F.col("_ts_l") >= wm), F.lit("on_time"))
+            .when(F.col("_ts_l") >= wm - F.lit(lateness_seconds), F.lit("late"))
+            .otherwise(F.lit("dropped")),
+        )
+        .drop("_chunk", "_ts_l", "_within_prev", "_prior_max")
     )
 
 

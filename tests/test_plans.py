@@ -199,7 +199,15 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
     product (accidental — the intended broadcast cross joins plan as
     BroadcastNestedLoopJoin) and a single-partition exchange feeding a
     window function (the whole dataset through one task)."""
-    import re
+    # Windows over PRE-AGGREGATED tiny-cardinality tables are sound on
+    # one partition; everything else must justify itself here or fix
+    # its plan:
+    # - revenue_day_over_day: lag over the day-grain aggregate (rows =
+    #   distinct days).
+    # - late_data_accounting: phase 2 of the distributed prefix-max —
+    #   a running max over PER-CHUNK maxima (rows = n/8192; the raw
+    #   rows scan in phase 1 is partitioned by chunk).
+    SINGLE_PARTITION_WINDOW_OK = {"revenue_day_over_day", "late_data_accounting"}
 
     offenders = {}
     for name, spec in QUERIES.items():
@@ -209,7 +217,14 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
         bad = []
         if "CartesianProduct" in plan:
             bad.append("CartesianProduct")
-        if re.search(r"Exchange SinglePartition", plan) and "Window" in plan:
+        # formatted mode prints the exchange's distribution under
+        # "Arguments: SinglePartition" — a regex on the node title
+        # alone never fires.
+        if (
+            "SinglePartition" in plan
+            and "Window" in plan
+            and name not in SINGLE_PARTITION_WINDOW_OK
+        ):
             bad.append("SinglePartition+Window")
         if bad:
             offenders[name] = bad

@@ -602,3 +602,44 @@ def incremental_near_dup(
     return scored.where(F.col("jaccard") >= threshold).select(
         "new_id", "corpus_id", "common", "jaccard"
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-containment pairs: |A ∩ B| / min(|A|, |B|) >= threshold —
+    the subset-duplicate detector (a quote, excerpt, or concatenation
+    shares few shingles RELATIVE TO THE UNION, so Jaccard misses it,
+    but most of the SMALLER doc's shingles). Candidates come from the
+    same LSH band join as the Jaccard path; only the verify formula
+    differs, so the scale properties are identical. Jaccard is emitted
+    alongside for comparison."""
+    prof = doc_profiles(docs, text_col).persist()
+    sigs = prof.select("doc_id", *[f"mh{s}" for s in range(NUM_HASHES)])
+    cand = candidate_pairs_from_bands(lsh_band_table(sigs))
+    a = prof.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"),
+        F.col("n").cast("long").alias("na"),
+    )
+    b = prof.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"),
+        F.col("n").cast("long").alias("nb"),
+    )
+    paired = F.broadcast(cand).join(a, "doc_a").join(b, "doc_b")
+    scored = paired.withColumn(
+        "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    ).select(
+        "doc_a",
+        "doc_b",
+        "common",
+        (
+            F.col("common").cast("double") / F.least("na", "nb").cast("double")
+        ).alias("containment"),
+        (
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+        ).alias("jaccard"),
+    )
+    return scored.where(F.col("containment") >= threshold)

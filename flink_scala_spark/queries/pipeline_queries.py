@@ -1352,3 +1352,38 @@ def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click")
     out = joins.asof_join_cogrouped(purchases, clicks, key="user_id")
     return out.where(F.col("match_ts_us").isNotNull())
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_SH_CTE}, {_HX_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx GROUP BY doc_id),
+    bands AS (
+  {_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    hs AS (SELECT DISTINCT doc_id, h1 FROM hx),
+    cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+    com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+            FROM cand c
+            JOIN hs sa ON sa.doc_id = c.doc_a
+            JOIN hs sb ON sb.doc_id = c.doc_b AND sb.h1 = sa.h1
+            GROUP BY 1, 2)
+    SELECT doc_a, doc_b, common,
+           CAST(common AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment,
+           CAST(common AS DOUBLE) / CAST(ca.n + cb.n - common AS DOUBLE) AS jaccard
+    FROM com JOIN cnt ca ON ca.doc_id = com.doc_a
+             JOIN cnt cb ON cb.doc_id = com.doc_b
+    WHERE CAST(common AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) >= 0.8
+    """,
+    "dedup", "containment",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection: containment |A∩B|/min(|A|,|B|) >=
+    0.8 over LSH candidates — catches excerpt/concatenation dups whose
+    Jaccard stays low (see dedup.containment_pairs)."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.8)

@@ -100,3 +100,38 @@ def test_late_rows_refire_windows(spark, sf_dir, tmp_path):
         merged["cnt"] != closed_truth["cnt"]
     )
     assert diff.count() == 0
+
+
+def test_chunked_prefix_max_matches_bruteforce(spark):
+    """The two-phase distributed watermark must equal the naive global
+    running max for every row, including chunk boundaries (chunk_size=4
+    over 13 rows exercises partial final chunks and cross-chunk
+    carryover)."""
+    import datetime
+
+    from flink_scala_spark.operators import windows
+
+    ts = [5, 60, 18, 200, 7, 90, 210, 45, 300, 8, 299, 301, 12]
+    rows = [
+        (i, datetime.datetime.utcfromtimestamp(t), t) for i, t in enumerate(ts)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, raw long")
+    out = {
+        r["event_id"]: r["lateness"]
+        for r in windows.classify_late(df, "ts", "event_id", 10, 50, chunk_size=4).collect()
+    }
+
+    def ref():
+        res, mx = {}, None
+        for i, t in enumerate(ts):
+            wm = None if mx is None else mx - 10
+            if wm is None or t >= wm:
+                res[i] = "on_time"
+            elif t >= wm - 50:
+                res[i] = "late"
+            else:
+                res[i] = "dropped"
+            mx = t if mx is None else max(mx, t)
+        return res
+
+    assert out == ref(), (out, ref())

@@ -329,3 +329,30 @@ def test_fuzzy_pairs_complete_vs_brute_force(spark):
         if lev1(a, b)
     }
     assert got == expect, (got ^ expect)
+
+
+def test_incremental_dedup_matches_full_run_cross_pairs(spark, sf_dir):
+    """Incremental (new=odd ids vs corpus=even ids) must find exactly
+    the cross-parity pairs of the full-corpus MinHash run: profiles,
+    bands, and verify sets are identical, only the candidate join's
+    sides differ."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import dedup
+    import pyspark.sql.functions as F
+
+    docs = tables.load(spark, sf_dir, "documents")
+    full = dedup.minhash_lsh_dedup(docs, threshold=0.5).collect()
+    cross_full = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in full
+        if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+    }
+    corpus_prof = dedup.doc_profiles(docs.where(F.col("doc_id") % 2 == 0))
+    inc = dedup.incremental_near_dup(
+        docs.where(F.col("doc_id") % 2 == 1), corpus_prof, threshold=0.5
+    ).collect()
+    cross_inc = {
+        (min(r["new_id"], r["corpus_id"]), max(r["new_id"], r["corpus_id"]))
+        for r in inc
+    }
+    assert cross_inc == cross_full

@@ -76,25 +76,50 @@ def word_shingles(
     )
 
 
+#: Per-hash multiply-add constants (odd, < 2^30) for the universal
+#: family below; distinct (a, b) pairs give the 8 minhashes the
+#: cross-hash independence LSH banding needs.
+MH_A = (
+    0x2545F491, 0x1B873593, 0x27D4EB2F, 0x165667B1,
+    0x9E3779B1 & 0x3FFFFFFF, 0x85EBCA77 & 0x3FFFFFFF,
+    0xC2B2AE3D & 0x3FFFFFFF, 0x2354BD53,
+)
+MH_B = (
+    0x3C6EF373, 0x1D8E4E27, 0x2A6E3A59, 0x30BC9F75,
+    0x119DE1F3, 0x2E5BF6A7, 0x14BA74F3, 0x38B34AE5,
+)
+MH_MOD = (1 << 61) - 1
+
+
 def _shingle_h1_h2(shingle):
-    """Two independent 60-bit hashes from ONE md5 of the shingle: hex
-    chars 1-15 and 16-30. The per-hash family is then the
-    Kirsch-Mitzenmacher combination ``h1 + s*h2`` — one md5 per
-    shingle instead of ``num_hashes``, with max value
-    ``8*(2^60-1) < 2^63`` so the arithmetic never overflows BIGINT on
-    either engine (DuckDB raises on overflow; Spark would wrap)."""
+    """Two 30-bit halves of one 60-bit md5-prefix hash. Each of the
+    ``num_hashes`` minhash functions is the multiply-add universal
+    combination ``(A_s*lo + B_s*hi) mod (2^61-1)`` over these halves —
+    ONE md5 per shingle, yet the 8 functions rank shingles
+    near-independently (a plain ``h1 + s*h2`` looked cheaper but is an
+    arithmetic progression in one shingle's values: the same shingle
+    tends to minimize every hash, collapsing LSH band collisions for
+    mid-Jaccard pairs — caught by the subset-duplicate test).
+    ``A_s*lo + B_s*hi < 2^61``, so no BIGINT overflow on either
+    engine."""
     m = F.md5(shingle)
-    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("long")
-    return h1, h2
+    h = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
+    hi = F.shiftright(h, 30)
+    return h, lo, hi
 
 
 def minhash_signatures(shingles: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """One row per doc with ``mh0..mh{S-1}`` minhash values — a single
     hash-shuffle on doc_id with map-side partial mins, and a single
     md5 per shingle (``_shingle_h1_h2``)."""
-    h1, h2 = _shingle_h1_h2(F.col("shingle"))
-    aggs = [F.min(h1 + F.lit(s) * h2).alias(f"mh{s}") for s in range(num_hashes)]
+    _h, lo, hi = _shingle_h1_h2(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(MH_A[s]) * lo + F.lit(MH_B[s]) * hi) % F.lit(MH_MOD)).alias(
+            f"mh{s}"
+        )
+        for s in range(num_hashes)
+    ]
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
@@ -132,10 +157,13 @@ def doc_profiles(
     )
     parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
     raw = idx.select("doc_id", F.expr(f"concat_ws(' ', {parts})").alias("shingle"))
-    h1, h2 = _shingle_h1_h2(F.col("shingle"))
-    hashed = raw.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    h, lo, hi = _shingle_h1_h2(F.col("shingle"))
+    hashed = raw.select("doc_id", h.alias("h1"), lo.alias("lo"), hi.alias("hi"))
     aggs = [
-        F.min(F.col("h1") + F.lit(s) * F.col("h2")).alias(f"mh{s}")
+        F.min(
+            (F.lit(MH_A[s]) * F.col("lo") + F.lit(MH_B[s]) * F.col("hi"))
+            % F.lit(MH_MOD)
+        ).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
     return hashed.groupBy("doc_id").agg(

@@ -32,18 +32,21 @@ pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS i FRO
 sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle FROM pos)
 """
 
-# One md5 per shingle -> two 60-bit halves -> Kirsch-Mitzenmacher
-# family h1 + s*h2; mirrors dedup._shingle_h1_h2 exactly (max value
-# 8*(2^60-1) < 2^63, no BIGINT overflow on either engine).
+# One md5 per shingle -> 60-bit hash split into 30-bit halves; each
+# minhash is the multiply-add universal combination
+# (A_s*lo + B_s*hi) mod (2^61-1) — mirrors dedup._shingle_h1_h2 /
+# MH_A / MH_B exactly (products < 2^61: no BIGINT overflow either
+# engine).
 _HX_CTE = """
-hx AS (SELECT doc_id,
-              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1,
-              CAST(concat('0x', substr(md5(shingle), 16, 15)) AS BIGINT) AS h2
-       FROM sh)
+hx AS (SELECT doc_id, h1, h1 & 1073741823 AS lo, h1 >> 30 AS hi FROM (
+       SELECT doc_id,
+              CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS h1
+       FROM sh) t)
 """
 
 _MH_COLS = ",\n        ".join(
-    f"min(h1 + {s} * h2) AS mh{s}" for s in range(dedup.NUM_HASHES)
+    f"min(({dedup.MH_A[s]} * lo + {dedup.MH_B[s]} * hi) % {dedup.MH_MOD}) AS mh{s}"
+    for s in range(dedup.NUM_HASHES)
 )
 
 _BAND_SELECTS = "\n  UNION ALL ".join(

@@ -329,3 +329,25 @@ def test_bpe_merge_fold_edge_cases(spark):
     }
     for i, (s, a, b) in enumerate(cases):
         assert got[i] == ref(s, a, b), (i, s, a, b, got[i], ref(s, a, b))
+
+
+def test_containment_flags_subset_docs(spark):
+    # B is a strict prefix-subset of A: every B-shingle is an
+    # A-shingle, so containment = 1.0 while Jaccard stays below the
+    # near-dup threshold. This test also guards the minhash family's
+    # cross-hash independence: the degenerate h1 + s*h2 family ranked
+    # shingles identically under every hash and deterministically
+    # missed this pair's band collision.
+    words = [f"w{i}" for i in range(100)]
+    docs = _docs(
+        spark, [(1, " ".join(words)), (2, " ".join(words[:40]))]
+    )
+    from flink_scala_spark.pipeline import dedup
+
+    rows = dedup.containment_pairs(docs, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert {r["doc_a"], r["doc_b"]} == {1, 2}
+    assert r["containment"] == 1.0
+    assert r["jaccard"] < 0.5  # the Jaccard path rightly skips it
+    assert r["common"] == 38  # 40 words -> 38 trigram shingles

@@ -351,3 +351,42 @@ def test_containment_flags_subset_docs(spark):
     assert r["containment"] == 1.0
     assert r["jaccard"] < 0.5  # the Jaccard path rightly skips it
     assert r["common"] == 38  # 40 words -> 38 trigram shingles
+
+
+def test_simhash_blocking_pigeonhole_guarantee(spark):
+    # Two documents differing in a few rare words have close simhashes;
+    # whenever hamming(a, b) <= 3, the 4-band blocking MUST surface the
+    # pair (pigeonhole: <= 3 differing bits cannot touch all 4 bands).
+    # Construct near-identical docs and assert found pairs == all pairs
+    # whose signatures are within the radius.
+    from flink_scala_spark.pipeline import dedup
+
+    base = [f"tok{i}" for i in range(60)]
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(base)),
+            (2, " ".join(base + ["rare1"])),
+            (3, " ".join(base + ["rare1", "rare2"])),
+            (4, " ".join(f"other{i}" for i in range(60))),
+        ],
+    )
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_dup(docs, max_hamming=3).collect()
+    }
+    import itertools
+
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert found == expected
+    # sanity: the construction actually produced close and far pairs
+    assert (1, 2) in expected or (1, 3) in expected
+    assert all(bin(sigs[4] ^ sigs[d]).count("1") > 3 for d in (1, 2, 3))

@@ -995,7 +995,8 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id, vv, scale, max_abs,
                  list_transform(vv, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qvec
           FROM sc)
-    SELECT vec_id, scale, qvec,
+    SELECT vec_id, scale,
+           md5(array_to_string(qvec, ',')) AS qvec_md5,
            CASE WHEN max_abs = 0.0 THEN 0.0 ELSE
                list_aggregate(
                    list_transform(range(1, len(vv) + 1),
@@ -1009,8 +1010,23 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization with reconstruction-error
     audit — the vector-storage op of an ANN pipeline; row-local, no
-    shuffle."""
-    return similarity.quantize_int8(_emb(spark, sf_dir))
+    shuffle.
+
+    The quantized array is emitted as an md5 digest of its
+    comma-joined rendering (the catalog's convention for
+    array-producing queries, cf. chunk_documents): the driver's
+    canonicalizer sorts columns as pandas objects and raw arrays are
+    unhashable there, while the digest still pins every element
+    exactly."""
+    q = similarity.quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.md5(
+            F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+        ).alias("qvec_md5"),
+        "max_abs_err",
+    )
 
 
 @register(

@@ -249,8 +249,10 @@ def near_dup_pairs_vectorized(
     inputs widen exactly; division and sqrt are correctly rounded in
     both engines. The DuckDB oracle is unchanged.
 
-    At 100 TB the broadcast side is a tile of the index and this
-    operator runs per-tile — the standard blocked all-pairs layout.
+    Scale bound: the WHOLE corpus is collected to the driver and
+    broadcast as one dense matrix — a small-scale exact baseline only.
+    The production path is :func:`near_dup_pairs_blocked`, which never
+    collects vector data.
     """
     import numpy as np
 
@@ -297,6 +299,95 @@ def near_dup_pairs_vectorized(
 
     out = _spread(emb.select(id_col, vec_col))
     return out.mapInPandas(fn, "vec_a long, vec_b long, cosine double")
+
+
+def near_dup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+    max_tile_rows: int = 100_000,
+) -> DataFrame:
+    """Exact all-pairs cosine as a distributed block nested loop —
+    bit-identical to :func:`near_dup_pairs_vectorized` with NO driver
+    collect and NO full-corpus broadcast.
+
+    Vectors are hash-tiled (``pmod(vec_id, T)``, T sized so a tile
+    holds <= ``max_tile_rows`` rows); every unordered tile pair
+    ``(lo, hi)`` becomes one shuffle group holding the two tiles'
+    rows, and the quadratic scoring runs per-group in numpy with the
+    same per-dimension accumulation (identical IEEE-754 fold per pair,
+    so the DuckDB oracle is unchanged). Mixed groups emit only
+    cross-tile pairs; the diagonal group ``(t, t)`` emits in-tile
+    pairs — each unordered pair lands in exactly one group.
+
+    Cost model at 100 TB: each row is replicated into T groups
+    (shuffle volume T x n — the unavoidable lower bound for exact
+    all-pairs over n/T-row blocks), each group is <= 2*max_tile_rows
+    rows (bounded worker memory, tunable), and no vector ever touches
+    the driver. Total work is the same n^2 dot products; wall clock
+    scales with cluster cores, not driver RAM.
+    """
+    n = emb.select(id_col).count()
+    tiles = max(1, -(-n // int(max_tile_rows)))
+    thr = float(threshold)
+    d = int(dim)
+
+    src = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(tiles)).cast("int").alias("tile"),
+    )
+    partner = src.select(
+        "vid",
+        "vec",
+        "tile",
+        F.explode(F.sequence(F.lit(0), F.lit(tiles - 1))).alias("other"),
+    ).select(
+        "vid",
+        "vec",
+        "tile",
+        F.least("tile", "other").alias("g_lo"),
+        F.greatest("tile", "other").alias("g_hi"),
+    )
+    # (g_lo, g_hi) is distinct per (vid, other) by construction — the T
+    # exploded partners map to T distinct unordered tile pairs, so no
+    # dedup shuffle is needed here.
+
+    def score(keys, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        g_lo, g_hi = int(keys[0]), int(keys[1])
+        empty = _pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vid"].to_numpy(dtype="int64")
+        tls = pdf["tile"].to_numpy(dtype="int64")
+        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["vec"]])
+        acc = _np.zeros((len(A), len(A)))
+        nsq = _np.zeros(len(A))
+        for k in range(d):
+            acc += _np.outer(A[:, k], A[:, k])
+            nsq += A[:, k] * A[:, k]
+        cos = acc / _np.sqrt(_np.outer(nsq, nsq))
+        mask = (cos >= thr) & (ids[:, None] < ids[None, :])
+        if g_lo != g_hi:
+            # mixed group: in-tile pairs belong to the diagonal groups
+            mask &= tls[:, None] != tls[None, :]
+        ii, jj = _np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        return _pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj], "cosine": cos[ii, jj]}
+        )
+
+    return partner.groupBy("g_lo", "g_hi").applyInPandas(
+        score, "vec_a long, vec_b long, cosine double"
+    )
 
 
 def with_bucket(flat: DataFrame, prefix: str) -> DataFrame:

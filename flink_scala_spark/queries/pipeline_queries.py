@@ -247,7 +247,10 @@ _NSQ = duck_dot("embedding", "embedding")
     "dedup", "embedding",
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.near_dup_pairs_vectorized(_emb(spark, sf_dir), threshold=0.4)
+    """Exact embedding near-dup via the distributed block-nested-loop
+    path (tile-pair groups, no driver collect, no full-corpus
+    broadcast) — same oracle as the brute-force formulation."""
+    return similarity.near_dup_pairs_blocked(_emb(spark, sf_dir), threshold=0.4)
 
 
 @register(

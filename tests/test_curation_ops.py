@@ -390,3 +390,43 @@ def test_simhash_blocking_pigeonhole_guarantee(spark):
     # sanity: the construction actually produced close and far pairs
     assert (1, 2) in expected or (1, 3) in expected
     assert all(bin(sigs[4] ^ sigs[d]).count("1") > 3 for d in (1, 2, 3))
+
+
+def test_blocked_near_dup_matches_broadcast_baseline(spark):
+    """The distributed block-nested-loop near-dup must equal the
+    broadcast exact baseline pair-for-pair when forced into multiple
+    tiles, and every shuffle group must stay within 2*max_tile_rows."""
+    from flink_scala_spark.pipeline import similarity
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    n = emb.count()
+    tile_rows = max(1, n // 4)  # force >= 4 tiles -> >= 10 groups
+    base = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.near_dup_pairs_vectorized(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.near_dup_pairs_blocked(
+            emb, threshold=0.4, max_tile_rows=tile_rows
+        ).collect()
+    }
+    assert blocked.keys() == base.keys()
+    for pair, cos in base.items():
+        assert blocked[pair] == cos  # bit-identical fold
+
+    # bounded group contract: no tile-pair group exceeds two tiles' rows
+    tiles = -(-n // tile_rows)
+    group_sizes = (
+        emb.select(
+            F.pmod(F.col("vec_id"), F.lit(tiles)).alias("tile")
+        )
+        .groupBy("tile")
+        .count()
+        .collect()
+    )
+    per_tile = {r["tile"]: r["count"] for r in group_sizes}
+    assert max(per_tile.values()) <= 2 * tile_rows

@@ -411,31 +411,59 @@ def with_bucket(flat: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+#: Fixed coarse-quantizer size: driver/broadcast memory for the IVF
+#: index is O(NUM_CENTROIDS * DIM) regardless of corpus size.
+NUM_CENTROIDS = 64
+
+
+def centroid_rows(
+    emb: DataFrame,
+    num_centroids: int = NUM_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FIXED-SIZE deterministic coarse quantizer: the
+    ``num_centroids`` rows whose ``md5(vec_id)`` sorts first — a
+    uniform hash-ordered sample that is (a) a pure function of the id
+    set, so the DuckDB oracle selects the identical centroids, and
+    (b) capped at ``num_centroids`` rows no matter how large the
+    corpus is (the previous ``vec_id % 40`` scheme grew the "index"
+    linearly with n — a driver OOM at 100 TB). The ORDER BY + LIMIT
+    compiles to TakeOrderedAndProject: per-partition top-k then one
+    k-row merge, never a full sort."""
+    return (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(int(num_centroids))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_pred,
     k: int = 5,
     nprobe: int = 4,
-    centroid_mod: int = 40,
+    num_centroids: int = NUM_CENTROIDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer partitions vectors into
     inverted lists; queries probe only the ``nprobe`` nearest lists.
 
-    The quantizer here is deterministic (centroids = the hash-sampled
-    rows ``vec_id % centroid_mod == 0``) instead of k-means-trained, so
+    The quantizer is deterministic (:func:`centroid_rows` — the
+    ``num_centroids`` hash-first rows) instead of k-means-trained, so
     the DuckDB oracle replays the identical index — the Spark plumbing
     (assignment, probing, list-local scoring) is the real IVF shape.
 
-    Scale path: centroids broadcast everywhere (the trained index is
-    small); assignment is one map-side-combined ``max_by`` shuffle on
-    vec_id; probes are broadcast back so candidate generation never
-    shuffles the big table by centroid (no hot-list skew); scoring
-    touches ~nprobe/C of the pair space vs brute force.
+    Scale path: the centroid set is FIXED-SIZE (O(k·dim) memory,
+    independent of corpus size) and broadcast everywhere; assignment
+    is one map-side-combined ``max_by`` shuffle on vec_id; probes are
+    broadcast back so candidate generation never shuffles the big
+    table by centroid (no hot-list skew); scoring touches ~nprobe/C
+    of the pair space vs brute force.
     """
-    cent = flatten(emb.where(F.col(id_col) % centroid_mod == 0), "t", "centroid_id",
-                   id_col, vec_col)
+    cent = flatten(centroid_rows(emb, num_centroids, id_col, vec_col),
+                   "t", "centroid_id", id_col, vec_col)
     base = _spread(flatten(emb, "c", "neighbor_id", id_col, vec_col))
     # index build: nearest centroid per vector; max_by over
     # (sim, -centroid_id) == "highest sim, lowest centroid id on ties"
@@ -484,7 +512,7 @@ def ivf_topk_vectorized(
     query_pred,
     k: int = 5,
     nprobe: int = 4,
-    centroid_mod: int = 40,
+    num_centroids: int = NUM_CENTROIDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
@@ -492,8 +520,9 @@ def ivf_topk_vectorized(
     """IVF-style ANN, Arrow+numpy path: bit-identical to
     :func:`ivf_topk` without flat-column codegen.
 
-    The trained index (centroids) is tiny and broadcast as a dense
-    matrix. Assignment is one ``mapInPandas`` pass over the big table
+    The trained index (:func:`centroid_rows` — FIXED ``num_centroids``
+    rows, O(k·dim) driver memory independent of corpus size) is tiny
+    and broadcast as a dense matrix. Assignment is one ``mapInPandas`` pass over the big table
     (per-dimension accumulation, argmax over ascending centroid ids ==
     the oracle's "highest sim, lowest centroid id on ties"); probe
     selection is the same pass over the query subset with a
@@ -508,8 +537,7 @@ def ivf_topk_vectorized(
     import numpy as np
 
     cent_pdf = (
-        emb.where(F.col(id_col) % centroid_mod == 0)
-        .select(id_col, vec_col)
+        centroid_rows(emb, num_centroids, id_col, vec_col)
         .toPandas()
         .sort_values(id_col)
     )

@@ -279,7 +279,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
     cent AS (SELECT vec_id AS centroid_id, embedding AS cemb, nsq AS cnsq
-             FROM n WHERE vec_id % 40 = 0),
+             FROM n WHERE vec_id IN (
+                 SELECT vec_id FROM embeddings
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 LIMIT {similarity.NUM_CENTROIDS})),
     asg AS (SELECT neighbor_id, centroid_id FROM (
         SELECT v.vec_id AS neighbor_id, c.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
@@ -306,8 +309,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity", "ann", "ivf",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic coarse quantizer (vec_id % 40 rows as
-    centroids), nprobe=4 probed lists, exact scoring inside lists."""
+    """IVF ANN: fixed-size deterministic coarse quantizer (the
+    NUM_CENTROIDS hash-first rows — index memory independent of corpus
+    size), nprobe=4 probed lists, exact scoring inside lists."""
     emb = _emb(spark, sf_dir)
     return similarity.ivf_topk_vectorized(
         emb, F.col("vec_id") % 50 == 0, k=5, nprobe=4

@@ -430,3 +430,33 @@ def test_blocked_near_dup_matches_broadcast_baseline(spark):
     )
     per_tile = {r["tile"]: r["count"] for r in group_sizes}
     assert max(per_tile.values()) <= 2 * tile_rows
+
+
+def test_ivf_centroids_fixed_size_and_paths_agree(spark):
+    """The IVF coarse quantizer must be capped at NUM_CENTROIDS rows
+    regardless of corpus size, and the codegen and Arrow paths must
+    produce identical neighbor lists."""
+    from flink_scala_spark.pipeline import similarity
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents = similarity.centroid_rows(emb).collect()
+    assert len(cents) == min(similarity.NUM_CENTROIDS, emb.count())
+    # doubling the corpus must NOT grow the centroid set
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    assert len(similarity.centroid_rows(doubled).collect()) == similarity.NUM_CENTROIDS
+
+    pred = F.col("vec_id") % 100 == 0
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.ivf_topk(emb, pred, k=3, nprobe=2).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.ivf_topk_vectorized(emb, pred, k=3, nprobe=2).collect()
+    }
+    assert a == b

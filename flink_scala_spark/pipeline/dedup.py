@@ -632,21 +632,82 @@ def incremental_near_dup(
     )
 
 
+#: Containment blocking knobs: each doc is represented by its
+#: CONT_SAMPLE smallest shingle hashes; shingle hashes occurring in
+#: more than CONT_DF_CAP documents are excluded from blocking.
+CONT_SAMPLE = 16
+CONT_DF_CAP = 64
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.8,
+    sample_size: int = CONT_SAMPLE,
+    df_cap: int = CONT_DF_CAP,
 ) -> DataFrame:
     """Near-containment pairs: |A ∩ B| / min(|A|, |B|) >= threshold —
     the subset-duplicate detector (a quote, excerpt, or concatenation
     shares few shingles RELATIVE TO THE UNION, so Jaccard misses it,
-    but most of the SMALLER doc's shingles). Candidates come from the
-    same LSH band join as the Jaccard path; only the verify formula
-    differs, so the scale properties are identical. Jaccard is emitted
-    alongside for comparison."""
+    but most of the SMALLER doc's shingles).
+
+    Blocking is containment-aware, NOT the Jaccard LSH band join: a
+    40-word excerpt inside a 10k-word doc has Jaccard ~ |A|/|B| and a
+    ~4*J^2 band-collision probability, so Jaccard-tuned bands miss
+    almost all true subset duplicates at realistic size ratios.
+    Instead each doc is represented by its ``sample_size`` SMALLEST
+    shingle hashes (a bottom-s sketch — row-local ``array_sort`` +
+    ``slice`` over the profile's hashed shingle set, no extra
+    shuffle), and candidates are pairs where one doc's sampled hash
+    appears anywhere in the other doc's FULL shingle set (sample ⋈
+    posting equi-join on the hash).
+
+    Recall bound: if containment(A ⊆ B) >= t, each of A's sampled
+    hashes lands in B independently-enough with probability >= t
+    (hash order is independent of membership in B), so the miss
+    probability is <= (1-t)^s — ~6.5e-12 at t=0.8, s=16. Shingle
+    hashes with document frequency > ``df_cap`` are dropped from
+    blocking (join-skew guard; at most the s samples hitting capped
+    hashes are lost, and text that common is near-stopword anyway —
+    the bound degrades only for docs whose ENTIRE bottom-s sample is
+    ultra-frequent shingles).
+
+    Scale: the posting join is keyed by shingle hash with both sides
+    capped at ``df_cap`` rows per key (pairs per key <= df_cap^2 — no
+    hot-key blowup); the verify step touches candidates only, as in
+    the Jaccard path. Jaccard is emitted alongside for comparison."""
     prof = doc_profiles(docs, text_col).persist()
-    sigs = prof.select("doc_id", *[f"mh{s}" for s in range(NUM_HASHES)])
-    cand = candidate_pairs_from_bands(lsh_band_table(sigs))
+    posting = prof.select("doc_id", F.explode("shset").alias("h1"))
+    # The FREQUENT keys (df > cap) are the small set — bounded by
+    # total_postings/df_cap and in practice a handful of near-stopword
+    # shingles — so both join sides drop them via a broadcast
+    # anti-join instead of shuffling the hot keys anywhere. The df agg
+    # itself is map-side combinable (hot keys collapse per partition).
+    freq = (
+        posting.groupBy("h1")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > df_cap)
+        .select("h1")
+    )
+    sample = prof.select(
+        "doc_id",
+        F.explode(F.slice(F.array_sort("shset"), 1, sample_size)).alias("h1"),
+    )
+    s = sample.join(F.broadcast(freq), "h1", "left_anti").select(
+        F.col("doc_id").alias("sid"), "h1"
+    )
+    p = posting.join(F.broadcast(freq), "h1", "left_anti").select(
+        F.col("doc_id").alias("pid"), "h1"
+    )
+    cand = (
+        s.join(p, "h1")
+        .where(F.col("sid") != F.col("pid"))
+        .select(
+            F.least("sid", "pid").alias("doc_a"),
+            F.greatest("sid", "pid").alias("doc_b"),
+        )
+        .distinct()
+    )
     a = prof.select(
         F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"),
         F.col("n").cast("long").alias("na"),

@@ -1384,15 +1384,22 @@ def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_containment",
     f"""
     WITH {_SH_CTE}, {_HX_CTE},
-    sig AS (SELECT doc_id,
-        {_MH_COLS}
-        FROM hx GROUP BY doc_id),
-    bands AS (
-  {_BAND_SELECTS}),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             FROM bands a JOIN bands b
-               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
     hs AS (SELECT DISTINCT doc_id, h1 FROM hx),
+    freq AS (SELECT h1 FROM hs GROUP BY h1
+             HAVING count(*) > {dedup.CONT_DF_CAP}),
+    samp AS (SELECT doc_id, h1 FROM (
+                 SELECT doc_id, h1,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY h1) AS rn
+                 FROM hs) t
+             WHERE rn <= {dedup.CONT_SAMPLE}
+               AND h1 NOT IN (SELECT h1 FROM freq)),
+    post AS (SELECT doc_id, h1 FROM hs
+             WHERE h1 NOT IN (SELECT h1 FROM freq)),
+    cand AS (SELECT DISTINCT least(s.doc_id, p.doc_id) AS doc_a,
+                    greatest(s.doc_id, p.doc_id) AS doc_b
+             FROM samp s JOIN post p
+               ON p.h1 = s.h1 AND p.doc_id <> s.doc_id),
     cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
     com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
             FROM cand c
@@ -1410,6 +1417,9 @@ def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subset-duplicate detection: containment |A∩B|/min(|A|,|B|) >=
-    0.8 over LSH candidates — catches excerpt/concatenation dups whose
-    Jaccard stays low (see dedup.containment_pairs)."""
+    0.8 over containment-aware candidates (bottom-s shingle-hash
+    sample joined against full posting lists, df-capped) — catches
+    excerpt/concatenation dups whose Jaccard stays low, including the
+    small-excerpt-in-large-doc pairs the Jaccard LSH bands miss (see
+    dedup.containment_pairs for the (1-t)^s recall bound)."""
     return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.8)

@@ -460,3 +460,29 @@ def test_ivf_centroids_fixed_size_and_paths_agree(spark):
         for r in similarity.ivf_topk_vectorized(emb, pred, k=3, nprobe=2).collect()
     }
     assert a == b
+
+
+def test_containment_blocking_catches_small_excerpt_in_large_doc(spark):
+    """A 30-shingle excerpt inside a ~600-word doc has Jaccard ~0.05 —
+    Jaccard-tuned LSH bands would almost surely miss it (collision
+    prob ~4*J^2 ~ 1%). The containment-aware sample-vs-posting
+    blocking must find it deterministically-enough ((1-t)^16 miss
+    bound)."""
+    from flink_scala_spark.pipeline import dedup
+
+    rng_words = [f"w{i}" for i in range(600)]
+    big = " ".join(rng_words)
+    excerpt = " ".join(rng_words[100:132])  # 32 words -> 30 trigrams
+    unrelated = " ".join(f"z{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, big), (2, excerpt), (3, unrelated)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) in pairs
+    row = pairs[(1, 2)]
+    assert row["containment"] == 1.0  # every excerpt shingle is in big
+    assert row["jaccard"] < 0.1  # and Jaccard alone would never flag it
+    assert (1, 3) not in pairs and (2, 3) not in pairs

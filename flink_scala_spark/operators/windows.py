@@ -178,7 +178,21 @@ def classify_late(
     maxima (a single partition of n/chunk_size rows — thousands of
     chunks per billion rows), broadcast back. A row's watermark is the
     max of its chunk-prefix and all prior chunks' cumulative max.
+
+    ``order_col`` MUST be an integral column (the chunk id is its
+    integer division by ``chunk_size``): a non-numeric order key would
+    cast to NULL under non-ANSI mode and the chunk equi-join would
+    silently drop every row, so the type is checked eagerly. For a
+    non-numeric arrival key, derive a dense integral sequence first
+    (e.g. ``row_number`` over the intended order).
     """
+    order_type = dict(df.dtypes).get(order_col)
+    if order_type not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"classify_late requires an integral order_col; got "
+            f"{order_col!r}: {order_type!r}. Derive a dense integer "
+            f"arrival sequence (row_number) first."
+        )
     ts_l = epoch_seconds(ts_col)
     chunk = F.expr(f"CAST({order_col} AS BIGINT) div {chunk_size}").alias("_chunk")
     base = df.withColumn("_chunk", chunk).withColumn("_ts_l", ts_l)

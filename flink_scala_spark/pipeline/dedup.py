@@ -39,6 +39,15 @@ NUM_HASHES = 8
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
+#: Schema/semantics version stamped on persisted doc profiles. Bump on
+#: any change to the shingle hashing, minhash family, or shset layout
+#: (v2 = multiply-add universal family over 60-bit md5 halves + hashed
+#: bigint shset). incremental_near_dup refuses profiles from another
+#: version — pre-v2 profiles (string shset, h1+s*h2 family) would
+#: otherwise type-error on array_intersect or silently match zero band
+#: keys.
+PROFILE_VERSION = 2
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup mapping: every doc -> canonical (min id) doc of its
@@ -170,7 +179,7 @@ def doc_profiles(
         *aggs,
         F.collect_set("h1").alias("shset"),
         F.size(F.collect_set("h1")).alias("n"),
-    )
+    ).withColumn("profile_ver", F.lit(PROFILE_VERSION))
 
 
 def lsh_band_table(sigs: DataFrame, bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND) -> DataFrame:
@@ -598,7 +607,33 @@ def incremental_near_dup(
     join cost scales with |new| x collision rate, not |corpus|^2 —
     ingesting a 0.1% daily delta against a 100 TB corpus touches the
     profiles, not the data. Verification intersects the two hashed
-    shingle sets row-locally as usual."""
+    shingle sets row-locally as usual.
+
+    Stored profiles carry ``profile_ver`` (see :data:`PROFILE_VERSION`)
+    and are validated here: a missing column fails fast, and a
+    mismatched version fails with an eager check that scans ONLY the
+    pruned profile_ver column (profiles are metadata-sized relative to
+    the corpus) — no silent zero-match runs against profiles hashed
+    under an older family. The result is eagerly materialized
+    (``localCheckpoint``, it is candidate-pair-sized) so the new
+    batch's profile cache can be released before returning."""
+    if "profile_ver" not in corpus_profiles.columns:
+        raise ValueError(
+            "corpus_profiles lacks the profile_ver column — profiles "
+            "persisted before versioning (or by foreign code) are not "
+            f"safe to consume; re-ingest with doc_profiles (v{PROFILE_VERSION})."
+        )
+    stale = (
+        corpus_profiles.select("profile_ver")
+        .where(F.col("profile_ver") != PROFILE_VERSION)
+        .limit(1)
+        .collect()
+    )
+    if stale:
+        raise ValueError(
+            f"doc profile version mismatch: stored={stale[0][0]} "
+            f"expected={PROFILE_VERSION}; re-ingest the corpus profiles."
+        )
     new_prof = doc_profiles(new_docs, text_col, n=n, num_hashes=num_hashes).persist()
     sig_cols = [f"mh{s}" for s in range(num_hashes)]
     nb = lsh_band_table(new_prof.select("doc_id", *sig_cols), bands, num_hashes // bands)
@@ -627,9 +662,13 @@ def incremental_near_dup(
         F.col("common").cast("double")
         / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
     )
-    return scored.where(F.col("jaccard") >= threshold).select(
-        "new_id", "corpus_id", "common", "jaccard"
+    out = (
+        scored.where(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "common", "jaccard")
+        .localCheckpoint()
     )
+    new_prof.unpersist()
+    return out
 
 
 #: Containment blocking knobs: each doc is represented by its

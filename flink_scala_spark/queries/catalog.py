@@ -1437,7 +1437,8 @@ def q_revenue_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "gap_fill_forward",
     """
-    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, value
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, value,
+                      event_id
                FROM events),
     rng AS (SELECT user_id,
                    CAST(floor(min(ts_l) / 600) * 600 AS BIGINT) AS lo,
@@ -1445,12 +1446,13 @@ def q_revenue_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e GROUP BY 1),
     grid AS (SELECT user_id, unnest(range(lo, hi + 600, 600)) AS grid_ts FROM rng),
     u AS (SELECT user_id, ts_l AS ord_ts, 0 AS is_grid, value,
-                 CAST(NULL AS BIGINT) AS grid_ts FROM e
+                 CAST(NULL AS BIGINT) AS grid_ts, event_id AS ord_id FROM e
           UNION ALL
-          SELECT user_id, grid_ts, 1, CAST(NULL AS DOUBLE), grid_ts FROM grid),
+          SELECT user_id, grid_ts, 1, CAST(NULL AS DOUBLE), grid_ts,
+                 CAST(0 AS BIGINT) FROM grid),
     filled AS (SELECT user_id, grid_ts, is_grid,
                       last_value(value IGNORE NULLS) OVER (
-                          PARTITION BY user_id ORDER BY ord_ts, is_grid
+                          PARTITION BY user_id ORDER BY ord_ts, is_grid, ord_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                           AS filled_value
                FROM u)
@@ -1465,9 +1467,12 @@ def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     before each grid point — the union + last(ignorenulls) technique
     the as-of join uses (X13), so one shuffle and one in-partition
     sort produce the filled series; the grid fan-out is bounded by
-    range/step per user, independent of event count."""
+    range/step per user, independent of event count. event_id is the
+    final ordering key so two same-second events of one user fill
+    deterministically (grid rows never tie — unique per (user, ts) —
+    and get a constant 0)."""
     ev = _events(spark, sf_dir).select(
-        "user_id", epoch_seconds("ts").alias("ts_l"), "value"
+        "user_id", epoch_seconds("ts").alias("ts_l"), "value", "event_id"
     )
     rng = ev.groupBy("user_id").agg(
         (F.floor(F.min("ts_l") / 600) * 600).cast("long").alias("lo"),
@@ -1483,6 +1488,7 @@ def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("is_grid"),
         "value",
         F.lit(None).cast("long").alias("grid_ts"),
+        F.col("event_id").cast("long").alias("ord_id"),
     )
     gridded = grid.select(
         "user_id",
@@ -1490,11 +1496,12 @@ def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_grid"),
         F.lit(None).cast("double").alias("value"),
         "grid_ts",
+        F.lit(0).cast("long").alias("ord_id"),
     )
     u = actual.unionByName(gridded)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ord_ts", "is_grid")
+        .orderBy("ord_ts", "is_grid", "ord_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(

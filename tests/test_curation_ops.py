@@ -486,3 +486,37 @@ def test_containment_blocking_catches_small_excerpt_in_large_doc(spark):
     assert row["containment"] == 1.0  # every excerpt shingle is in big
     assert row["jaccard"] < 0.1  # and Jaccard alone would never flag it
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_incremental_dedup_rejects_foreign_or_stale_profiles(spark):
+    """Persisted corpus profiles must carry a matching profile_ver;
+    unversioned or stale profiles fail fast instead of silently
+    matching nothing under a changed hash family."""
+    import pytest as _pytest
+
+    from flink_scala_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    prof = dedup.doc_profiles(docs)
+    assert prof.select("profile_ver").distinct().collect()[0][0] == dedup.PROFILE_VERSION
+
+    with _pytest.raises(ValueError, match="profile_ver column"):
+        dedup.incremental_near_dup(docs, prof.drop("profile_ver"))
+    with _pytest.raises(ValueError, match="version mismatch"):
+        stale = prof.withColumn("profile_ver", F.lit(1))
+        dedup.incremental_near_dup(docs, stale)
+
+
+def test_classify_late_rejects_non_integral_order_col(spark):
+    import pytest as _pytest
+
+    from flink_scala_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(1.0, "a")], "v double, arrival string"
+    ).withColumn("ts", F.current_timestamp())
+    with _pytest.raises(TypeError, match="integral order_col"):
+        windows.classify_late(df, "ts", "arrival", 10, 50)

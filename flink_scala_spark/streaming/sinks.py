@@ -38,14 +38,22 @@ def console_sink(stream_df: DataFrame, label: str | None = None, num_rows: int =
     return writer
 
 
+def kafka_writer_options(topic: str, bootstrap: str = "localhost:9092") -> dict[str, str]:
+    """K2 option contract, broker-free and testable: the exact option
+    map the Kafka writer is built with (KafkaSinkTest.scala:39-44 —
+    producer bootstrap + topic)."""
+    return {"kafka.bootstrap.servers": bootstrap, "topic": topic}
+
+
 def kafka_sink(stream_df: DataFrame, topic: str, bootstrap: str = "localhost:9092"):
-    """K2: value column -> Kafka topic (KafkaSinkTest.scala:39-44)."""
-    return (
-        stream_df.selectExpr("CAST(value AS STRING) AS value")
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
+    """K2: value column -> Kafka topic (KafkaSinkTest.scala:39-44).
+    Option map pinned by test via :func:`kafka_writer_options`."""
+    writer = stream_df.selectExpr("CAST(value AS STRING) AS value").writeStream.format(
+        "kafka"
     )
+    for k, v in kafka_writer_options(topic, bootstrap).items():
+        writer = writer.option(k, v)
+    return writer
 
 
 class DuckDBUpsertWriter:

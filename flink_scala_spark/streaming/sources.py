@@ -62,6 +62,29 @@ def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 7777)
     )
 
 
+def kafka_reader_options(
+    topic: str,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",
+    starting_timestamp_ms: int | None = None,
+) -> dict[str, str]:
+    """S5 option contract, broker-free and testable: the exact option
+    map the Kafka reader is built with. ``startingTimestamp`` is the
+    direct mirror of Flink's ``setStartFromTimestamp``
+    (SourceFromKafka.scala:26-27 — all partitions start at the first
+    offset whose record timestamp >= t); it takes precedence over
+    ``startingOffsets`` exactly as the reference's commented-out
+    variants are mutually exclusive. Offsets-under-checkpoint (F6,
+    SourceFromKafka.scala:24) is Spark's default for streaming Kafka —
+    the startingX option only applies to a fresh checkpoint."""
+    opts = {"kafka.bootstrap.servers": bootstrap, "subscribe": topic}
+    if starting_timestamp_ms is not None:
+        opts["startingTimestamp"] = str(starting_timestamp_ms)
+    else:
+        opts["startingOffsets"] = starting_offsets
+    return opts
+
+
 def kafka_topic(
     spark: SparkSession,
     topic: str,
@@ -73,17 +96,14 @@ def kafka_topic(
     ``startingTimestamp`` mirrors ``setStartFromTimestamp``
     (SourceFromKafka.scala:27). Requires the kafka connector jar on the
     classpath — absent in this image, so calls fail fast with Spark's
-    own missing-source error.
+    own missing-source error. The option map itself is pinned by test
+    via :func:`kafka_reader_options`.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-    )
-    if starting_timestamp_ms is not None:
-        reader = reader.option("startingTimestamp", str(starting_timestamp_ms))
-    else:
-        reader = reader.option("startingOffsets", starting_offsets)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        topic, bootstrap, starting_offsets, starting_timestamp_ms
+    ).items():
+        reader = reader.option(k, v)
     return reader.load().selectExpr("CAST(value AS STRING) AS value")
 
 

@@ -143,3 +143,105 @@ def test_jsonl_datasource_abort_leaves_no_manifest(spark, tmp_path):
     manifests = [f for f in os.listdir(out) if f.startswith("_committed-")] if os.path.isdir(out) else []
     assert manifests == []
     assert jsonl_sink.read_committed(spark, out) is None or not os.path.isdir(out)
+
+
+def test_client_sink_per_partition_lifecycle_and_idempotent_replay(spark, tmp_path):
+    """The K3/K4 foreachBatch shape must honor the RichSinkFunction
+    contract (RedisSinkTest.scala:29-53, EsSinkTest.scala:35-54): one
+    client per partition, open -> writes -> close in order (close even
+    though the partition is drained), and deterministic keyed SETs so
+    a replayed batch leaves the store byte-identical.
+
+    The fake client journals open/write/close to a shared directory —
+    the only channel executor worker PROCESSES have back to the test —
+    and is defined inside the factory closure so cloudpickle ships it
+    by value."""
+    from flink_scala_spark.streaming.sinks import client_foreach_sink
+
+    store = str(tmp_path / "kv")
+    os.makedirs(store)
+
+    def factory(store=store):
+        import os as _os
+        import uuid as _uuid
+
+        class RecordingKV:
+            def __init__(self, store_dir):
+                self.store_dir = store_dir
+                self.log_path = _os.path.join(
+                    store_dir, f"_log-{_uuid.uuid4().hex}"
+                )
+                self._log = open(self.log_path, "w")
+                self._log.write("open\n")
+                self.closed = False
+
+            def set(self, key, value):
+                assert not self.closed, "write after close"
+                with open(_os.path.join(self.store_dir, f"k-{key}"), "w") as f:
+                    f.write(str(value))
+                self._log.write(f"write:{key}\n")
+
+            def close(self):
+                self._log.write("close\n")
+                self._log.close()
+                self.closed = True
+
+        return RecordingKV(store)
+
+    def write_partition(client, rows):
+        for row in rows:
+            client.set(row["k"], row["v"])
+
+    sink = client_foreach_sink(write_partition, client_factory=factory)
+    df = spark.createDataFrame(
+        [(f"key{i}", i * 10) for i in range(20)], "k string, v long"
+    ).repartition(4)
+    sink(df, batch_id=0)
+
+    logs = sorted(f for f in os.listdir(store) if f.startswith("_log-"))
+    assert len(logs) == 4  # one client per partition
+    writes = 0
+    for log in logs:
+        lines = open(os.path.join(store, log)).read().splitlines()
+        assert lines[0] == "open" and lines[-1] == "close"
+        assert all(ln.startswith("write:") for ln in lines[1:-1])
+        writes += len(lines) - 2
+    assert writes == 20
+
+    def snapshot():
+        return {
+            f: open(os.path.join(store, f)).read()
+            for f in os.listdir(store)
+            if f.startswith("k-")
+        }
+
+    before = snapshot()
+    assert len(before) == 20 and before["k-key3"] == "30"
+    sink(df, batch_id=0)  # replayed microbatch
+    assert snapshot() == before  # keyed SETs make the replay a no-op
+
+
+def test_kafka_reader_and_writer_option_contract():
+    """Broker-free pin of the S5/K2 configuration: startingTimestamp
+    mirrors Flink's setStartFromTimestamp (SourceFromKafka.scala:26-27)
+    and is mutually exclusive with startingOffsets; bootstrap/subscribe/
+    topic propagate exactly."""
+    from flink_scala_spark.streaming.sinks import kafka_writer_options
+    from flink_scala_spark.streaming.sources import kafka_reader_options
+
+    by_offsets = kafka_reader_options("orders", bootstrap="broker:9092")
+    assert by_offsets == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "orders",
+        "startingOffsets": "earliest",
+    }
+    by_ts = kafka_reader_options(
+        "orders", starting_offsets="latest", starting_timestamp_ms=1_700_000_000_000
+    )
+    assert by_ts["startingTimestamp"] == "1700000000000"
+    assert "startingOffsets" not in by_ts  # timestamp start wins, like the reference
+
+    assert kafka_writer_options("out-topic", "b:9092") == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out-topic",
+    }

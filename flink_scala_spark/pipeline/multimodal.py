@@ -170,28 +170,66 @@ def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
     return assets.mapInPandas(fn, RESIZE_SCHEMA)
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def real_decode_available() -> bool:
+    """Feature probe: True when pillow is importable on the driver.
+    (Executors probe independently inside the extraction closure —
+    on a heterogeneous cluster the probe must run where the decode
+    runs.)"""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def extract_features(assets: DataFrame, decoder: str = "fake") -> DataFrame:
     """mapInPandas feature extraction over binary payloads (the decode
     / resize / frame-sample slot of a real pipeline).
+
+    ``decoder='fake'`` (default, the oracle path) derives deterministic
+    dimensions from the payload hash; ``decoder='real'`` decodes with
+    pillow on the executors (raises there if pillow is absent — probe
+    with :func:`real_decode_available` first). Both emit the same
+    schema, so swapping decoders changes no downstream plumbing.
 
     The closure is self-contained (stdlib + pandas only) so executors
     never need this package importable — works on a bare cluster
     without shipping a wheel.
     """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
+    use_real = decoder == "real"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
         import pandas as _pd
 
-        def fake_decode(payload: bytes):
-            h = int(_hl.md5(payload).hexdigest()[:15], 16)
-            return (
-                len(payload),
-                payload[:4].hex().upper(),
-                320 + h % 1600,
-                240 + (h >> 20) % 840,
-            )
+        if use_real:
+            import io as _io
+
+            from PIL import Image as _Image
+
+            def fake_decode(payload: bytes):
+                im = _Image.open(_io.BytesIO(payload))
+                return (
+                    len(payload),
+                    payload[:4].hex().upper(),
+                    int(im.width),
+                    int(im.height),
+                )
+
+        else:
+
+            def fake_decode(payload: bytes):
+                h = int(_hl.md5(payload).hexdigest()[:15], 16)
+                return (
+                    len(payload),
+                    payload[:4].hex().upper(),
+                    320 + h % 1600,
+                    240 + (h >> 20) % 840,
+                )
 
         for pdf in batches:
             feats = [fake_decode(bytes(p)) for p in pdf["payload"]]

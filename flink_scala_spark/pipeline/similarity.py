@@ -57,9 +57,19 @@ def _spread(df: DataFrame) -> DataFrame:
     round-robin repartition. On a cluster the scan already has
     thousands of splits — repartitioning there would shuffle the whole
     table for nothing, so leave it alone.
+
+    The probe reads file-listing METADATA only (``inputFiles``) — the
+    previous ``df.rdd.getNumPartitions()`` forced the plan through the
+    Python-RDD conversion just to count partitions. A non-file source
+    reports zero files and conservatively repartitions (cheap when it
+    was already parallel, correct when it was not).
     """
     target = _default_parts(df)
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 
@@ -328,9 +338,18 @@ def near_dup_pairs_blocked(
     rows (bounded worker memory, tunable), and no vector ever touches
     the driver. Total work is the same n^2 dot products; wall clock
     scales with cluster cores, not driver RAM.
+
+    The tile count also has a parallelism FLOOR: enough tiles that the
+    T(T+1)/2 groups cover defaultParallelism cores (a small corpus in
+    one tile would score single-threaded inside one group).
     """
     n = emb.select(id_col).count()
-    tiles = max(1, -(-n // int(max_tile_rows)))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    # smallest T with T(T+1)/2 >= par
+    t_floor = max(1, int((math.isqrt(8 * par + 1) - 1) // 2))
+    while t_floor * (t_floor + 1) // 2 < par:
+        t_floor += 1
+    tiles = max(-(-n // int(max_tile_rows)), min(t_floor, n) or 1)
     thr = float(threshold)
     d = int(dim)
 
@@ -368,22 +387,41 @@ def near_dup_pairs_blocked(
         ids = pdf["vid"].to_numpy(dtype="int64")
         tls = pdf["tile"].to_numpy(dtype="int64")
         A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["vec"]])
-        acc = _np.zeros((len(A), len(A)))
         nsq = _np.zeros(len(A))
         for k in range(d):
-            acc += _np.outer(A[:, k], A[:, k])
             nsq += A[:, k] * A[:, k]
-        cos = acc / _np.sqrt(_np.outer(nsq, nsq))
-        mask = (cos >= thr) & (ids[:, None] < ids[None, :])
-        if g_lo != g_hi:
-            # mixed group: in-tile pairs belong to the diagonal groups
-            mask &= tls[:, None] != tls[None, :]
-        ii, jj = _np.nonzero(mask)
-        if len(ii) == 0:
+        if g_lo == g_hi:
+            # diagonal group: in-tile upper triangle
+            acc = _np.zeros((len(A), len(A)))
+            for k in range(d):
+                acc += _np.outer(A[:, k], A[:, k])
+            cos = acc / _np.sqrt(_np.outer(nsq, nsq))
+            ii, jj = _np.nonzero((cos >= thr) & (ids[:, None] < ids[None, :]))
+            a_ids, b_ids, cvals = ids[ii], ids[jj], cos[ii, jj]
+        else:
+            # mixed group: score ONLY the x-by-y cross block — the
+            # full (x+y)^2 block wastes 3/4 of the flops on in-tile
+            # pairs (owned by diagonal groups) and the mirrored
+            # triangle. Per-dimension accumulation keeps every pair's
+            # fold identical to the diagonal/broadcast paths.
+            xm = tls == g_lo
+            X, Y = A[xm], A[~xm]
+            xi, yi = ids[xm], ids[~xm]
+            if len(X) == 0 or len(Y) == 0:
+                return empty
+            acc = _np.zeros((len(X), len(Y)))
+            for k in range(d):
+                acc += _np.outer(X[:, k], Y[:, k])
+            cos = acc / _np.sqrt(_np.outer(nsq[xm], nsq[~xm]))
+            keep = cos >= thr
+            ii, jj = _np.nonzero(keep & (xi[:, None] < yi[None, :]))
+            i2, j2 = _np.nonzero(keep & (xi[:, None] > yi[None, :]))
+            a_ids = _np.concatenate([xi[ii], yi[j2]])
+            b_ids = _np.concatenate([yi[jj], xi[i2]])
+            cvals = _np.concatenate([cos[ii, jj], cos[i2, j2]])
+        if len(a_ids) == 0:
             return empty
-        return _pd.DataFrame(
-            {"vec_a": ids[ii], "vec_b": ids[jj], "cosine": cos[ii, jj]}
-        )
+        return _pd.DataFrame({"vec_a": a_ids, "vec_b": b_ids, "cosine": cvals})
 
     return partner.groupBy("g_lo", "g_hi").applyInPandas(
         score, "vec_a long, vec_b long, cosine double"

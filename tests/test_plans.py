@@ -113,16 +113,18 @@ def test_star_join_broadcasts_all_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_near_dup_is_arrow_vectorized_single_pass(spark, sf_dir):
-    """embedding_near_dup's quadratic stage is the Arrow+numpy block
-    path: one MapInPandas over a pruned scan, one round-robin exchange,
-    no join/shuffle of the pair space (the pairs never materialize
-    JVM-side)."""
+def test_near_dup_is_blocked_group_single_shuffle(spark, sf_dir):
+    """embedding_near_dup's quadratic stage is the distributed block
+    nested loop: exactly ONE shuffle — hash-partitioned by the tile
+    pair (g_lo, g_hi) — into a grouped Arrow scorer. No join of the
+    pair space, no broadcast, no driver collect of vector data (the
+    only driver action is the metadata-cheap tile count)."""
     df = QUERIES["embedding_near_dup"].fn(spark, sf_dir)
     plan = _plan(df, "simple")
-    assert "MapInPandas" in plan
-    assert "Exchange hashpartitioning" not in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(g_lo" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
 
 
 def test_shipping_priority_plan_shape(spark, sf_dir):

@@ -245,3 +245,25 @@ def test_kafka_reader_and_writer_option_contract():
         "kafka.bootstrap.servers": "b:9092",
         "topic": "out-topic",
     }
+
+
+def test_multimodal_real_decode_when_pillow_present(spark):
+    """Exercises the real pillow decode slot end-to-end when the
+    dependency exists (skipped on bare containers; the fake decoder
+    remains the oracle path either way)."""
+    from flink_scala_spark.pipeline import multimodal
+
+    if not multimodal.real_decode_available():
+        pytest.skip("pillow not installed; real decode slot gated off")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assets = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    row = multimodal.extract_features(assets, decoder="real").collect()[0]
+    assert (row["width"], row["height"]) == (17, 9)
+    assert row["n_bytes"] == len(png)
+    assert row["header_hex"] == png[:4].hex().upper()

@@ -104,20 +104,31 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
         # Measured from a cold data cache: queries that persist
         # intermediates (dedup profiles, cluster checkpoints) must not
-        # inherit their warmup run's cached data.
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
-        # Release localCheckpoint RDDs held by dropped DataFrames NOW:
-        # Python GC lag keeps them in executor memory across queries
-        # (clearCache only evicts the cache manager's entries).
-        del df
-        import gc
+        # inherit their warmup run's cached data. Two measured runs,
+        # best-of-2 recorded (MEASURE_RUNS env to override): single
+        # runs on a shared machine showed up to 3x run-to-run swings
+        # on unchanged queries (GC pauses, co-tenant load), which
+        # drowns the real regressions a round-over-round comparison
+        # is meant to catch. The JSON declares runs/agg so rounds are
+        # compared like-for-like.
+        runs = int(os.environ.get("MEASURE_RUNS", "2"))
+        best, n = None, 0
+        for _ in range(max(1, runs)):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+            # Release localCheckpoint RDDs held by dropped DataFrames
+            # NOW: Python GC lag keeps them in executor memory across
+            # queries (clearCache only evicts cache-manager entries).
+            del df
+            import gc
 
-        gc.collect()
+            gc.collect()
+        timings[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {timings[name]:.3f}s", file=sys.stderr)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {
@@ -126,6 +137,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": int(os.environ.get("MEASURE_RUNS", "2")),
+        "agg": "min",
     }
     print(json.dumps(out))
 

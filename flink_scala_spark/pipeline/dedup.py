@@ -611,18 +611,23 @@ def incremental_near_dup(
 
     Stored profiles carry ``profile_ver`` (see :data:`PROFILE_VERSION`)
     and are validated here: a missing column fails fast, and a
-    mismatched version fails with an eager check that scans ONLY the
-    pruned profile_ver column (profiles are metadata-sized relative to
-    the corpus) — no silent zero-match runs against profiles hashed
-    under an older family. The result is eagerly materialized
-    (``localCheckpoint``, it is candidate-pair-sized) so the new
-    batch's profile cache can be released before returning."""
+    mismatched version fails with an eager check — no silent
+    zero-match runs against profiles hashed under an older family.
+    The corpus profile frame is persisted for the duration of the
+    call: the version probe materializes it once and the band table
+    and verify side then reuse the cache (three derivations of a
+    recomputed-from-text profile would otherwise re-shingle the
+    corpus; a parquet-backed profile table makes the persist a cheap
+    columnar cache). The result is eagerly materialized
+    (``localCheckpoint``, it is candidate-pair-sized) so both caches
+    are released before returning."""
     if "profile_ver" not in corpus_profiles.columns:
         raise ValueError(
             "corpus_profiles lacks the profile_ver column — profiles "
             "persisted before versioning (or by foreign code) are not "
             f"safe to consume; re-ingest with doc_profiles (v{PROFILE_VERSION})."
         )
+    corpus_profiles = corpus_profiles.persist()
     stale = (
         corpus_profiles.select("profile_ver")
         .where(F.col("profile_ver") != PROFILE_VERSION)
@@ -630,6 +635,7 @@ def incremental_near_dup(
         .collect()
     )
     if stale:
+        corpus_profiles.unpersist()
         raise ValueError(
             f"doc profile version mismatch: stored={stale[0][0]} "
             f"expected={PROFILE_VERSION}; re-ingest the corpus profiles."
@@ -668,6 +674,7 @@ def incremental_near_dup(
         .localCheckpoint()
     )
     new_prof.unpersist()
+    corpus_profiles.unpersist()
     return out
 
 

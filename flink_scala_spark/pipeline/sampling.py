@@ -213,3 +213,29 @@ def corpus_mixture(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def group_sample_k(
+    df: DataFrame, group_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic uniform k-sample WITHOUT replacement per group:
+    the k rows whose ``md5(id)`` sorts first within the group.
+
+    Hash-order statistics are a uniform sample (the hash is
+    independent of any data attribute), but unlike ``rand()`` the
+    choice is a pure function of the row ids — stable across
+    partitionings, retries, and engines, so the DuckDB oracle selects
+    the identical rows. This is the distributed replacement for
+    reservoir sampling: a reservoir needs sequential state, the
+    hash-rank needs none.
+
+    Scale: Spark plans the rank filter as WindowGroupLimit —
+    per-partition top-k BEFORE the (group)-keyed shuffle, so the
+    shuffle carries at most k rows per (group, partition) and the
+    full per-group sort never materializes."""
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= int(k))
+    )

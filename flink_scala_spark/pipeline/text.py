@@ -287,6 +287,93 @@ def decontamination(
     )
 
 
+#: Bloom geometry for the filtered decontamination path: m bits, k=2
+#: independent position hashes per shingle.
+BLOOM_BITS = 1 << 20
+BLOOM_K = 2
+
+
+def decontamination_bloom(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Bloom-filtered decontamination — the scale path
+    :func:`decontamination`'s docstring promises: the train side is
+    checked against a FIXED-SIZE filter of test shingles instead of
+    the test shingle table itself.
+
+    Each shingle maps to ``BLOOM_K`` bit positions
+    (``h60('b<i>:' || shingle) % BLOOM_BITS`` — deterministic, so the
+    DuckDB oracle sets/tests the identical bits). The filter is the
+    distinct position set of all test shingles (2^20 bits = 128 KiB as
+    a real bitmap; represented relationally here so membership is an
+    equi-join and the oracle stays exact). A train shingle is
+    bloom-positive iff ALL its positions are set — supersets of the
+    true hits, never misses (no false negatives, the Bloom contract).
+    The exact hit count is emitted alongside so the false-positive
+    rate is measured, not assumed: E[FP] ~ (set_bits/m)^k per clean
+    shingle.
+
+    Scale: the filter ships to every executor as a broadcast (128 KiB
+    real layout vs gigabytes of test shingle strings); the train side
+    streams through two broadcast-hash membership joins at scan speed
+    — no shuffle of the big side at all."""
+    from flink_scala_spark.functions import h60
+    from flink_scala_spark.pipeline.dedup import word_shingles
+
+    split = dataset_split(docs).select("doc_id", "split")
+    sh = word_shingles(docs, text_col, n=n).join(split, "doc_id")
+    train = sh.where(F.col("split") == "train").select("doc_id", "shingle")
+    test_sh = (
+        sh.where(F.col("split") == "test").select("shingle").distinct()
+    )
+
+    def pos(i: int, col):
+        return h60(F.concat(F.lit(f"b{i}:"), col)) % F.lit(BLOOM_BITS)
+
+    fpos = (
+        test_sh.select(
+            F.explode(
+                F.array(*[pos(i, F.col("shingle")) for i in range(BLOOM_K)])
+            ).alias("p")
+        )
+        .distinct()
+    )
+    tr = train.select(
+        "doc_id",
+        "shingle",
+        *[pos(i, F.col("shingle")).alias(f"p{i}") for i in range(BLOOM_K)],
+    )
+    marked = tr
+    for i in range(BLOOM_K):
+        side = F.broadcast(
+            fpos.select(F.col("p").alias(f"p{i}"), F.lit(1).alias(f"in{i}"))
+        )
+        marked = marked.join(side, f"p{i}", "left")
+    bloom_hit = F.when(
+        sum((F.coalesce(F.col(f"in{i}"), F.lit(0)) for i in range(BLOOM_K)), F.lit(0))
+        == BLOOM_K,
+        1,
+    ).otherwise(0)
+    exact_side = F.broadcast(test_sh.withColumn("ex", F.lit(1)))
+    marked = marked.join(exact_side, "shingle", "left").withColumn(
+        "bloom_hit", bloom_hit
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("bloom_hit").alias("n_bloom_hits"),
+        F.sum(F.coalesce(F.col("ex"), F.lit(0))).alias("n_exact_hits"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_bloom_hits",
+        "n_exact_hits",
+        (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_pos"),
+    )
+
+
 FP_KGRAM = 16
 
 

@@ -1423,3 +1423,86 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-excerpt-in-large-doc pairs the Jaccard LSH bands miss (see
     dedup.containment_pairs for the (1-t)^s recall bound)."""
     return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+_BLOOM_M = text.BLOOM_BITS
+
+
+def _duck_bpos(i: int, shingle_expr: str) -> str:
+    """DuckDB twin of decontamination_bloom's position hash i."""
+    inner = "'b%d:' || %s" % (i, shingle_expr)
+    return "(%s) %% %d" % (duck_h60(inner), _BLOOM_M)
+
+
+@register(
+    "decontamination_bloom",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pos AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i FROM d),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
+           FROM pos),
+    sp AS (SELECT doc_id, CASE WHEN {_SPLIT_B} < 80 THEN 'train'
+                               WHEN {_SPLIT_B} < 90 THEN 'val'
+                               ELSE 'test' END AS split
+           FROM documents),
+    tr AS (SELECT s.doc_id, s.shingle FROM sh s JOIN sp USING (doc_id)
+           WHERE sp.split = 'train'),
+    te AS (SELECT DISTINCT s.shingle FROM sh s JOIN sp ON s.doc_id = sp.doc_id
+           WHERE sp.split = 'test'),
+    fpos AS (SELECT DISTINCT p FROM (
+        SELECT {_duck_bpos(0, 'shingle')} AS p FROM te
+        UNION ALL SELECT {_duck_bpos(1, 'shingle')} FROM te) t),
+    trm AS (SELECT doc_id, shingle,
+                   {_duck_bpos(0, 'shingle')} AS p0,
+                   {_duck_bpos(1, 'shingle')} AS p1
+            FROM tr),
+    m AS (SELECT t.doc_id,
+                 CASE WHEN f0.p IS NOT NULL AND f1.p IS NOT NULL
+                      THEN 1 ELSE 0 END AS bloom_hit,
+                 CASE WHEN te2.shingle IS NOT NULL THEN 1 ELSE 0 END AS ex
+          FROM trm t
+          LEFT JOIN fpos f0 ON f0.p = t.p0
+          LEFT JOIN fpos f1 ON f1.p = t.p1
+          LEFT JOIN te te2 ON te2.shingle = t.shingle)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(ex) AS BIGINT) AS n_exact_hits,
+           CAST(sum(bloom_hit) - sum(ex) AS BIGINT) AS n_false_pos
+    FROM m GROUP BY doc_id
+    """,
+    "text", "decontamination", "bloom", "sketch",
+)
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered decontamination (X85): train shingles checked
+    against the fixed 2^20-bit position-set of test shingles via two
+    broadcast membership joins — the production shape when the test
+    shingle table itself is too big to broadcast. Exact hits emitted
+    alongside so the false-positive rate is measured."""
+    return text.decontamination_bloom(_docs(spark, sf_dir), n=5)
+
+
+@register(
+    "sample_events_per_type",
+    """
+    SELECT event_type, event_id, CAST(rn AS INT) AS sample_rank FROM (
+        SELECT event_type, event_id,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        FROM events) t
+    WHERE rn <= 20
+    """,
+    "sampling", "reservoir",
+)
+def q_sample_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 20-sample per event type (X86): hash-rank
+    order statistics replace reservoir sampling — reproducible across
+    partitionings and engines, planned as WindowGroupLimit (top-k
+    before the shuffle)."""
+    from flink_scala_spark.pipeline.sampling import group_sample_k
+
+    ev = _events(spark, sf_dir)
+    return group_sample_k(ev, "event_type", "event_id", 20).select(
+        "event_type", "event_id", "sample_rank"
+    )
+
+

@@ -461,3 +461,36 @@ def q_streaming_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("cohort_size").cast("double")
         ).alias("retention"),
     )
+
+
+@register(
+    "streaming_static_enrichment",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS cnt, round(sum(e.value), 2) AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    "join", "stream-static", "streaming",
+)
+def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (X87): the live event stream joined to
+    a STATIC dimension table (customer) inside the streaming query —
+    the canonical production pattern for attaching slowly-changing
+    reference data to a firehose. The dim side is broadcast, so every
+    microbatch enriches at scan speed with no stream-side shuffle
+    before the keyed aggregation; Structured Streaming re-plans the
+    static side per microbatch, which is exactly how dim refreshes
+    propagate."""
+    from flink_scala_spark import tables
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    cust = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = ev.join(F.broadcast(cust), "user_id")
+    agg = joined.groupBy("segment", "event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total")
+    )
+    return run_bounded(agg, "complete")

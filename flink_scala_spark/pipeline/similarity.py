@@ -806,6 +806,116 @@ def lsh_near_dup_pairs_vectorized(
     )
 
 
+#: Product-quantization geometry: M subspaces of DSUB dims, K codes
+#: per subspace. Encoded vector = M small ints -> 8 bytes per vector
+#: here vs 256 for float32 (the memory-bound-ANN compression step).
+PQ_M = 8
+PQ_DSUB = DIM // PQ_M
+PQ_K = 16
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (ADC search): vectors are encoded as
+    ``PQ_M`` codebook ids; query-to-vector distance is approximated by
+    summing per-subspace lookup-table entries — the compression layer
+    a memory-bound ANN index runs at 100 TB (32x smaller than float64
+    before any int8 tricks).
+
+    Deterministic "training" keeps the DuckDB oracle exact: the shared
+    codebook is the ``PQ_K`` hash-first rows (:func:`centroid_rows` —
+    fixed-size, corpus-independent memory), code ``c`` of subspace
+    ``m`` being that row's dims ``[m*DSUB, (m+1)*DSUB)``. Encoding
+    takes the lexicographic min of (in-order squared distance,
+    code_id) per subspace — the same struct-min tie-break the k-means
+    op uses, reproduced by DuckDB's list-min. The ADC distance is the
+    strict in-order sum of the M table lookups, so ranks match the
+    SQL replay bit-for-bit.
+
+    Scale shape: ONE broadcast cross join of the big table against 16
+    codebook rows computes all M per-subspace distances inside
+    whole-stage codegen; the 8 argmins collapse into a single
+    map-side-combinable groupBy. Query distance tables (q x M x K
+    doubles) broadcast; the approximate distance is then a ROW-LOCAL
+    array lookup sum — candidate scoring never shuffles the corpus,
+    and the only shuffle is the per-query top-k ranking."""
+    cb = centroid_rows(emb, PQ_K, id_col, vec_col)
+    from pyspark.sql import Window
+
+    cbw = Window.orderBy(id_col)
+    cbflat = flatten(
+        cb.withColumn("code_id", F.row_number().over(cbw) - 1).drop(id_col)
+        .withColumnRenamed("code_id", id_col),
+        "c",
+        "code_id",
+        id_col,
+        vec_col,
+        DIM,
+    )
+
+    def sub_dist(prefix_a: str, prefix_b: str, m: int) -> Column:
+        d: Column = F.lit(0.0)
+        for i in range(m * PQ_DSUB + 1, (m + 1) * PQ_DSUB + 1):
+            diff = F.col(f"{prefix_a}{i}") - F.col(f"{prefix_b}{i}")
+            d = d + diff * diff
+        return d
+
+    base = _spread(flatten(emb, "e", "nid", id_col, vec_col))
+    pair = base.crossJoin(F.broadcast(cbflat))
+    enc_d = pair.select(
+        "nid",
+        "code_id",
+        *[sub_dist("e", "c", m).alias(f"d{m}") for m in range(PQ_M)],
+    )
+    enc = enc_d.groupBy("nid").agg(
+        *[
+            F.min(F.struct(F.col(f"d{m}"), F.col("code_id"))).alias(f"s{m}")
+            for m in range(PQ_M)
+        ]
+    ).select(
+        "nid", *[F.col(f"s{m}.code_id").alias(f"code{m}") for m in range(PQ_M)]
+    )
+
+    q = flatten(emb.where(query_pred), "e", "query_id", id_col, vec_col)
+    qd = q.crossJoin(F.broadcast(cbflat)).select(
+        "query_id",
+        "code_id",
+        *[sub_dist("e", "c", m).alias(f"d{m}") for m in range(PQ_M)],
+    )
+    # per-query lookup tables: one K-entry array per subspace, indexed
+    # by code id (array_sort on (code_id, d) structs -> d projection)
+    def _dtable(m: int) -> Column:
+        # factory binds m by value; a default-arg lambda would be
+        # mis-detected as a binary (element, index) lambda by
+        # pyspark's arity inspection
+        return F.transform(
+            F.array_sort(F.collect_list(F.struct("code_id", f"d{m}"))),
+            lambda s: s[f"d{m}"],
+        ).alias(f"dt{m}")
+
+    qdt = qd.groupBy("query_id").agg(*[_dtable(m) for m in range(PQ_M)])
+    scored = enc.crossJoin(F.broadcast(qdt)).where(F.col("nid") != F.col("query_id"))
+    adist: Column = F.lit(0.0)
+    for m in range(PQ_M):
+        adist = adist + F.expr(f"element_at(dt{m}, code{m} + 1)")
+    scored = scored.select(
+        "query_id", F.col("nid").alias("neighbor_id"), adist.alias("approx_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
 #: Fixed-point quantization scale for deterministic distributed sums.
 CENTROID_SCALE = 1_000_000.0
 

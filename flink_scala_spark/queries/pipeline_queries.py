@@ -1506,3 +1506,67 @@ def q_sample_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _pq_subdist(v: str, c: str, m: int) -> str:
+    """In-order fold of the subspace-m squared distance (dims
+    m*DSUB+1 .. (m+1)*DSUB), the duck_dot exactness contract."""
+    lo = m * similarity.PQ_DSUB + 1
+    hi = (m + 1) * similarity.PQ_DSUB + 1
+    return (
+        f"list_reduce(list_transform(range({lo}, {hi}), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+    )
+
+
+_PQ_D_COLS = ",\n           ".join(
+    f"{_pq_subdist('t.v', 'cb.c', m)} AS d{m}" for m in range(similarity.PQ_M)
+)
+_PQ_EDU = "\n        UNION ALL ".join(
+    f"SELECT vec_id, code_id, {m} AS m, d{m} AS d FROM ed"
+    for m in range(similarity.PQ_M)
+)
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, v AS c
+           FROM v WHERE vec_id IN (
+               SELECT vec_id FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               LIMIT {similarity.PQ_K})),
+    ed AS (SELECT t.vec_id, cb.code_id,
+           {_PQ_D_COLS}
+           FROM v t CROSS JOIN cb),
+    edu AS (
+        {_PQ_EDU}),
+    encu AS (SELECT vec_id AS neighbor_id, m, code_id AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, code_id) AS rn
+        FROM edu) t WHERE rn = 1),
+    qdu AS (SELECT vec_id AS query_id, code_id, m, d FROM edu
+            WHERE vec_id % 50 = 0),
+    j AS (SELECT e.neighbor_id, q.query_id, e.m, q.d
+          FROM encu e JOIN qdu q ON q.m = e.m AND q.code_id = e.code
+          WHERE e.neighbor_id <> q.query_id),
+    s AS (SELECT query_id, neighbor_id,
+                 list_reduce(list(d ORDER BY m), (x, y) -> x + y) AS approx_dist
+          FROM j GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_dist, neighbor_id) AS rank
+        FROM s) t
+    WHERE rank <= 5
+    """,
+    "similarity", "ann", "pq", "quantization",
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (X88): vectors encoded as 8 codebook
+    ids (32x compression), query distances approximated by in-order
+    sums of broadcast lookup tables — the memory-bound-ANN layer; the
+    deterministic hash-first codebook keeps the oracle exact."""
+    emb = _emb(spark, sf_dir)
+    return similarity.pq_topk(emb, F.col("vec_id") % 50 == 0, k=5)

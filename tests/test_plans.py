@@ -209,7 +209,14 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
     # - late_data_accounting: phase 2 of the distributed prefix-max —
     #   a running max over PER-CHUNK maxima (rows = n/8192; the raw
     #   rows scan in phase 1 is partitioned by chunk).
-    SINGLE_PARTITION_WINDOW_OK = {"revenue_day_over_day", "late_data_accounting"}
+    # - ann_pq_topk: code-id assignment runs row_number over the FIXED
+    #   PQ_K=16 codebook rows (corpus-size-independent by
+    #   construction); the corpus-sized windows are query-partitioned.
+    SINGLE_PARTITION_WINDOW_OK = {
+        "revenue_day_over_day",
+        "late_data_accounting",
+        "ann_pq_topk",
+    }
 
     offenders = {}
     for name, spec in QUERIES.items():

@@ -1570,3 +1570,60 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hash-first codebook keeps the oracle exact."""
     emb = _emb(spark, sf_dir)
     return similarity.pq_topk(emb, F.col("vec_id") % 50 == 0, k=5)
+
+
+@register(
+    "udtf_bigram_topk",
+    """
+    WITH d AS (SELECT string_split(text, ' ') AS w0 FROM documents),
+    f AS (SELECT list_filter(w0, x -> x <> '') AS w FROM d),
+    pos AS (SELECT w, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i FROM f),
+    b AS (SELECT w[i] || ' ' || w[i+1] AS bigram FROM pos)
+    SELECT bigram, count(*) AS cnt FROM b
+    GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    "udtf", "extension-point", "text",
+)
+def q_udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF extension point (SURVEY §2.10): top word bigrams via
+    a registered table function consumed with SQL LATERAL — the
+    Flink TableFunction/flatMap analogue. Row-at-a-time by contract;
+    the engine's production bigram path is the codegen'd
+    sequence+explode (X42) — this entry proves the extension point
+    end-to-end under the exact-oracle gate."""
+    from flink_scala_spark.functions.udx import BigramUDTF
+
+    spark.udtf.register("bigrams_udtf", BigramUDTF)
+    _docs(spark, sf_dir).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT b.bigram, count(*) AS cnt
+        FROM _udtf_docs d, LATERAL bigrams_udtf(d.text) b
+        GROUP BY b.bigram
+        ORDER BY cnt DESC, b.bigram
+        LIMIT 20
+        """
+    )
+
+
+@register(
+    "udaf_second_largest",
+    """
+    SELECT event_type,
+           (list_sort(list(value), 'DESC'))[2] AS second_largest
+    FROM events GROUP BY 1
+    """,
+    "udaf", "extension-point",
+)
+def q_udaf_second_largest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF extension point (SURVEY §2.10,
+    the Flink AggregateFunction analogue): Arrow-batched GROUPED_AGG
+    computing each event type's second-largest value. Selection, not
+    arithmetic — order-insensitive, so the result is shuffle-order
+    independent and hash-exact against the SQL oracle."""
+    from flink_scala_spark.functions.udx import second_largest
+
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        second_largest("value").alias("second_largest")
+    )

@@ -494,3 +494,38 @@ def q_streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total")
     )
     return run_bounded(agg, "complete")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+           round(value, 2) AS value
+    FROM events
+    """,
+    "streaming", "dedup", "watermark",
+)
+def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: the event stream doubled (two
+    replays unioned — every event arrives twice) and collapsed by
+    ``dropDuplicatesWithinWatermark``, the production dedup operator
+    whose per-key state EXPIRES once the watermark passes the event's
+    time (plain dropDuplicates holds keys forever; X32's notes name
+    this variant as the bounded-state path). The duplicate copies are
+    byte-identical, so first-arrival-wins is deterministic and the
+    oracle is simply the original table."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    doubled = ev.unionByName(sources.file_replay(spark, sf_dir, "events"))
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = run_bounded(deduped, "append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch_seconds("ts").alias("ts_l"),
+        F.round("value", 2).alias("value"),
+    )

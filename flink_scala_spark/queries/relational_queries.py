@@ -614,3 +614,129 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) > 2.5)
         .select("event_type", "event_id", "value", z.alias("zscore"))
     )
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+    "relational", "q5",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: local-supplier revenue — the 6-table join whose
+    distinguishing constraint is a NON-key equi-condition between two
+    dimension sides (customer's nation == supplier's nation). The fact
+    table streams once; customer/supplier/nation/region broadcast; the
+    date filter is pushed to the orders scan and DECIMAL sums keep the
+    oracle exact."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(_rev_col()).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "bracketed_revenue",
+    f"""
+    SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    "relational", "q19",
+)
+def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: discounted revenue under a DISJUNCTION of
+    (brand, size, quantity) brackets. The part-side conjuncts of each
+    bracket are pushable to the dimension scan and the residual OR
+    evaluates post-join inside codegen — the canonical test that
+    complex boolean predicates don't break pushdown or force a
+    cartesian. part broadcasts; one pass over lineitem."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    q = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 30))
+    )
+    return j.where(bracket).agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+
+
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           count(*) AS qualifying_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "relational", "q6",
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the pure scan-predicate aggregate — every filter
+    (date range, discount band, quantity cap) must reach the parquet
+    scan as a pushed data filter, and the whole query is one
+    map-side-combinable agg with no shuffle key at all (the final
+    combine is a single tiny reduce)."""
+    l = _t(spark, sf_dir, "lineitem")
+    f = l.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    delta = F.col("l_extendedprice").cast("decimal(12,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return f.agg(
+        F.sum(delta).cast("double").alias("revenue_delta"),
+        F.count("*").alias("qualifying_lineitems"),
+    )

@@ -1627,3 +1627,107 @@ def q_udaf_second_largest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         second_largest("value").alias("second_largest")
     )
+
+
+_CURATION_LANG_CASE = """
+    CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+         WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+         WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+         WHEN fr_hits >= de_hits THEN 'fr'
+         ELSE 'de' END
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    f"""
+    WITH {_SH_CTE}, {_HX_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx GROUP BY doc_id),
+    bands AS (
+  {_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pv AS (WITH {_VERIFY_HASHED_SQL.format(thr=0.5)}),
+    nd AS (SELECT DISTINCT doc_b AS doc_id FROM pv),
+    ex AS (SELECT doc_id,
+                  CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+                      AS is_exact_dup
+           FROM documents),
+    lg AS (SELECT doc_id, {_CURATION_LANG_CASE} AS lang_pred
+           FROM (SELECT doc_id,
+                        {_duck_hits('en')} AS en_hits,
+                        {_duck_hits('es')} AS es_hits,
+                        {_duck_hits('fr')} AS fr_hits,
+                        {_duck_hits('de')} AS de_hits
+                 FROM documents) t),
+    ql AS (SELECT doc_id,
+                  0.4 * (nd_ / nw)
+                    + 0.3 * least(((len_c - (nw - 1.0)) / nw) / 10.0, 1.0)
+                    + 0.3 * (1.0 - sh / nw) AS quality
+           FROM (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+                        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd_,
+                        CAST(length(text) AS DOUBLE) AS len_c,
+                        CAST({_duck_hits('en')} AS DOUBLE) AS sh
+                 FROM documents) t)
+    SELECT d.doc_id, lg.lang_pred, ql.quality, ex.is_exact_dup,
+           CAST(nd.doc_id IS NOT NULL AS INT) AS near_dup_of_earlier,
+           CAST(ex.is_exact_dup = 0 AND nd.doc_id IS NULL
+                AND ql.quality >= 0.5 AND lg.lang_pred <> 'und' AS INT) AS keep
+    FROM documents d
+    JOIN lg USING (doc_id)
+    JOIN ql USING (doc_id)
+    JOIN ex USING (doc_id)
+    LEFT JOIN nd USING (doc_id)
+    """,
+    "pipeline", "composition", "curation",
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation (X95) — the composition a real
+    training-data run executes, chained entirely from this engine's
+    own operators: language ID + quality scoring + exact dedup + the
+    MinHash near-dup pass, folded into a per-document keep decision
+    (keep = canonical text, not a near-dup of an earlier doc, quality
+    >= 0.5, identified language).
+
+    Composition costs only doc_id-keyed joins on top of the member
+    operators (the row-local signals don't shuffle at all; the
+    MinHash stage dominates, with the scale shape of X2). Proves the
+    operators compose like the reference's chained DataStream stages."""
+    docs = _docs(spark, sf_dir)
+    lg = text.lang_id(docs).select("doc_id", "lang_pred")
+    ql = text.quality_score(docs).select("doc_id", "quality")
+    ex = dedup.exact_dedup(docs).select(
+        "doc_id", F.col("is_dup").alias("is_exact_dup")
+    )
+    nd = (
+        dedup.minhash_lsh_dedup(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(1))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(lg, "doc_id")
+        .join(ql, "doc_id")
+        .join(ex, "doc_id")
+        .join(nd, "doc_id", "left")
+    )
+    near = F.coalesce(F.col("_nd"), F.lit(0))
+    keep = (
+        (F.col("is_exact_dup") == 0)
+        & (near == 0)
+        & (F.col("quality") >= 0.5)
+        & (F.col("lang_pred") != "und")
+    ).cast("int")
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        "is_exact_dup",
+        near.alias("near_dup_of_earlier"),
+        keep.alias("keep"),
+    )

@@ -529,3 +529,43 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         epoch_seconds("ts").alias("ts_l"),
         F.round("value", 2).alias("value"),
     )
+
+
+@register(
+    "streaming_windowed_topk",
+    """
+    SELECT window_start, event_type, cnt, CAST(rank AS INT) AS rank FROM (
+        SELECT window_start, event_type, cnt,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY cnt DESC, event_type) AS rank
+        FROM (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                     event_type, count(*) AS cnt
+              FROM events GROUP BY 1, 2) t
+    ) t2 WHERE rank <= 3
+    """,
+    "streaming", "topk", "trending",
+)
+def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live trending top-k (X73's streaming twin): the hourly
+    per-type counts run as a watermarked Structured Streaming window
+    aggregation; the per-window top-3 rank happens batch-side on the
+    final state (Structured Streaming forbids a window function over
+    a streaming agg — the same two-tier split streaming_funnel uses).
+    Same oracle as the batch windowed_topk_types."""
+    from pyspark.sql import Window
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    snap = run_bounded(agg, "complete").select(
+        F.unix_timestamp("w.start").alias("window_start"), "event_type", "cnt"
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        snap.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("window_start", "event_type", "cnt", "rank")
+    )

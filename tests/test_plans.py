@@ -238,3 +238,17 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_q6_scan_predicate_pushdown(spark, sf_dir):
+    """Q6 shape: every filter (date range, discount band, quantity
+    cap) must reach the parquet scan as pushed data filters, and the
+    keyless aggregate must not shuffle on any hash key."""
+    df = QUERIES["forecast_revenue_change"].fn(spark, sf_dir)
+    plan = _plan(df)
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_shipdate" in flat
+    assert "LessThan(l_quantity" in flat
+    assert "GreaterThanOrEqual(l_discount" in flat
+    simple = _plan(df, "simple")
+    assert "Exchange hashpartitioning" not in simple

@@ -356,3 +356,67 @@ def test_incremental_dedup_matches_full_run_cross_pairs(spark, sf_dir):
         for r in inc
     }
     assert cross_inc == cross_full
+
+
+def test_group_sample_partition_invariance(spark, sf_dir):
+    """The hash-rank k-sample must select the IDENTICAL row set under
+    any physical layout — the property that separates it from
+    rand()-based sampling, whose draw depends on partitioning."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline.sampling import group_sample_k
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "event_type")
+
+    def sample_set(df):
+        return {
+            (r["event_type"], r["event_id"], r["sample_rank"])
+            for r in group_sample_k(df, "event_type", "event_id", 7).collect()
+        }
+
+    base = sample_set(ev)
+    assert len(base) > 0
+    assert sample_set(ev.repartition(17)) == base
+    assert sample_set(ev.repartition(3, "event_id")) == base
+
+
+def test_bloom_decontamination_never_misses(spark, sf_dir):
+    """Bloom contract: every exact hit must be bloom-positive
+    (n_bloom_hits >= n_exact_hits per doc), and the two agree with the
+    exact decontamination operator's counts."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import text as tx
+
+    docs = tables.load(spark, sf_dir, "documents")
+    bl = {
+        r["doc_id"]: r for r in tx.decontamination_bloom(docs, n=5).collect()
+    }
+    ex = {r["doc_id"]: r for r in tx.decontamination(docs, n=5).collect()}
+    assert bl.keys() == ex.keys()
+    for doc_id, b in bl.items():
+        assert b["n_bloom_hits"] >= b["n_exact_hits"], doc_id
+        assert b["n_false_pos"] == b["n_bloom_hits"] - b["n_exact_hits"]
+        assert b["n_exact_hits"] == ex[doc_id]["n_contaminated"], doc_id
+        assert b["n_shingles"] == ex[doc_id]["n_shingles"], doc_id
+
+
+def test_pq_encoding_partition_invariance(spark, sf_dir):
+    """PQ ranks must be identical under any layout of the corpus: the
+    codebook is a pure function of the id set and every distance is a
+    fixed-order fold, so repartitioning cannot move a neighbor."""
+    import pyspark.sql.functions as F
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pred = F.col("vec_id") % 100 == 0
+
+    def ranks(df):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["approx_dist"])
+            for r in similarity.pq_topk(df, pred, k=3).collect()
+        }
+
+    base = ranks(emb)
+    assert len(base) > 0
+    assert ranks(emb.repartition(13)) == base

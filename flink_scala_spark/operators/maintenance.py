@@ -46,3 +46,64 @@ def compact_parquet(
         df = df.sortWithinPartitions(*sort_cols)
     df.write.mode("overwrite").parquet(dst_dir)
     return spark.read.parquet(dst_dir)
+
+
+ZORDER_BITS = 8  # per-dimension resolution: 256 buckets
+
+
+def zorder_value(df: DataFrame, col_a: str, col_b: str):
+    """Morton (Z-order) key over two numeric columns, as a pure column
+    expression plus the one tiny stats agg it needs.
+
+    Each column is min/max-normalized into ``2^ZORDER_BITS`` uniform
+    buckets (the stats agg is a single map-side-combinable reduce —
+    O(1) driver data), then the two 8-bit bucket ids interleave
+    bit-by-bit into a 16-bit z-value. Sorting by the z-value clusters
+    rows so that parquet min/max stats prune on EITHER column — the
+    multi-dimensional generalization of the single-column
+    ``sort_cols`` clustering above.
+
+    Returns (df_with_zval, stats_row) — the z-value column is named
+    ``_zval``.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        F.min(col_a).alias("min_a"),
+        F.max(col_a).alias("max_a"),
+        F.min(col_b).alias("min_b"),
+        F.max(col_b).alias("max_b"),
+    ).first()
+    n_buckets = (1 << ZORDER_BITS) - 1
+
+    def bucket(col: str, lo, hi):
+        if hi == lo:
+            return F.lit(0)
+        frac = (F.col(col).cast("double") - float(lo)) / (float(hi) - float(lo))
+        return F.least(
+            F.floor(frac * (n_buckets + 1)).cast("int"), F.lit(n_buckets)
+        )
+
+    ba = bucket(col_a, stats["min_a"], stats["max_a"])
+    bb = bucket(col_b, stats["min_b"], stats["max_b"])
+    z = F.lit(0)
+    for i in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ba, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(bb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return df.withColumn("_zval", z.cast("int")), stats
+
+
+def zorder_layout(
+    df: DataFrame, col_a: str, col_b: str, num_files: int
+) -> DataFrame:
+    """Cluster ``df`` into ``num_files`` z-ordered partitions:
+    range-partition on the Morton key, then sort within each partition
+    — after writing, per-file min/max spans of BOTH columns shrink to
+    ~1/sqrt(files) of their global range, so predicates on either
+    column skip most files. No global sort: repartitionByRange samples
+    split points, the per-partition sorts are local."""
+    z, _ = zorder_value(df, col_a, col_b)
+    return z.repartitionByRange(num_files, "_zval").sortWithinPartitions("_zval")

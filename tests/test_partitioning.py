@@ -77,3 +77,37 @@ def test_compaction_shrinks_files_and_preserves_rows(spark, tmp_path, sf_dir):
     assert sorted(map(tuple, out.select("event_id").collect())) == sorted(
         map(tuple, events.select("event_id").collect())
     )
+
+
+def test_zorder_layout_shrinks_both_column_spans(spark, sf_dir):
+    """Z-order clustering must shrink per-partition min/max spans on
+    BOTH dimensions simultaneously (a single-column sort only shrinks
+    its own column's spans) — the property that makes parquet min/max
+    pruning work for predicates on either column."""
+    import pyspark.sql.functions as F
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.operators.maintenance import zorder_layout
+
+    ev = tables.load(spark, sf_dir, "events").select("user_id", "value")
+    n_parts = 16
+
+    def mean_spans(df):
+        spans = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("span_u"),
+                (F.max("value") - F.min("value")).alias("span_v"),
+            )
+            .agg(F.avg("span_u").alias("u"), F.avg("span_v").alias("v"))
+            .first()
+        )
+        return spans["u"], spans["v"]
+
+    base_u, base_v = mean_spans(ev.repartition(n_parts))
+    z_u, z_v = mean_spans(zorder_layout(ev, "user_id", "value", n_parts))
+    # both dimensions clustered: spans shrink substantially vs
+    # round-robin (which leaves every partition spanning ~everything)
+    assert z_u < base_u * 0.6, (z_u, base_u)
+    assert z_v < base_v * 0.6, (z_v, base_v)

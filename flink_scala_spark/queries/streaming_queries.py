@@ -569,3 +569,69 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("window_start", "event_type", "cnt", "rank")
     )
+
+
+@register(
+    "streaming_interval_join_outer",
+    """
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'error'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+        ) - INTERVAL 1 MINUTE AS w
+    )
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.ts <= e.ts
+    WHERE c.event_id IS NOT NULL OR e.ts <= (SELECT w FROM wm)
+    """,
+    "join", "interval", "outer", "streaming",
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, live: errors with no
+    click in the preceding 10 minutes still emit — with a NULL click —
+    once the watermark proves no match can arrive. This is the
+    capability a plain inner stream-stream join lacks (the null row
+    can only be emitted when state for the left row expires), and the
+    classic source of silent data loss when watermarks are
+    misconfigured.
+
+    The oracle models the watermark semantics EXACTLY rather than
+    pretending the stream fully drains: the global watermark is the
+    MIN of the two inputs' (max event time - 1 min) watermarks, and
+    an unmatched left row emits its null only if the watermark passed
+    its event time — so the very latest unmatched error(s) stay in
+    state forever on a bounded replay (exactly what production
+    operators observe as "the last rows never emit" until new data
+    advances the watermark). Matched rows are unaffected."""
+    errors = (
+        sources.file_replay(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 minute")
+    )
+    clicks = (
+        sources.file_replay(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("interval 10 minutes"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "left_outer",
+    ).select("error_id", "click_id")
+    return run_bounded(joined, "append")

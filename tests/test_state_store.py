@@ -1,0 +1,71 @@
+"""Large-state and observability surfaces.
+
+- RocksDB state store provider: the backend a 100 TB streaming state
+  actually runs on (the default HDFS-backed store holds state on the
+  executor heap; RocksDB spills to local disk). Semantics must be
+  byte-identical — the provider is configuration, not code.
+- ``observe()`` metrics: Spark's analogue of the reference's runtime
+  counters/metrics surface — per-batch aggregates collected without a
+  second pass over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _keyed_sum(spark, sf_dir):
+    from flink_scala_spark.streaming import sources
+    from flink_scala_spark.streaming.runner import run_bounded
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("total"))
+    return {
+        (r["user_id"], r["total"]) for r in run_bounded(agg, "complete").collect()
+    }
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The RocksDB provider must produce the identical final state as
+    the default provider for the same keyed streaming aggregation —
+    swapping the state backend is a config change, never a semantics
+    change."""
+    base = _keyed_sum(spark, sf_dir)
+    assert base
+    key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, ROCKSDB)
+    try:
+        rocks = _keyed_sum(spark, sf_dir)
+    finally:
+        spark.conf.unset(key)
+    assert rocks == base
+
+
+def test_observe_collects_metrics_without_second_pass(spark, sf_dir):
+    """df.observe() must report the same aggregates a separate pass
+    computes, piggybacked on the query's own execution — the runtime
+    metrics/counters surface (Flink's Counter/Gauge analogue)."""
+    from pyspark.sql import Observation
+
+    from flink_scala_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    obs = Observation("ev_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+    n = observed.count()  # one action drives both the count and the metrics
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).first()
+    got = obs.get
+    assert got["n_rows"] == n == direct["n"]
+    assert got["min_v"] == direct["lo"]
+    assert got["max_v"] == direct["hi"]

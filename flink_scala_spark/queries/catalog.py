@@ -1513,3 +1513,38 @@ def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.where(F.col("is_grid") == 1).select(
         "user_id", "grid_ts", F.round("filled_value", 2).alias("filled_value")
     )
+
+
+@register(
+    "scd2_history",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS eff_from,
+           lead(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to,
+           CAST(lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                IS NULL AS INT) AS is_current,
+           round(value, 2) AS value
+    FROM events WHERE event_type = 'purchase'
+    """,
+    "warehouse", "scd2", "cdc",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: each key's change events
+    become validity intervals [eff_from, eff_to) with the latest row
+    flagged current — the dimension-history build every warehouse
+    ingest runs on CDC streams. One shuffle on the key, one
+    in-partition sort, lead() closes each interval; event_id breaks
+    same-second ties identically in both engines."""
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_l = epoch_seconds("ts")
+    nxt_ts = F.lead(ts_l).over(w)
+    nxt_id = F.lead("event_id").over(w)
+    return ev.select(
+        "user_id",
+        ts_l.alias("eff_from"),
+        nxt_ts.alias("eff_to"),
+        nxt_id.isNull().cast("int").alias("is_current"),
+        F.round("value", 2).alias("value"),
+    )

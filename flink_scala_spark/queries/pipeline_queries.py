@@ -1731,3 +1731,47 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         near.alias("near_dup_of_earlier"),
         keep.alias("keep"),
     )
+
+
+@register(
+    "dedup_triangles",
+    f"""
+    WITH {_SH_CTE}, {_HX_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx GROUP BY doc_id),
+    bands AS (
+  {_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pv AS (WITH {_VERIFY_HASHED_SQL.format(thr=0.5)})
+    SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+    FROM pv p1
+    JOIN pv p2 ON p2.doc_a = p1.doc_b
+    JOIN pv p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+    """,
+    "dedup", "graph", "triangles",
+)
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the verified near-dup graph (X101):
+    the third classic distributed-graph shape after components (X16)
+    and PageRank (X63) — triangle density separates true duplicate
+    clusters (cliques) from chains of borderline pairs, a standard
+    cluster-quality signal before collapsing a dedup cluster.
+
+    Every edge is stored once as (a < b), so ordered edge-joins
+    (ab ⋈ bc ⋈ ac) enumerate each triangle exactly once — the
+    degree-ordered join that bounds the classic triangle-count blowup.
+    The verified pair table is checkpointed once (it is LSH-pruned and
+    small relative to the corpus) so the three join instances reuse it
+    instead of re-running the MinHash pipeline three times."""
+    pairs = (
+        dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")

@@ -1754,7 +1754,7 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup", "graph", "triangles",
 )
 def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle enumeration over the verified near-dup graph (X101):
+    """Triangle enumeration over the verified near-dup graph (X102):
     the third classic distributed-graph shape after components (X16)
     and PageRank (X63) — triangle density separates true duplicate
     clusters (cliques) from chains of borderline pairs, a standard

@@ -1775,3 +1775,102 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     ac = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+
+
+_SEMDEDUP_SQL = (
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM v WHERE vec_id < """
+    + str(_KM_K)
+    + "),"
+    + _KM_ASSIGN.format(it=1, prev=0, dist=_km_sqdist("v.v", "c.c"))
+    + ","
+    + _KM_UPDATE.format(it=1)
+    + ","
+    + _KM_ASSIGN.format(it=2, prev=1, dist=_km_sqdist("v.v", "c.c"))
+    + f"""
+    , n AS (SELECT a2.vec_id, a2.cid, e.embedding,
+                   {duck_dot('e.embedding', 'e.embedding')} AS nsq
+            FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id)
+    SELECT a.cid AS cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {duck_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq) AS cosine
+    FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {duck_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq) >= 0.4
+    """
+)
+
+
+@register(
+    "semantic_dedup",
+    _SEMDEDUP_SQL,
+    "dedup", "embedding", "semdedup",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (X103): k-means clusters
+    the embedding space (the exact fixed-point Lloyd's of X60), then
+    near-duplicate pairs are scored ONLY within a cluster — the
+    pruning that makes semantic dedup tractable at 100 TB (clusters
+    bound the quadratic stage the way LSH buckets do, but by meaning
+    rather than hash).
+
+    Shape: the assignment join is X60's (broadcast centroids, codegen
+    argmin, no big-table shuffle); the within-cluster pair stage is
+    one groupBy(cluster).applyInPandas with the same per-dimension
+    in-order accumulation as every other cosine in this engine, so
+    the composed oracle (k-means CTEs + per-cluster pair join) stays
+    hash-exact. At scale, cluster count is the knob bounding the
+    per-group quadratic block (more clusters -> smaller blocks), and
+    oversized clusters fall back to the tile-pair decomposition of
+    near_dup_pairs_blocked."""
+    import numpy as np  # noqa: F401 - scorer imports inside closure
+
+    emb = _emb(spark, sf_dir)
+    asg = similarity.kmeans_assign_fixed(emb, k=8, iters=2).select(
+        "vec_id", "cluster_id"
+    )
+    joined = emb.select("vec_id", "embedding").join(asg, "vec_id")
+
+    def score(keys, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {"cluster_id": [], "vec_a": [], "vec_b": [], "cosine": []}
+        ).astype(
+            {
+                "cluster_id": "int32",
+                "vec_a": "int64",
+                "vec_b": "int64",
+                "cosine": "float64",
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        cid = int(keys[0])
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        A = _np.stack(
+            [_np.asarray(x, dtype=_np.float64) for x in pdf["embedding"]]
+        )
+        acc = _np.zeros((len(A), len(A)))
+        nsq = _np.zeros(len(A))
+        for k in range(similarity.DIM):
+            acc += _np.outer(A[:, k], A[:, k])
+            nsq += A[:, k] * A[:, k]
+        cos = acc / _np.sqrt(_np.outer(nsq, nsq))
+        ii, jj = _np.nonzero((cos >= 0.4) & (ids[:, None] < ids[None, :]))
+        if len(ii) == 0:
+            return empty
+        return _pd.DataFrame(
+            {
+                "cluster_id": _np.full(len(ii), cid, dtype="int32"),
+                "vec_a": ids[ii],
+                "vec_b": ids[jj],
+                "cosine": cos[ii, jj],
+            }
+        )
+
+    return joined.groupBy("cluster_id").applyInPandas(
+        score, "cluster_id int, vec_a long, vec_b long, cosine double"
+    )

@@ -162,3 +162,141 @@ def test_restart_resumes_state_and_offsets(spark, sf_dir, tmp_path, split_input)
     # checkpoint dir externalized: offsets + commits + state survive (F5)
     assert os.path.isdir(os.path.join(ckpt, "offsets"))
     assert os.path.isdir(os.path.join(ckpt, "state"))
+
+
+def test_restart_resumes_stream_stream_join_state(spark, sf_dir, tmp_path):
+    """F2/F6 for JOIN state: an interval join's buffered rows must
+    survive a restart. The input is split by TIME; matches whose click
+    arrived in drop 1 and whose error arrives in drop 2 can only be
+    emitted if the restarted query restored the click-side state AND
+    did not re-read drop 1 (re-reading would duplicate pairs in the
+    append sink)."""
+    import duckdb as _dd
+
+    from flink_scala_spark import tables
+
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    src = tables.load(spark, sf_dir, "events")
+    mid_ts = src.select(
+        F.percentile_approx(epoch_seconds("ts"), 0.5, 10000).alias("m")
+    ).first()["m"]
+    in_dir = str(tmp_path / "jinput")
+    (
+        src.where(epoch_seconds("ts") < mid_ts)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir)
+    )
+    ckpt = str(tmp_path / "jckpt")
+    db = str(tmp_path / "jsink.duckdb")
+    schema = spark.read.parquet(in_dir).schema
+
+    def build(stream):
+        # watermarks need TIMESTAMP; the raw parquet may carry NTZ
+        # (session pinned to UTC -> the cast is an exact identity)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        errors = (
+            stream.where(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_id"),
+                "user_id",
+                F.col("ts").alias("e_ts"),
+            )
+            .withWatermark("e_ts", "1 minute")
+        )
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 minute")
+        )
+        return errors.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e_ts") - F.expr("interval 10 minutes"))
+            & (F.col("c_ts") <= F.col("e_ts")),
+            "inner",
+        ).select("error_id", "click_id")
+
+    def writer(batch_df, batch_id):
+        pdf = batch_df.toPandas()
+        con = _dd.connect(db)
+        try:
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS pairs(error_id BIGINT, click_id BIGINT)"
+            )
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS _done(batch_id BIGINT PRIMARY KEY)"
+            )
+            if con.execute(
+                "SELECT 1 FROM _done WHERE batch_id = ?", [batch_id]
+            ).fetchone():
+                return
+            con.execute("BEGIN")
+            con.register("_b", pdf)
+            con.execute("INSERT INTO pairs SELECT error_id, click_id FROM _b")
+            con.execute("INSERT INTO _done VALUES (?)", [batch_id])
+            con.execute("COMMIT")
+        finally:
+            con.close()
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            build(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(writer)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run_once()
+    (
+        src.where(epoch_seconds("ts") >= mid_ts)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir)
+    )
+    run_once()
+
+    errors_b = src.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    clicks_b = src.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    expected = {
+        (r["error_id"], r["click_id"])
+        for r in errors_b.join(
+            clicks_b,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e_ts") - F.expr("interval 10 minutes"))
+            & (F.col("c_ts") <= F.col("e_ts")),
+            "inner",
+        ).collect()
+    }
+    con = _dd.connect(db)
+    got = con.execute("SELECT error_id, click_id FROM pairs").fetchall()
+    con.close()
+    assert len(got) == len(set(got)), "replayed batches duplicated pairs"
+    cross = {
+        (e, c)
+        for (e, c) in expected
+        if e is not None and c is not None
+    }
+    assert set(got) == cross

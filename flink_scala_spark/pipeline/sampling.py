@@ -105,6 +105,39 @@ CMS_DEPTH = 4
 CMS_WIDTH = 1024
 
 
+def cms_flat_cells(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(word, d, col) rows: each word instance's ``depth`` sketch
+    cells (``h60('d:word') % width``) — shared by the batch sketch and
+    its streaming twin so both engines and both modes hash into the
+    identical counters."""
+    words = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    cells = words.select(
+        "word",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    F.pmod(
+                        h60(F.concat_ws(":", F.lit(str(d)), F.col("word"))),
+                        F.lit(width),
+                    ).cast("int").alias("col"),
+                )
+                for d in range(depth)
+            ]
+        ).alias("cs"),
+    )
+    return cells.select("word", F.explode("cs").alias("c")).select(
+        "word", F.col("c.d").alias("d"), F.col("c.col").alias("col")
+    )
+
+
 def cms_word_counts(
     docs: DataFrame,
     text_col: str = "text",
@@ -126,27 +159,7 @@ def cms_word_counts(
     (per-partition sketches sum cell-wise), which is why production
     heavy-hitter pipelines ship sketches, not word lists.
     """
-    words = docs.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("word")
-    ).where(F.col("word") != "")
-    cells = words.select(
-        "word",
-        F.array(
-            *[
-                F.struct(
-                    F.lit(d).alias("d"),
-                    F.pmod(
-                        h60(F.concat_ws(":", F.lit(str(d)), F.col("word"))),
-                        F.lit(width),
-                    ).cast("int").alias("col"),
-                )
-                for d in range(depth)
-            ]
-        ).alias("cs"),
-    )
-    flat = cells.select("word", F.explode("cs").alias("c")).select(
-        "word", F.col("c.d").alias("d"), F.col("c.col").alias("col")
-    )
+    flat = cms_flat_cells(docs, text_col, depth, width)
     sketch = flat.groupBy("d", "col").agg(F.count("*").alias("cell_cnt"))
     exact = flat.where(F.col("d") == 0).groupBy("word").agg(
         F.count("*").alias("exact_cnt")
@@ -239,3 +252,36 @@ def group_sample_k(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= int(k))
     )
+
+
+def cms_oracle_sql() -> str:
+    """The exact DuckDB oracle for the count-min heavy-hitter output —
+    shared by the batch query and its streaming twin (identical
+    counters and estimates, so one oracle serves both)."""
+    from flink_scala_spark.functions import duck_h60
+
+    cells = ", ".join(
+        "({h}) % {w} AS c{d}".format(
+            h=duck_h60("'%d:' || word" % d), d=d, w=CMS_WIDTH
+        )
+        for d in range(CMS_DEPTH)
+    )
+    flat_union = "\n        UNION ALL ".join(
+        f"SELECT word, {d}, c{d} FROM cells" if d else
+        f"SELECT word, 0 AS d, c0 AS col FROM cells"
+        for d in range(CMS_DEPTH)
+    )
+    return f"""
+    WITH words AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    w AS (SELECT word FROM words WHERE word <> ''),
+    cells AS (SELECT word, {cells} FROM w),
+    flat AS (
+        {flat_union}),
+    sketch AS (SELECT d, col, count(*) AS cell_cnt FROM flat GROUP BY 1, 2),
+    exact AS (SELECT word, count(*) AS exact_cnt FROM flat WHERE d = 0 GROUP BY 1),
+    ic AS (SELECT DISTINCT word, d, col FROM flat),
+    est AS (SELECT ic.word, min(s.cell_cnt) AS cms_cnt
+            FROM ic JOIN sketch s ON s.d = ic.d AND s.col = ic.col GROUP BY 1)
+    SELECT e.word, e.exact_cnt, est.cms_cnt
+    FROM exact e JOIN est ON est.word = e.word
+    """

@@ -635,3 +635,42 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         "left_outer",
     ).select("error_id", "click_id")
     return run_bounded(joined, "append")
+
+
+from flink_scala_spark.pipeline.sampling import cms_oracle_sql  # noqa: E402
+
+
+@register(
+    "streaming_cms_heavy_hitters",
+    cms_oracle_sql(),
+    "streaming", "sketch", "cms",
+)
+def q_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built LIVE (X104): the 4x1024 counter table is
+    maintained as streaming state (one map-side-combinable groupBy
+    over the replayed document stream — the sketch IS the state, fixed
+    size no matter the stream length), then the heavy-hitter estimates
+    are scored batch-side against the final counters (the same
+    two-tier split as streaming_funnel). Counters and estimates are
+    bit-identical to the batch twin, so the exact oracle is shared."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline.sampling import cms_flat_cells
+
+    stream_docs = sources.file_replay(spark, sf_dir, "documents")
+    flat_s = cms_flat_cells(stream_docs)
+    sketch = run_bounded(
+        flat_s.groupBy("d", "col").agg(F.count("*").alias("cell_cnt")),
+        "complete",
+    )
+    flat_b = cms_flat_cells(tables.load(spark, sf_dir, "documents"))
+    exact = flat_b.where(F.col("d") == 0).groupBy("word").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    est = (
+        flat_b.distinct()
+        .join(F.broadcast(sketch), ["d", "col"])
+        .groupBy("word")
+        .agg(F.min("cell_cnt").alias("cms_cnt"))
+    )
+    return exact.join(est, "word").select("word", "exact_cnt", "cms_cnt")
+

@@ -59,3 +59,21 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert sorted(sdf.columns) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert _sorted_rows(sdf.columns, s_rows) == _sorted_rows(d_cols, d_rows)
+
+
+def test_driver_priority_head_is_valid():
+    """The driver's gate checks the FIRST 50 queries() entries; every
+    priority name must exist in the catalog, be unique, and every
+    oracle-able head entry must actually carry an oracle."""
+    import __spark_entry__ as se
+
+    head = se._PRIORITY[:50]
+    assert len(head) == len(set(head)) == 50
+    for name in head:
+        assert name in QUERIES, name
+    ordered = list(se.queries())
+    assert ordered[:50] == head
+    missing_oracles = [
+        n for n in head if QUERIES[n].oracle is None and n != "approx_ndv_hll"
+    ]
+    assert missing_oracles == []

@@ -420,3 +420,62 @@ def test_pq_encoding_partition_invariance(spark, sf_dir):
     base = ranks(emb)
     assert len(base) > 0
     assert ranks(emb.repartition(13)) == base
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.lists(
+                st.floats(
+                    min_value=-8, max_value=8, allow_nan=False, width=32
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=14,
+        unique_by=lambda t: t[0],
+    ),
+    tile_rows=st.integers(min_value=1, max_value=6),
+)
+def test_blocked_near_dup_fuzz_vs_bruteforce(spark, data, tile_rows):
+    """Property: for ANY id set (negative ids included) and ANY tile
+    size, the blocked all-pairs path returns exactly the brute-force
+    pair set with bit-identical cosines."""
+    import itertools
+
+    import numpy as np
+
+    from flink_scala_spark.pipeline import similarity
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in data], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.near_dup_pairs_blocked(
+            emb, threshold=-2.0, dim=4, max_tile_rows=tile_rows
+        ).collect()
+    }
+    expect = {}
+    vecs = {i: np.asarray(v, dtype=np.float64) for i, v in data}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        dot = nsa = nsb = 0.0
+        for k in range(4):
+            dot += va[k] * vb[k]
+            nsa += va[k] * va[k]
+            nsb += vb[k] * vb[k]
+        if nsa == 0.0 or nsb == 0.0:
+            continue  # zero vector -> NaN cosine; excluded below too
+        expect[(a, b)] = dot / np.sqrt(nsa * nsb)
+    got = {k: v for k, v in got.items() if not (v != v)}  # drop NaN rows
+    expect = {k: v for k, v in expect.items() if not (v != v)}
+    assert got == expect

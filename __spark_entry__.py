@@ -30,15 +30,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-3 rotation: (a) the four queries whose implementations changed
-# this round (quantize digest, blocked near-dup, fixed-k IVF,
-# containment blocking — plus incremental_dedup's profile versioning
-# and late_data_accounting's order-key guard) lead; (b) every entry
-# never yet driver-verified in rounds 1-2 (25 of them) follows, so the
-# union of driver-green rows approaches the full catalog; (c) the
-# remaining slots refresh round-1-only entries across the window /
-# streaming / keyed-agg families. Everything else stays covered by
-# tests/test_catalog_oracle.py at sf0.001 every pytest run.
+# Round-3 rotation: (a) the seven queries whose round-3 changes touch
+# their results or hardening (quantize digest, blocked near-dup,
+# fixed-k IVF, containment blocking, incremental_dedup profile
+# versioning, late_data_accounting's order-key guard, gap_fill's
+# tie-break) lead; (b) the 22 entries never driver-verified in rounds
+# 1-2 follow, so the union of driver-green rows approaches the full
+# catalog (the other three never-verified entries —
+# embedding_quantize_int8, dedup_containment, gap_fill_forward — are
+# already in (a)); (c) the remaining 21 slots refresh round-1-only
+# entries across the window / streaming / keyed-agg families.
+# Everything else stays covered by tests/test_catalog_oracle.py at
+# sf0.001 every pytest run, and the head contract is pinned by
+# tests/test_catalog_oracle.py::test_driver_priority_head_is_valid.
 _PRIORITY = [
     # (a) changed this round — must re-earn green driver rows
     "embedding_quantize_int8",

@@ -17,6 +17,10 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+#: Measured runs per query (best-of-N recorded). Clamped once here so
+#: the loop and the emitted runs_per_query metadata cannot disagree.
+MEASURE_RUNS = max(1, int(os.environ.get("MEASURE_RUNS", "2")))
+
 HEADLINE = [
     "order_dashboard_total",
     "order_dashboard_province",
@@ -111,9 +115,8 @@ def main() -> None:
         # drowns the real regressions a round-over-round comparison
         # is meant to catch. The JSON declares runs/agg so rounds are
         # compared like-for-like.
-        runs = int(os.environ.get("MEASURE_RUNS", "2"))
         best, n = None, 0
-        for _ in range(max(1, runs)):
+        for _ in range(MEASURE_RUNS):
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -137,7 +140,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "runs_per_query": int(os.environ.get("MEASURE_RUNS", "2")),
+        "runs_per_query": MEASURE_RUNS,
         "agg": "min",
     }
     print(json.dumps(out))

@@ -618,16 +618,24 @@ def incremental_near_dup(
     and verify side then reuse the cache (three derivations of a
     recomputed-from-text profile would otherwise re-shingle the
     corpus; a parquet-backed profile table makes the persist a cheap
-    columnar cache). The result is eagerly materialized
-    (``localCheckpoint``, it is candidate-pair-sized) so both caches
-    are released before returning."""
+    columnar cache). Cache OWNERSHIP is respected: if the caller
+    already persisted corpus_profiles (the stored-table pattern —
+    one cache reused across many ingest batches), this call leaves
+    that cache alone; only a cache this call created is released.
+    The result is eagerly materialized (``localCheckpoint``, it is
+    candidate-pair-sized) so this call's caches are gone before
+    returning."""
     if "profile_ver" not in corpus_profiles.columns:
         raise ValueError(
             "corpus_profiles lacks the profile_ver column — profiles "
             "persisted before versioning (or by foreign code) are not "
             f"safe to consume; re-ingest with doc_profiles (v{PROFILE_VERSION})."
         )
-    corpus_profiles = corpus_profiles.persist()
+    from pyspark import StorageLevel
+
+    caller_cached = corpus_profiles.storageLevel != StorageLevel.NONE
+    if not caller_cached:
+        corpus_profiles = corpus_profiles.persist()
     stale = (
         corpus_profiles.select("profile_ver")
         .where(F.col("profile_ver") != PROFILE_VERSION)
@@ -635,7 +643,8 @@ def incremental_near_dup(
         .collect()
     )
     if stale:
-        corpus_profiles.unpersist()
+        if not caller_cached:
+            corpus_profiles.unpersist()
         raise ValueError(
             f"doc profile version mismatch: stored={stale[0][0]} "
             f"expected={PROFILE_VERSION}; re-ingest the corpus profiles."
@@ -674,7 +683,8 @@ def incremental_near_dup(
         .localCheckpoint()
     )
     new_prof.unpersist()
-    corpus_profiles.unpersist()
+    if not caller_cached:
+        corpus_profiles.unpersist()
     return out
 
 

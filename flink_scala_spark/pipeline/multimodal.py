@@ -171,10 +171,12 @@ def resize_images(assets: DataFrame, max_side: int = 256) -> DataFrame:
 
 
 def real_decode_available() -> bool:
-    """Feature probe: True when pillow is importable on the driver.
-    (Executors probe independently inside the extraction closure —
-    on a heterogeneous cluster the probe must run where the decode
-    runs.)"""
+    """Feature probe: True when pillow is importable on the DRIVER.
+    This is a pre-flight convenience only — on a heterogeneous
+    cluster an executor may still lack pillow, in which case
+    ``decoder='real'`` fails at task level with an explicit
+    RuntimeError naming the missing dependency (raised inside the
+    extraction closure, where the decode actually runs)."""
     try:
         import PIL  # noqa: F401
 
@@ -209,7 +211,15 @@ def extract_features(assets: DataFrame, decoder: str = "fake") -> DataFrame:
         if use_real:
             import io as _io
 
-            from PIL import Image as _Image
+            try:
+                from PIL import Image as _Image
+            except ImportError as e:
+                raise RuntimeError(
+                    "extract_features(decoder='real') needs pillow on "
+                    "THIS executor; it is importable on the driver but "
+                    "missing here — install it cluster-wide or use the "
+                    "deterministic fake decoder"
+                ) from e
 
             def fake_decode(payload: bytes):
                 im = _Image.open(_io.BytesIO(payload))

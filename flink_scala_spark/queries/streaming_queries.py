@@ -586,7 +586,7 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON e.user_id = c.user_id
      AND c.ts >= e.ts - INTERVAL 10 MINUTE
      AND c.ts <= e.ts
-    WHERE c.event_id IS NOT NULL OR e.ts <= (SELECT w FROM wm)
+    WHERE c.event_id IS NOT NULL OR e.ts < (SELECT w FROM wm)
     """,
     "join", "interval", "outer", "streaming",
 )
@@ -603,10 +603,12 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     pretending the stream fully drains: the global watermark is the
     MIN of the two inputs' (max event time - 1 min) watermarks, and
     an unmatched left row emits its null only if the watermark passed
-    its event time — so the very latest unmatched error(s) stay in
-    state forever on a bounded replay (exactly what production
-    operators observe as "the last rows never emit" until new data
-    advances the watermark). Matched rows are unaffected."""
+    STRICTLY beyond its event time (eviction is exclusive at the
+    boundary — verified empirically with a crafted at-the-watermark
+    row) — so the very latest unmatched error(s) stay in state forever
+    on a bounded replay (exactly what production operators observe as
+    "the last rows never emit" until new data advances the watermark).
+    Matched rows are unaffected."""
     errors = (
         sources.file_replay(spark, sf_dir, "events")
         .where(F.col("event_type") == "error")

@@ -135,3 +135,59 @@ def test_chunked_prefix_max_matches_bruteforce(spark):
         return res
 
     assert out == ref(), (out, ref())
+
+
+def test_outer_interval_join_watermark_boundary_is_exclusive(spark, tmp_path):
+    """Eviction (and thus null emission) for the outer stream-stream
+    join is STRICT: an unmatched error exactly AT the final watermark
+    must not emit, one strictly below must. Pins the `<` in the
+    streaming_interval_join_outer oracle against a crafted corpus."""
+    import duckdb
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    base = 1_700_000_000
+    rows = [
+        # unmatched errors for user 1: below wm / at wm / above wm(max)
+        (1, base + 900, 1, "error", 1.0, "{}"),
+        (2, base + 1000, 1, "error", 1.0, "{}"),
+        (3, base + 1060, 1, "error", 1.0, "{}"),
+        # clicks for another user keep the click-side watermark ahead
+        (4, base + 500, 2, "click", 1.0, "{}"),
+        (5, base + 2000, 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_l long, user_id long, event_type string, "
+        "value double, props string"
+    ).select(
+        "event_id",
+        F.timestamp_seconds("ts_l").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(sf)
+    src = glob.glob(str(tmp_path / "raw") + "/*.parquet")[0]
+    shutil.copy(src, os.path.join(sf, "events.parquet"))
+
+    got = {
+        (r["error_id"], r["click_id"])
+        for r in QUERIES["streaming_interval_join_outer"].fn(spark, sf).collect()
+    }
+    # wm = min(max error ts, max click ts) - 60 = (base+1060) - 60
+    assert (1, None) in got  # strictly below the watermark: emitted
+    assert (2, None) not in got  # exactly at the watermark: still in state
+    assert (3, None) not in got  # above the watermark
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    oracle = set(
+        con.execute(QUERIES["streaming_interval_join_outer"].oracle).fetchall()
+    )
+    assert got == oracle

@@ -38,8 +38,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # 1-2 follow, so the union of driver-green rows approaches the full
 # catalog (the other three never-verified entries —
 # embedding_quantize_int8, dedup_containment, gap_fill_forward — are
-# already in (a)); (c) the remaining 21 slots refresh round-1-only
-# entries across the window / streaming / keyed-agg families.
+# already in (a)); (b2) the six operators added mid-round-3 (duplicate
+# -passage dedup, rarity scoring, Q17/Q22/Q21/Q12 shapes); (c) the
+# remaining slots refresh round-1-only entries across the window /
+# streaming / keyed-agg families.
 # Everything else stays covered by tests/test_catalog_oracle.py at
 # sf0.001 every pytest run, and the head contract is pinned by
 # tests/test_catalog_oracle.py::test_driver_priority_head_is_valid.
@@ -75,15 +77,16 @@ _PRIORITY = [
     "value_deciles",
     "copurchase_pairs",
     "value_outliers",
+    # (b2) added this session — never driver-checked
+    "dedup_substring_spans",
+    "text_rare_token_novelty",
+    "small_quantity_part_revenue",
+    "idle_high_balance_customers",
+    "sole_late_supplier_waits",
+    "ship_latency_priority_counts",
     # (c) round-1-only entries refreshed across operator families
     "word_count",
-    "sensor_parse",
-    "keyed_sum",
-    "running_sum",
-    "ordered_fold",
-    "arg_min_row",
     "tumbling_window_counts",
-    "sliding_window_counts",
     "day_window_offset_utc8",
     "window_all_minute",
     "trigger_per_element_fire",

@@ -667,3 +667,123 @@ def fuzzy_string_pairs(values: DataFrame, col: str = "word") -> DataFrame:
     return cand.where(F.levenshtein("word_a", "word_b") == 1).select(
         "word_a", "word_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-passage detection (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+#: Span length (words) for duplicate-passage detection. Long enough
+#: that chance collisions of natural text are negligible, short enough
+#: to catch boilerplate/quotes embedded in otherwise-distinct docs.
+SPAN_WORDS = 8
+
+
+def duplicate_spans(
+    docs: DataFrame, text_col: str = "text", n: int = SPAN_WORDS
+) -> DataFrame:
+    """Exact duplicate-passage detection: every word n-gram SPAN (with
+    positions — unlike shingles these are NOT distinct per doc) that
+    appears in >= 2 distinct documents, with its document frequency and
+    total occurrence count.
+
+    This is the exact-substring dedup signal (the fixed-length-window
+    form of the suffix-array approach): MinHash/SimHash score *whole
+    documents*, so a licence header or quoted paragraph pasted into
+    thousands of otherwise-unique docs never trips them — span-level
+    grouping catches exactly that.
+
+    Scale: the words array is materialized once before the position
+    explode (each span is n O(1) element_at lookups, not a re-split);
+    span text leaves the row as a 60-bit portable hash so the single
+    groupBy shuffle carries (hash, doc_id) pairs, never the span
+    strings; the agg is map-side combinable and the >= 2-doc filter is
+    a HAVING on the combined result. Fan-out is ~1 row per word of
+    corpus — the same order as the scan itself.
+    """
+    from flink_scala_spark.functions.portable import h60
+
+    wdf = _nonempty(docs, text_col).select(
+        "doc_id", F.split(F.col(text_col), " ").alias("w")
+    ).where(F.size("w") >= n)
+    idx = wdf.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(n - 1))).alias("i"),
+    )
+    parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
+    spans = idx.select(
+        "doc_id", h60(F.expr(f"concat_ws(' ', {parts})")).alias("span_hash")
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency novelty scoring
+# ---------------------------------------------------------------------------
+
+#: A token is "rare" when its corpus occurrence count is below
+#: total_tokens / RARITY_DENOM (strictly: cnt * RARITY_DENOM < total).
+#: Pure integer comparison — no division, exact in any engine.
+RARITY_DENOM = 256
+
+
+def rare_token_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-frequency novelty scoring: per document, how many of its
+    tokens are globally rare (corpus frequency < 1/RARITY_DENOM of all
+    tokens), as a count and an integer permille ratio.
+
+    The distributable stand-in for LM-perplexity quality scoring
+    (CCNet-style): a high rare fraction flags OOV-heavy/noisy docs, a
+    zero rare fraction flags boilerplate. All math is integer
+    (cross-multiplied threshold, DIV permille), so the DuckDB oracle is
+    bit-exact.
+
+    Scale: one (doc_id, word) map-side-combined pre-agg bounds the
+    shuffle at distinct-pairs; the word-frequency table derives from
+    that same pre-agg (one extra word-keyed agg over distinct words,
+    not a second corpus scan); the rare-word set is by construction a
+    small fraction of the vocabulary and broadcasts back to the
+    per-doc pairs.
+    """
+    base = _nonempty(docs, text_col).select(
+        "doc_id", F.split(F.col(text_col), " ").alias("w")
+    )
+    doc_tok = base.select("doc_id", F.size("w").alias("n_tok"))
+    dw = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("k"))
+    )
+    wf = dw.groupBy("word").agg(F.sum("k").alias("cnt"))
+    tot = wf.agg(F.sum("cnt").alias("total"))
+    rare = (
+        wf.join(F.broadcast(tot))
+        .where(F.col("cnt") * RARITY_DENOM < F.col("total"))
+        .select("word")
+    )
+    n_rare = (
+        dw.join(F.broadcast(rare), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("k").alias("n_rare"))
+    )
+    return (
+        doc_tok.join(n_rare, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+        )
+        .withColumn(
+            "rare_permille", F.expr("(1000 * n_rare) DIV n_tok")
+        )
+    )

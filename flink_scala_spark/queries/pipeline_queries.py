@@ -1874,3 +1874,90 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("cluster_id").applyInPandas(
         score, "cluster_id int, vec_a long, vec_b long, cosine double"
     )
+
+
+# ---------------------------------------------------------------------------
+# X105: duplicate-passage detection (exact substring dedup)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = text.SPAN_WORDS
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents
+        WHERE text IS NOT NULL AND text <> ''
+          AND len(string_split(text, ' ')) >= {_SPAN_N}
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_N - 2})) AS i FROM w
+    ),
+    spans AS (
+        SELECT doc_id,
+               {duck_h60(f"array_to_string(w[i:i + {_SPAN_N - 1}], ' ')")} AS span_hash
+        FROM pos
+    )
+    SELECT span_hash,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM spans
+    GROUP BY 1
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+    "dedup", "text", "bench",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-passage detection (the fixed-window form of
+    suffix-array substring dedup): positional word 8-grams shared by
+    >= 2 distinct docs. Catches pasted boilerplate that whole-document
+    MinHash (X2) and SimHash (X3) structurally miss. See
+    pipeline/text.py:duplicate_spans for the scale shape (one
+    map-side-combinable hash shuffle; spans travel as 60-bit ints)."""
+    return text.duplicate_spans(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X106: corpus-frequency novelty scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_rare_token_novelty",
+    f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    doc_tok AS (SELECT doc_id, len(w) AS n_tok FROM base),
+    dw AS (
+        SELECT doc_id, unnest(w) AS word FROM base
+    ),
+    dwc AS (
+        SELECT doc_id, word, count(*) AS k FROM dw GROUP BY 1, 2
+    ),
+    wf AS (SELECT word, sum(k) AS cnt FROM dwc GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM wf),
+    rare AS (
+        SELECT word FROM wf, tot WHERE cnt * {text.RARITY_DENOM} < total
+    ),
+    nr AS (
+        SELECT dwc.doc_id, sum(dwc.k) AS n_rare
+        FROM dwc JOIN rare USING (word) GROUP BY 1
+    )
+    SELECT d.doc_id, d.n_tok,
+           coalesce(nr.n_rare, 0) AS n_rare,
+           (1000 * coalesce(nr.n_rare, 0)) // d.n_tok AS rare_permille
+    FROM doc_tok d LEFT JOIN nr ON nr.doc_id = d.doc_id
+    """,
+    "text", "quality",
+)
+def q_text_rare_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency novelty score — the integer-exact distributable
+    stand-in for LM-perplexity quality filtering: per doc, occurrences
+    of globally-rare tokens (corpus freq < 1/256 of all tokens, via a
+    cross-multiplied integer threshold) and the permille ratio. See
+    pipeline/text.py:rare_token_novelty."""
+    return text.rare_token_novelty(_docs(spark, sf_dir))

@@ -740,3 +740,203 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(delta).cast("double").alias("revenue_delta"),
         F.count("*").alias("qualifying_lineitems"),
     )
+
+
+@register(
+    "small_quantity_part_revenue",
+    """
+    WITH bp AS (SELECT p_partkey FROM part WHERE p_brand IN ('Brand#1', 'Brand#2')),
+    bl AS (
+        SELECT l.l_partkey, CAST(l.l_quantity AS DECIMAL(12,2)) AS qty,
+               CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price
+        FROM lineitem l JOIN bp ON bp.p_partkey = l.l_partkey
+    ),
+    pq AS (
+        SELECT l_partkey, count(*) AS n_lines, sum(qty) AS sum_qty
+        FROM bl GROUP BY 1
+    )
+    SELECT CAST(sum(bl.price) AS DOUBLE) AS small_lot_revenue,
+           count(*) AS small_lot_lines
+    FROM bl JOIN pq ON pq.l_partkey = bl.l_partkey
+    WHERE bl.qty * 2 * pq.n_lines < pq.sum_qty
+    """,
+    "relational", "q17",
+)
+def q_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue locked in small-lot orders — lineitems whose
+    quantity is below half their part's average. The correlated AVG
+    subquery decorrelates into a per-part aggregate joined back, and
+    the avg threshold is CROSS-MULTIPLIED (qty * 2 * n < sum) so the
+    whole comparison stays in DECIMAL — no division, no float, exact
+    oracle. The brand filter prunes through the broadcast part dim
+    BEFORE the per-part agg (restricting parts cannot change any
+    surviving part's own average), so both the agg and the join-back
+    run on the pruned fact subset; AQE broadcasts the tiny per-part
+    aggregate back onto it."""
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+    ).select("p_partkey")
+    bl = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+    )
+    pq = bl.groupBy("l_partkey").agg(
+        F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty")
+    )
+    j = bl.join(pq.withColumnRenamed("l_partkey", "pk"), bl["l_partkey"] == F.col("pk"))
+    small = j.where(F.col("qty") * 2 * F.col("n_lines") < F.col("sum_qty"))
+    return small.agg(
+        F.sum("price").cast("double").alias("small_lot_revenue"),
+        F.count("*").alias("small_lot_lines"),
+    )
+
+
+@register(
+    "idle_high_balance_customers",
+    """
+    WITH t AS (
+        SELECT count(*) AS n_pos, sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s_pos
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_balance
+    FROM customer c, t
+    WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * t.n_pos > t.s_pos
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2001-01-01')
+    GROUP BY 1
+    """,
+    "relational", "q22",
+)
+def q_idle_high_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: high-balance customers gone quiet (no order since
+    the cutoff) — sales leads. Two decorrelations in one query: the
+    global scalar AVG subquery becomes a 1-row aggregate cross-joined
+    (broadcast) onto the scan with a cross-multiplied DECIMAL
+    threshold (bal * n > sum, division-free), and NOT EXISTS becomes a
+    LEFT ANTI join whose probe side is date-pruned at the orders scan
+    before probing only o_custkey. Nothing here shuffles the customer
+    table except the final tiny segment rollup."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    t = c.where(F.col("c_acctbal") > 0).agg(
+        F.count("*").alias("n_pos"), F.sum(bal).alias("s_pos")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(t)).where(bal * F.col("n_pos") > F.col("s_pos"))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n_customers"),
+        F.sum(bal).cast("double").alias("total_balance"),
+    )
+
+
+@register(
+    "sole_late_supplier_waits",
+    """
+    WITH per AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ),
+    culprit AS (
+        SELECT l_orderkey,
+               count(*) AS n_supp,
+               sum(is_late) AS n_late,
+               max(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+        FROM per GROUP BY 1
+    )
+    SELECT s.s_name AS supplier, count(*) AS numwait
+    FROM culprit c JOIN supplier s ON s.s_suppkey = c.late_supp
+    WHERE c.n_supp >= 2 AND c.n_late = 1
+    GROUP BY 1
+    """,
+    "relational", "q21",
+)
+def q_sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who single-handedly held up multi-supplier
+    orders. The textbook form is a semi-join (another supplier exists)
+    chained with an anti-join (no OTHER late supplier) back onto the
+    same fact table — three passes. Here both collapse into ONE
+    per-order aggregate (n_supp >= 2 AND n_late = 1 AND the sole late
+    supplier), after a per-(order, supplier) pre-agg that is itself
+    map-side combinable: two shuffles total on the pruned fact, no
+    self-joins at all. max(CASE) picks the late supplier exactly
+    because n_late = 1 filters to single-culprit orders."""
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    culprit = per.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    hit = culprit.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).join(
+        F.broadcast(s), F.col("late_supp") == F.col("s_suppkey")
+    )
+    return hit.groupBy(F.col("s_name").alias("supplier")).agg(
+        F.count("*").alias("numwait")
+    )
+
+
+@register(
+    "ship_latency_priority_counts",
+    """
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'fast' ELSE 'slow' END AS latency_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_lines,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    "relational", "q12",
+)
+def q_ship_latency_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: did slow shipping hit urgent orders? Lineitems
+    classified by ship latency, priorities counted with conditional
+    aggregation (sum(CASE ...)) — the pivot-free way to produce
+    side-by-side counts in ONE pass over the join, shuffled only on
+    the 2-value class key. Latency compares DATE-granularity diffs so
+    Spark's datediff and DuckDB's date_diff('day') agree exactly."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    cls = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, "fast"
+    ).otherwise("slow")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(cls.alias("latency_class")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+    )

@@ -503,16 +503,25 @@ def ivf_topk(
     cent = flatten(centroid_rows(emb, num_centroids, id_col, vec_col),
                    "t", "centroid_id", id_col, vec_col)
     base = _spread(flatten(emb, "c", "neighbor_id", id_col, vec_col))
+    vec_cols = [f"c{i}" for i in range(1, DIM + 1)] + ["cnsq"]
     # index build: nearest centroid per vector; max_by over
-    # (sim, -centroid_id) == "highest sim, lowest centroid id on ties"
+    # (sim, -centroid_id) == "highest sim, lowest centroid id on ties".
+    # The vector's own flat columns ride through the agg as first()
+    # (constant within each neighbor_id group, the crossJoin replicates
+    # them per centroid) so the assigned table needs NO join back to
+    # base — one n-scale shuffle instead of two, and the crossJoin
+    # output combines map-side (all 64 centroid rows of a vector sit
+    # in its own partition).
     asg = (
         base.crossJoin(F.broadcast(cent))
-        .select("neighbor_id", "centroid_id", _flat_cosine("c", "t").alias("sim"))
+        .select("neighbor_id", "centroid_id", _flat_cosine("c", "t").alias("sim"),
+                *vec_cols)
         .groupBy("neighbor_id")
         .agg(
             F.max_by(
                 "centroid_id", F.struct(F.col("sim"), -F.col("centroid_id"))
-            ).alias("centroid_id")
+            ).alias("centroid_id"),
+            *[F.first(c).alias(c) for c in vec_cols],
         )
     )
     # query side: nprobe nearest centroids per query
@@ -528,10 +537,10 @@ def ivf_topk(
         .select("query_id", "centroid_id")
     )
     # candidates: probed lists only; probes broadcast (tiny), the big
-    # side is never shuffled by centroid id
+    # side is never shuffled by centroid id (asg already carries the
+    # flat vector columns — no join back to base)
     cand = (
-        base.join(asg, "neighbor_id")
-        .join(F.broadcast(probes), "centroid_id")
+        asg.join(F.broadcast(probes), "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
     scored = cand.join(F.broadcast(q), "query_id").select(

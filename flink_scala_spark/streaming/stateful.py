@@ -18,13 +18,14 @@
 
 API choice: Spark 4's ``transformWithStateInPandas`` (StatefulProcessor
 with first-class ValueState + register/delete/expire timers — the
-closest match to Flink's KeyedProcessFunction) is the preferred target,
-but its Python worker requires the protobuf runtime, which this
-environment does not ship (verified: the state server crashes with
-``ImportError: google.protobuf``). ``applyInPandasWithState`` expresses
+closest match to Flink's KeyedProcessFunction) needs a protobuf
+runtime its worker can import; this environment doesn't pip-ship one,
+but a vendored public runtime exists and ``streaming/tws.py`` runs the
+rising-streak alarm on the real timer API end-to-end when it is found
+(``tests/test_tws_timers.py``). ``applyInPandasWithState`` expresses
 the same per-key state machines — GroupState carries the state row,
-timers become event-time horizon checks — and runs everywhere pandas
-does, so it is the implemented path.
+timers become event-time horizon checks — runs without extra
+dependencies, and remains the default driver-gate path.
 
 Scale notes: state is per-key in the state store (RocksDB/HDFS at
 scale), keys are hash-partitioned — the same layout Flink uses; the

@@ -1,0 +1,191 @@
+"""ST4 on the first-class Spark 4 timer API: ``transformWithStateInPandas``.
+
+The reference's rising-temperature alarm
+(``hk/processFunctionTest/ProcessAlarmTest.scala:76-108``) is built on
+Flink timers: register a +horizon timer on the first rise (`:90-94`),
+delete it on a fall (`:95-100`), emit the alarm from ``onTimer``
+(`:103-107``). Spark 4's ``StatefulProcessor`` exposes the identical
+surface — ``handle.registerTimer`` / ``handle.deleteTimer`` /
+``handleExpiredTimer`` — which :class:`RisingStreakTimerProcessor`
+uses verbatim (event-time mode: a timer fires when the watermark
+passes its expiry, the deterministic twin of the reference's
+wall-clock timer; SURVEY.md §7.4).
+
+Runtime gate: the TWS Python worker needs the protobuf runtime
+(``StateMessage_pb2``), which is not pip-installed here. The sandbox
+ships a public protobuf runtime vendored inside the Google Cloud SDK;
+:func:`protobuf_pythonpath` locates it so callers can expose it to the
+driver AND worker processes via ``PYTHONPATH`` **before** the JVM
+starts (plus ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true`` —
+the vendored 6.32 runtime is one minor version behind pyspark's 6.33
+gencode, which protobuf's own escape hatch accepts). The
+``applyInPandasWithState`` emulation in ``stateful.py`` remains the
+default path; this module exists to prove the first-class timer API
+end-to-end whenever the dependency is present (pytest:
+``tests/test_tws_timers.py``).
+
+TWS additionally requires the RocksDB state store provider.
+"""
+
+from __future__ import annotations
+
+import os
+
+#: Known locations of a vendored public protobuf runtime (checked in
+#: order). The Google Cloud SDK ships one under its appengine platform.
+PROTOBUF_VENDOR_PATHS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def protobuf_pythonpath() -> str | None:
+    """Path to prepend to PYTHONPATH so ``google.protobuf`` imports,
+    or '' if it already does, or None if unavailable anywhere."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return ""
+    except ImportError:
+        pass
+    for p in PROTOBUF_VENDOR_PATHS:
+        if os.path.isfile(os.path.join(p, "google", "protobuf", "__init__.py")):
+            return p
+    return None
+
+
+def tws_env(path: str) -> dict[str, str]:
+    """Environment additions that make TWS workers import protobuf."""
+    env = {"TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK": "true"}
+    if path:
+        prev = os.environ.get("PYTHONPATH", "")
+        env["PYTHONPATH"] = f"{path}:{prev}" if prev else path
+    return env
+
+
+def build_rising_alarm_tws(horizon_seconds: int = 600):
+    """Return (processor, output_schema) for the timer-based rising
+    alarm. Deferred import so this module stays importable without
+    pyspark's stateful-processor extras resolved."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("streak_start", LongType()),
+            StructField("alarm_ts", LongType()),
+            StructField("n_rising", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_value", DoubleType()),
+            StructField("streak_start", LongType()),
+            StructField("n_rising", LongType()),
+        ]
+    )
+
+    class RisingStreakTimerProcessor(StatefulProcessor):
+        """ProcessAlarmTest.scala:76-108 on first-class timers:
+        register on first rise, delete on fall, emit in the expired-
+        timer callback."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("rise", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            if self.state.exists():
+                last_value, streak_start, n_rising = self.state.get()
+                if streak_start == -1:  # stored None sentinel
+                    streak_start = None
+            else:
+                last_value, streak_start, n_rising = None, None, 0
+            # TWS may hand a key's batch as SEVERAL Arrow chunks; the
+            # deterministic (ts, event_id) fold must sort the whole
+            # batch at once, not per-chunk.
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_l", "event_id"])
+            for val, ts_l in zip(pdf["value"], pdf["ts_l"]):
+                val = float(val)
+                ts_l = int(ts_l)
+                rising = last_value is not None and val > last_value
+                if rising:
+                    if streak_start is None:
+                        streak_start = ts_l
+                        # ProcessAlarmTest.scala:90-94
+                        self.handle.registerTimer(
+                            (streak_start + horizon_seconds) * 1000
+                        )
+                    n_rising += 1
+                else:
+                    if streak_start is not None:
+                        # ProcessAlarmTest.scala:95-100
+                        self.handle.deleteTimer(
+                            (streak_start + horizon_seconds) * 1000
+                        )
+                    streak_start, n_rising = None, 0
+                last_value = val
+            self.state.update(
+                (
+                    last_value,
+                    -1 if streak_start is None else streak_start,
+                    n_rising,
+                )
+            )
+            return iter(())
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            # ProcessAlarmTest.scala:103-107: the streak survived the
+            # horizon — emit the alarm from the timer callback.
+            last_value, streak_start, n_rising = self.state.get()
+            expiry_ms = expiredTimerInfo.getExpiryTimeInMs()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "streak_start": [int(streak_start)],
+                    "alarm_ts": [expiry_ms // 1000],
+                    "n_rising": [int(n_rising)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RisingStreakTimerProcessor(), out_schema
+
+
+def rising_alarm_tws(events_stream, horizon_seconds: int = 600):
+    """Streaming DataFrame -> timer-based rising alarm stream.
+
+    Input must carry (user_id, event_id, ts TIMESTAMP, value) and a
+    watermark on ts (event-time timers fire off the watermark)."""
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    proc, out_schema = build_rising_alarm_tws(horizon_seconds)
+    withts = events_stream.select(
+        "user_id", "event_id", epoch_seconds("ts").alias("ts_l"), "value", "ts"
+    ).withWatermark("ts", "1 second")
+    return withts.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

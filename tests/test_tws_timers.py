@@ -1,0 +1,135 @@
+"""ST4 on the FIRST-CLASS Spark 4 timer API (transformWithStateInPandas).
+
+The applyInPandasWithState emulation (streaming/stateful.py) is the
+driver-gate path; this test proves the direct Flink-timer equivalent —
+registerTimer / deleteTimer / handleExpiredTimer
+(ProcessAlarmTest.scala:76-108) — actually runs end-to-end whenever a
+protobuf runtime is present (the TWS Python worker requires it; the
+sandbox vendors one inside the Google Cloud SDK, see streaming/tws.py).
+
+Runs in a SUBPROCESS because the worker needs PYTHONPATH set before
+the JVM starts, and TWS needs the RocksDB state store provider —
+neither should leak into the shared test session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from flink_scala_spark.streaming.tws import protobuf_pythonpath, tws_env
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import json, sys, tempfile
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType,
+                               TimestampType)
+
+sys.path.insert(0, sys.argv[1])
+from flink_scala_spark.streaming.tws import ROCKSDB_PROVIDER, rising_alarm_tws
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# Three keys, HORIZON=60s, replayed one file per microbatch so the
+# watermark advances BETWEEN batches and event-time timers fire.
+# Batch time ranges are strictly increasing (B1 <= 170 < 180 <= B2 <
+# 1000 = B3) because event-time TWS drops input rows at-or-behind the
+# watermark (ts <= wm, measured: a ts=0 row dies against the INITIAL
+# watermark of 0), so nothing sits at a batch boundary or at zero.
+#  - user 1 rises with no fall: timer at streak_start+60=170 fires
+#    once the watermark passes it.
+#  - user 2 rises at 110 (timer at 200) but FALLS at 150 inside the
+#    same batch -> deleteTimer -> that timer never fires; the second
+#    streak (from 160) registers a timer at 220 and survives -> fires.
+#  - user 3 is the watermark driver: a final far-future row pushes the
+#    global watermark past every pending expiry; its own lone rise at
+#    ts=1000 registers a timer past the final watermark (never fires).
+B1 = [  # ts, user, value
+    (100, 1, 1.0), (110, 1, 2.0), (120, 1, 3.0), (130, 1, 4.0),
+    (100, 2, 5.0), (110, 2, 6.0), (140, 2, 7.0), (150, 2, 1.0),
+    (160, 2, 2.0), (170, 2, 3.0),
+    (100, 3, 0.0), (170, 3, 0.0),
+]
+B2 = [
+    (180, 1, 5.0), (190, 1, 6.0),
+    (180, 2, 4.0), (220, 2, 5.0), (230, 2, 6.0),
+    (190, 3, 0.0),
+]
+B3 = [(1000, 3, 1.0)]  # flush: watermark -> 999
+
+d = tempfile.mkdtemp()
+for i, batch in enumerate((B1, B2, B3)):
+    rows = [
+        {"event_id": j, "ts": ts, "user_id": u, "value": v}
+        for j, (ts, u, v) in enumerate(batch)
+    ]
+    pd.DataFrame(rows).to_json(f"{d}/b{i}.json", orient="records", lines=True)
+
+schema = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("value", DoubleType()),
+])
+src = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", "1")
+    .json(d)
+    .withColumn("ts", F.timestamp_seconds("ts"))
+)
+alarms = rising_alarm_tws(src, horizon_seconds=60)
+q = (
+    alarms.writeStream.format("memory").queryName("tws_alarms")
+    .outputMode("append").trigger(availableNow=True).start()
+)
+q.awaitTermination(180)
+out = sorted(tuple(r) for r in spark.table("tws_alarms").collect())
+print("RESULT:" + json.dumps(out))
+"""
+
+
+@pytest.mark.skipif(
+    protobuf_pythonpath() is None,
+    reason="no protobuf runtime available for the TWS worker",
+)
+def test_rising_alarm_first_class_timers():
+    env = dict(os.environ)
+    env.update(tws_env(protobuf_pythonpath()))
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT, REPO],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    got = [tuple(r) for r in json.loads(line[0][len("RESULT:"):])]
+    # Watermark before batch 3 = 230 - 1 = 229, so both surviving
+    # timers fire there with the streak state as of batch 2:
+    # user 1: first rise at ts=110 -> timer at 170; rises at
+    #   110,120,130,180,190 -> n_rising=5.
+    # user 2: the ts=150 fall DELETED the first timer (at 200); the
+    #   second streak starts at 160 -> timer at 220; rises at
+    #   160,170,180,220,230 -> n_rising=5.
+    # user 3: flat then a lone rise at ts=1000 -> its timer (1060)
+    #   is past the final watermark and legitimately never fires.
+    assert got == [(1, 110, 170, 5), (2, 160, 220, 5)]

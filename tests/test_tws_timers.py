@@ -133,3 +133,114 @@ def test_rising_alarm_first_class_timers():
     # user 3: flat then a lone rise at ts=1000 -> its timer (1060)
     #   is past the final watermark and legitimately never fires.
     assert got == [(1, 110, 170, 5), (2, 160, 220, 5)]
+
+
+_STATE_KINDS_SCRIPT = r"""
+import json, sys, tempfile
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (StatefulProcessor,
+                                                      StatefulProcessorHandle)
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+sys.path.insert(0, sys.argv[1])
+from flink_scala_spark.streaming.tws import ROCKSDB_PROVIDER
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_types", LongType()),
+    StructField("max_type_cnt", LongType()),
+    StructField("last3_sum", DoubleType()),
+])
+
+class SessionSummary(StatefulProcessor):
+    '''ListState (rolling last-3 values) + MapState (per-type counts) —
+    the remaining first-class state kinds beyond ValueState.'''
+    def init(self, handle: StatefulProcessorHandle):
+        self.recent = handle.getListState(
+            "recent", StructType([StructField("v", DoubleType())]))
+        self.counts = handle.getMapState(
+            "counts",
+            StructType([StructField("t", StringType())]),
+            StructType([StructField("n", LongType())]))
+    def handleInputRows(self, key, rows, timerValues):
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["event_id"])
+        for t, v in zip(pdf["etype"], pdf["value"]):
+            n = self.counts.getValue((t,))[0] if self.counts.containsKey((t,)) else 0
+            self.counts.updateValue((t,), (n + 1,))
+            vals = [r[0] for r in self.recent.get()] + [float(v)]
+            self.recent.put([(x,) for x in vals[-3:]])
+        n_types, max_cnt = 0, 0
+        for k, val in self.counts.iterator():
+            n_types += 1
+            max_cnt = max(max_cnt, val[0])
+        last3 = sum(r[0] for r in self.recent.get())
+        yield pd.DataFrame({
+            "user_id": [int(key[0])], "n_types": [n_types],
+            "max_type_cnt": [max_cnt], "last3_sum": [round(last3, 2)]})
+    def close(self):
+        pass
+
+rows = [
+    {"event_id": 0, "user_id": 1, "etype": "view", "value": 1.0},
+    {"event_id": 1, "user_id": 1, "etype": "view", "value": 2.0},
+    {"event_id": 2, "user_id": 1, "etype": "buy", "value": 3.0},
+    {"event_id": 3, "user_id": 1, "etype": "view", "value": 4.0},
+    {"event_id": 4, "user_id": 2, "etype": "buy", "value": 5.0},
+]
+d = tempfile.mkdtemp()
+pd.DataFrame(rows).to_json(f"{d}/in.json", orient="records", lines=True)
+schema = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("etype", StringType()),
+    StructField("value", DoubleType()),
+])
+src = spark.readStream.schema(schema).json(d)
+out = src.groupBy("user_id").transformWithStateInPandas(
+    SessionSummary(), outputStructType=OUT, outputMode="Append",
+    timeMode="None")
+q = (out.writeStream.format("memory").queryName("tws_state")
+     .outputMode("append").trigger(availableNow=True).start())
+q.awaitTermination(180)
+res = sorted(tuple(r) for r in spark.table("tws_state").collect())
+print("RESULT:" + json.dumps(res))
+"""
+
+
+@pytest.mark.skipif(
+    protobuf_pythonpath() is None,
+    reason="no protobuf runtime available for the TWS worker",
+)
+def test_list_and_map_state_kinds():
+    """ListState + MapState on the first-class API: user 1 sees 3
+    views + 1 buy (map: {view:3, buy:1}), last-3 values 2,3,4; user 2
+    one buy."""
+    env = dict(os.environ)
+    env.update(tws_env(protobuf_pythonpath()))
+    proc = subprocess.run(
+        [sys.executable, "-c", _STATE_KINDS_SCRIPT, REPO],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    got = [tuple(r) for r in json.loads(line[0][len("RESULT:"):])]
+    assert got == [(1, 2, 3, 9.0), (2, 1, 1, 5.0)]

@@ -19,7 +19,7 @@ Scale discipline shared by every query here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_scala_spark import tables
@@ -765,14 +765,16 @@ def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q17 shape: revenue locked in small-lot orders — lineitems whose
     quantity is below half their part's average. The correlated AVG
-    subquery decorrelates into a per-part aggregate joined back, and
-    the avg threshold is CROSS-MULTIPLIED (qty * 2 * n < sum) so the
-    whole comparison stays in DECIMAL — no division, no float, exact
-    oracle. The brand filter prunes through the broadcast part dim
-    BEFORE the per-part agg (restricting parts cannot change any
-    surviving part's own average), so both the agg and the join-back
-    run on the pruned fact subset; AQE broadcasts the tiny per-part
-    aggregate back onto it."""
+    subquery decorrelates into per-part WINDOW aggregates (count/sum
+    over an unordered partkey partition): one scan of the pruned fact
+    and ONE shuffle, versus the textbook agg-plus-join-back which
+    scans twice and shuffles for the join anyway (the per-part
+    aggregate has a row per part — not broadcastable at 100 TB part
+    cardinality). The avg threshold is CROSS-MULTIPLIED
+    (qty * 2 * n < sum) so the whole comparison stays in DECIMAL — no
+    division, no float, exact oracle. The brand filter prunes through
+    the broadcast part dim BEFORE the window (restricting parts cannot
+    change any surviving part's own average)."""
     p = _t(spark, sf_dir, "part").where(
         F.col("p_brand").isin("Brand#1", "Brand#2")
     ).select("p_partkey")
@@ -785,11 +787,14 @@ def q_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
         )
     )
-    pq = bl.groupBy("l_partkey").agg(
-        F.count("*").alias("n_lines"), F.sum("qty").alias("sum_qty")
+    w = Window.partitionBy("l_partkey")
+    stats = bl.select(
+        "qty",
+        "price",
+        F.count("*").over(w).alias("n_lines"),
+        F.sum("qty").over(w).alias("sum_qty"),
     )
-    j = bl.join(pq.withColumnRenamed("l_partkey", "pk"), bl["l_partkey"] == F.col("pk"))
-    small = j.where(F.col("qty") * 2 * F.col("n_lines") < F.col("sum_qty"))
+    small = stats.where(F.col("qty") * 2 * F.col("n_lines") < F.col("sum_qty"))
     return small.agg(
         F.sum("price").cast("double").alias("small_lot_revenue"),
         F.count("*").alias("small_lot_lines"),

@@ -84,9 +84,9 @@ _PRIORITY = [
     "idle_high_balance_customers",
     "sole_late_supplier_waits",
     "ship_latency_priority_counts",
+    "nation_market_share",
+    "part_supplier_diversity",
     # (c) round-1-only entries refreshed across operator families
-    "word_count",
-    "tumbling_window_counts",
     "day_window_offset_utc8",
     "window_all_minute",
     "trigger_per_element_fire",

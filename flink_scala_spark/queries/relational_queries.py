@@ -945,3 +945,114 @@ def q_ship_latency_priority_counts(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
         F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
     )
+
+
+@register(
+    "nation_market_share",
+    f"""
+    WITH base AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+               {_REV} AS rev,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+    )
+    SELECT yr,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                         ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) AS mkt_share,
+           CAST(sum(rev) AS DOUBLE) AS total_revenue
+    FROM base GROUP BY 1
+    """,
+    "relational", "q8",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region x part-type market per
+    year — the conditional-share pattern (numerator = CASE-gated sum,
+    denominator = total) computed in ONE pass; both sums stay DECIMAL
+    (order-independent) and the single double division happens on the
+    exact aggregates, so the ratio is bit-identical across engines.
+    Seven-table join: the fact streams once, all six dims broadcast;
+    the part-type and region filters prune their dim scans before the
+    broadcast."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    j = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
+    )
+    rev = _rev_col()
+    zero = F.lit("0.00").cast("decimal(12,2)")
+    agg = j.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero))
+        .cast("double")
+        .alias("num"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        "yr",
+        (F.col("num") / F.col("total_revenue")).alias("mkt_share"),
+        "total_revenue",
+    )
+
+
+@register(
+    "part_supplier_diversity",
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type IN ('SMALL', 'MEDIUM')
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+    )
+    GROUP BY 1, 2
+    """,
+    "relational", "q16",
+)
+def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: how many distinct (credit-worthy) suppliers serve
+    each (brand, size) segment — supplier-base diversity. NOT IN
+    becomes a LEFT ANTI join against the low-balance supplier set
+    (tiny, broadcast; and no NULL-semantics trap since keys are
+    non-null), the part filter prunes through the broadcast dim, and
+    count(DISTINCT) runs as Catalyst's two-stage expand/agg — both
+    stages map-side combinable."""
+    low = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_type").isin("SMALL", "MEDIUM")
+    ).select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).join(
+        F.broadcast(low), l["l_suppkey"] == low["s_suppkey"], "left_anti"
+    )
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )

@@ -212,10 +212,15 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
     # - ann_pq_topk: code-id assignment runs row_number over the FIXED
     #   PQ_K=16 codebook rows (corpus-size-independent by
     #   construction); the corpus-sized windows are query-partitioned.
+    # - small_quantity_part_revenue: the window is partkey-partitioned
+    #   (pinned by test_q17_window_single_exchange); the
+    #   SinglePartition exchange is the 1-row FINAL aggregate, not the
+    #   window's input.
     SINGLE_PARTITION_WINDOW_OK = {
         "revenue_day_over_day",
         "late_data_accounting",
         "ann_pq_topk",
+        "small_quantity_part_revenue",
     }
 
     offenders = {}
@@ -252,3 +257,58 @@ def test_q6_scan_predicate_pushdown(spark, sf_dir):
     assert "GreaterThanOrEqual(l_discount" in flat
     simple = _plan(df, "simple")
     assert "Exchange hashpartitioning" not in simple
+
+
+def test_q17_window_single_exchange(spark, sf_dir):
+    """Q17's correlated-avg decorrelation must stay the single-scan
+    keyed-window form: exactly ONE Exchange over the fact (the partkey
+    partition), no join back, no second lineitem scan."""
+    import re
+
+    df = QUERIES["small_quantity_part_revenue"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # formatted explain lists every node twice (tree + detail header)
+    assert plan.count("Scan parquet") == 4  # lineitem + part, once each
+    # shuffles: the window partition + the 1-row final agg, nothing else
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_q21_collapses_self_joins_to_aggregates(spark, sf_dir):
+    """The sole-late-supplier query must plan as two aggregations over
+    one orders-lineitem join — never the textbook three-pass
+    semi+anti self-join cascade over the fact table."""
+    df = QUERIES["sole_late_supplier_waits"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # formatted explain lists every node twice (tree + detail header)
+    assert plan.count("Scan parquet") == 6  # lineitem, orders, supplier
+    assert "SortMergeJoin LeftSemi" not in plan
+    assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_q22_anti_probe_is_date_pruned(spark, sf_dir):
+    """Q22's NOT EXISTS probe must push the order-date cutoff into the
+    orders scan (the anti join then probes a pruned set), and the
+    global-average threshold must be a broadcast, not a shuffle."""
+    df = QUERIES["idle_high_balance_customers"].fn(spark, sf_dir)
+    plan = _plan(df)
+    pushed = [l for l in plan.splitlines()
+              if "PushedFilters" in l and "o_orderdate" in l]
+    assert any("GreaterThanOrEqual" in l for l in pushed), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_no_explode_shuffle_of_text(spark, sf_dir):
+    """Duplicate-passage detection must shuffle 60-bit span hashes,
+    never span strings: the pre-shuffle projection carries span_hash
+    (a conv(md5) bigint), and the agg is partial+final (map-side
+    combinable)."""
+    df = QUERIES["dedup_substring_spans"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "span_hash" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # the exploded span string must not survive into any exchange
+    parts = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert parts and all("concat_ws" not in l for l in parts), plan

@@ -479,3 +479,50 @@ def test_blocked_near_dup_fuzz_vs_bruteforce(spark, data, tile_rows):
     got = {k: v for k, v in got.items() if not (v != v)}  # drop NaN rows
     expect = {k: v for k, v in expect.items() if not (v != v)}
     assert got == expect
+
+
+word_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=0,
+        max_size=24,
+    ).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(word_docs)
+def test_duplicate_spans_match_bruteforce(spark, texts_):
+    """duplicate_spans (n=3 for the fuzz) must find EXACTLY the
+    positional word trigrams shared by >= 2 distinct docs, with exact
+    doc and occurrence counts — checked against a plain-Python
+    counter. The tiny 6-letter alphabet makes shared spans likely."""
+    from collections import defaultdict
+
+    from flink_scala_spark.pipeline.text import duplicate_spans
+
+    n = 3
+    expected: dict[str, list] = defaultdict(lambda: [set(), 0])
+    for i, t in enumerate(texts_):
+        w = t.split(" ") if t else []
+        if t == "" or len(w) < n:
+            continue
+        for j in range(len(w) - n + 1):
+            span = " ".join(w[j : j + n])
+            expected[span][0].add(i)
+            expected[span][1] += 1
+    exp = {
+        (min(d), max(d), len(d), occ)
+        for d, occ in expected.values()
+        if len(d) >= 2
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
+    )
+    got = {
+        (r["first_doc"], r["last_doc"], r["n_docs"], r["n_occurrences"])
+        for r in duplicate_spans(docs, n=n).collect()
+    }
+    assert got == exp

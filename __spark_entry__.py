@@ -38,8 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # 1-2 follow, so the union of driver-green rows approaches the full
 # catalog (the other three never-verified entries —
 # embedding_quantize_int8, dedup_containment, gap_fill_forward — are
-# already in (a)); (b2) the six operators added mid-round-3 (duplicate
-# -passage dedup, rarity scoring, Q17/Q22/Q21/Q12 shapes); (c) the
+# already in (a)); (b2) the eight operators added mid-round-3
+# (duplicate-passage dedup, rarity scoring, Q17/Q22/Q21/Q12/Q8/Q16
+# shapes); (c) the
 # remaining slots refresh round-1-only entries across the window /
 # streaming / keyed-agg families.
 # Everything else stays covered by tests/test_catalog_oracle.py at
@@ -77,7 +78,7 @@ _PRIORITY = [
     "value_deciles",
     "copurchase_pairs",
     "value_outliers",
-    # (b2) added this session — never driver-checked
+    # (b2) eight operators added this session — never driver-checked
     "dedup_substring_spans",
     "text_rare_token_novelty",
     "small_quantity_part_revenue",

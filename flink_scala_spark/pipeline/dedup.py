@@ -61,16 +61,23 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def word_shingles(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+def positional_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    out_col: str = "shingle",
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document.
+    """Every positional word n-gram per document (NOT distinct) as
+    ``(doc_id, out_col)``.
 
     The words array is materialized in a projection BEFORE the
-    position explode, so each shingle is three O(1) element_at lookups
+    position explode, so each n-gram is n O(1) element_at lookups
     — not a re-split of the text per lambda element (higher-order
     ``transform`` lambdas run interpreted without common-subexpression
-    elimination; the naive form was ~50x slower).
+    elimination; the naive form was ~50x slower). Shared by
+    ``word_shingles`` (→ distinct) and ``text.duplicate_spans``
+    (positions kept) so the two can never diverge on tokenization.
     """
     wdf = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
@@ -79,10 +86,14 @@ def word_shingles(
         "doc_id", "w", F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(n - 1))).alias("i")
     )
     parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
-    return (
-        idx.select("doc_id", F.expr(f"concat_ws(' ', {parts})").alias("shingle"))
-        .distinct()
-    )
+    return idx.select("doc_id", F.expr(f"concat_ws(' ', {parts})").alias(out_col))
+
+
+def word_shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document."""
+    return positional_ngrams(docs, text_col, id_col, n).distinct()
 
 
 #: Per-hash multiply-add constants (odd, < 2^30) for the universal

@@ -693,28 +693,21 @@ def duplicate_spans(
     thousands of otherwise-unique docs never trips them — span-level
     grouping catches exactly that.
 
-    Scale: the words array is materialized once before the position
-    explode (each span is n O(1) element_at lookups, not a re-split);
-    span text leaves the row as a 60-bit portable hash so the single
-    groupBy shuffle carries (hash, doc_id) pairs, never the span
-    strings; the agg is map-side combinable and the >= 2-doc filter is
-    a HAVING on the combined result. Fan-out is ~1 row per word of
-    corpus — the same order as the scan itself.
+    Scale: span extraction shares ``dedup.positional_ngrams`` (words
+    array materialized once before the position explode, each span n
+    O(1) element_at lookups); span text leaves the row as a 60-bit
+    portable hash so the single groupBy shuffle carries
+    (hash, doc_id) pairs, never the span strings; the agg is map-side
+    combinable and the >= 2-doc filter is a HAVING on the combined
+    result. Fan-out is ~1 row per word of corpus — the same order as
+    the scan itself.
     """
     from flink_scala_spark.functions.portable import h60
+    from flink_scala_spark.pipeline.dedup import positional_ngrams
 
-    wdf = _nonempty(docs, text_col).select(
-        "doc_id", F.split(F.col(text_col), " ").alias("w")
-    ).where(F.size("w") >= n)
-    idx = wdf.select(
-        "doc_id",
-        "w",
-        F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(n - 1))).alias("i"),
-    )
-    parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
-    spans = idx.select(
-        "doc_id", h60(F.expr(f"concat_ws(' ', {parts})")).alias("span_hash")
-    )
+    spans = positional_ngrams(
+        _nonempty(docs, text_col), text_col, n=n, out_col="span"
+    ).select("doc_id", h60(F.col("span")).alias("span_hash"))
     return (
         spans.groupBy("span_hash")
         .agg(
@@ -758,12 +751,14 @@ def rare_token_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base = _nonempty(docs, text_col).select(
         "doc_id", F.split(F.col(text_col), " ").alias("w")
     )
-    doc_tok = base.select("doc_id", F.size("w").alias("n_tok"))
     dw = (
         base.select("doc_id", F.explode("w").alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("k"))
     )
+    # n_tok = sum of per-word counts — derived from the SAME pre-agg,
+    # so the text column is scanned and split exactly once.
+    doc_tok = dw.groupBy("doc_id").agg(F.sum("k").alias("n_tok"))
     wf = dw.groupBy("word").agg(F.sum("k").alias("cnt"))
     tot = wf.agg(F.sum("cnt").alias("total"))
     rare = (

@@ -513,16 +513,18 @@ def test_duplicate_spans_match_bruteforce(spark, texts_):
             span = " ".join(w[j : j + n])
             expected[span][0].add(i)
             expected[span][1] += 1
-    exp = {
+    exp = sorted(
         (min(d), max(d), len(d), occ)
         for d, occ in expected.values()
         if len(d) >= 2
-    }
+    )
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
     )
-    got = {
+    # multiset compare: distinct spans with identical stats must BOTH
+    # appear (a set would let a dropped/merged span false-pass)
+    got = sorted(
         (r["first_doc"], r["last_doc"], r["n_docs"], r["n_occurrences"])
         for r in duplicate_spans(docs, n=n).collect()
-    }
+    )
     assert got == exp

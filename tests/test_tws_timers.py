@@ -54,7 +54,7 @@ spark.sparkContext.setLogLevel("ERROR")
 # watermark of 0), so nothing sits at a batch boundary or at zero.
 #  - user 1 rises with no fall: timer at streak_start+60=170 fires
 #    once the watermark passes it.
-#  - user 2 rises at 110 (timer at 200) but FALLS at 150 inside the
+#  - user 2 rises at 110 (timer at 170) but FALLS at 150 inside the
 #    same batch -> deleteTimer -> that timer never fires; the second
 #    streak (from 160) registers a timer at 220 and survives -> fires.
 #  - user 3 is the watermark driver: a final far-future row pushes the
@@ -127,7 +127,7 @@ def test_rising_alarm_first_class_timers():
     # timers fire there with the streak state as of batch 2:
     # user 1: first rise at ts=110 -> timer at 170; rises at
     #   110,120,130,180,190 -> n_rising=5.
-    # user 2: the ts=150 fall DELETED the first timer (at 200); the
+    # user 2: the ts=150 fall DELETED the first timer (at 170); the
     #   second streak starts at 160 -> timer at 220; rises at
     #   160,170,180,220,230 -> n_rising=5.
     # user 3: flat then a lone rise at ts=1000 -> its timer (1060)

@@ -528,3 +528,38 @@ def test_duplicate_spans_match_bruteforce(spark, texts_):
         for r in duplicate_spans(docs, n=n).collect()
     )
     assert got == exp
+
+
+@settings(**SETTINGS)
+@given(word_docs)
+def test_rare_token_novelty_matches_bruteforce(spark, texts_):
+    """rare_token_novelty must reproduce a plain-Python computation of
+    the integer rarity threshold (cnt * 256 < total) and the DIV
+    permille, including the empty-doc exclusion."""
+    from collections import Counter
+
+    from flink_scala_spark.pipeline.text import RARITY_DENOM, rare_token_novelty
+
+    tokens = {
+        i: t.split(" ") for i, t in enumerate(texts_) if t != ""
+    }
+    freq = Counter(w for ws in tokens.values() for w in ws)
+    total = sum(freq.values())
+    rare = {w for w, c in freq.items() if c * RARITY_DENOM < total}
+    exp = sorted(
+        (
+            i,
+            len(ws),
+            sum(1 for w in ws if w in rare),
+            (1000 * sum(1 for w in ws if w in rare)) // len(ws),
+        )
+        for i, ws in tokens.items()
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["n_tok"], r["n_rare"], r["rare_permille"])
+        for r in rare_token_novelty(docs).collect()
+    )
+    assert got == exp

@@ -244,3 +244,104 @@ def test_list_and_map_state_kinds():
     assert line, proc.stdout[-2000:]
     got = [tuple(r) for r in json.loads(line[0][len("RESULT:"):])]
     assert got == [(1, 2, 3, 9.0), (2, 1, 1, 5.0)]
+
+
+_RESTART_SCRIPT = r"""
+import json, sys, tempfile
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming.stateful_processor import (StatefulProcessor,
+                                                      StatefulProcessorHandle)
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+sys.path.insert(0, sys.argv[1])
+from flink_scala_spark.streaming.tws import ROCKSDB_PROVIDER
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+OUT = StructType([StructField("user_id", LongType()),
+                  StructField("cnt", LongType())])
+
+class RunningCount(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle):
+        self.cnt = handle.getValueState(
+            "cnt", StructType([StructField("n", LongType())]))
+    def handleInputRows(self, key, rows, timerValues):
+        n = self.cnt.get()[0] if self.cnt.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self.cnt.update((n,))
+        yield pd.DataFrame({"user_id": [int(key[0])], "cnt": [n]})
+    def close(self):
+        pass
+
+schema = StructType([StructField("user_id", LongType()),
+                     StructField("v", DoubleType())])
+src_dir = tempfile.mkdtemp()
+ckpt = tempfile.mkdtemp()
+
+collected = []
+
+def run(qname):
+    # the memory sink refuses checkpoint recovery; foreachBatch is the
+    # recoverable collection path
+    collected.clear()
+    src = spark.readStream.schema(schema).json(src_dir)
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        RunningCount(), outputStructType=OUT, outputMode="Update",
+        timeMode="None")
+
+    def sink(batch_df, batch_id):
+        collected.extend(tuple(r) for r in batch_df.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return sorted(collected)
+
+pd.DataFrame([{"user_id": 1, "v": 1.0}, {"user_id": 1, "v": 2.0},
+              {"user_id": 2, "v": 3.0}]).to_json(
+    f"{src_dir}/b0.json", orient="records", lines=True)
+r1 = run("tws_run1")
+
+pd.DataFrame([{"user_id": 1, "v": 4.0}, {"user_id": 3, "v": 5.0}]).to_json(
+    f"{src_dir}/b1.json", orient="records", lines=True)
+r2 = run("tws_run2")
+print("RESULT:" + json.dumps([r1, r2]))
+"""
+
+
+@pytest.mark.skipif(
+    protobuf_pythonpath() is None,
+    reason="no protobuf runtime available for the TWS worker",
+)
+def test_tws_state_survives_checkpoint_restart():
+    """F1-F6 on the first-class API: a second query started on the
+    same checkpoint must (a) resume the ValueState — user 1's count
+    continues at 3, not 1 — and (b) skip the already-consumed input —
+    user 2 produces NO row in the second run."""
+    env = dict(os.environ)
+    env.update(tws_env(protobuf_pythonpath()))
+    proc = subprocess.run(
+        [sys.executable, "-c", _RESTART_SCRIPT, REPO],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    r1, r2 = json.loads(line[0][len("RESULT:"):])
+    assert [tuple(r) for r in r1] == [(1, 2), (2, 1)]
+    assert [tuple(r) for r in r2] == [(1, 3), (3, 1)]

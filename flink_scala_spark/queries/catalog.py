@@ -1548,3 +1548,65 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt_id.isNull().cast("int").alias("is_current"),
         F.round("value", 2).alias("value"),
     )
+
+
+@register(
+    "temporal_join_scd2",
+    """
+    WITH dim AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS eff_from,
+               lead(CAST(floor(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eff_to,
+               round(value, 2) AS dim_value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, c.event_id, c.click_ts,
+           d.eff_from, d.eff_to, d.dim_value
+    FROM clicks c
+    LEFT JOIN dim d
+      ON d.user_id = c.user_id
+     AND d.eff_from <= c.click_ts
+     AND (d.eff_to IS NULL OR c.click_ts < d.eff_to)
+    """,
+    "warehouse", "temporal-join", "scd2",
+)
+def q_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join — Flink SQL's FOR SYSTEM_TIME AS
+    OF against a versioned table, composed from the X101 SCD2 build:
+    each click joins the dimension version whose validity interval
+    [eff_from, eff_to) contains the click's event time; clicks before
+    the key's first version keep NULLs (LEFT). Versions partition
+    time, so at most one row matches — no dedup needed.
+
+    Scale: one user_id-keyed sort-merge join; per-key fan-out is the
+    key's version count (bounded by its change history, not the
+    corpus), the interval containment is a residual predicate. The
+    same semantics are reachable shuffle-for-shuffle via the as-of
+    union trick (X13) when version metadata isn't needed in the
+    output. Same-second version collisions produce zero-width
+    intervals that never match — identically in both engines (the
+    (ts, event_id) tie-break pinned by X101)."""
+    ev = _events(spark, sf_dir)
+    ts_l = epoch_seconds("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("d_user"),
+        ts_l.alias("eff_from"),
+        F.lead(ts_l).over(w).alias("eff_to"),
+        F.round("value", 2).alias("dim_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", ts_l.alias("click_ts")
+    )
+    return clicks.join(
+        dim,
+        (clicks["user_id"] == dim["d_user"])
+        & (dim["eff_from"] <= clicks["click_ts"])
+        & (dim["eff_to"].isNull() | (clicks["click_ts"] < dim["eff_to"])),
+        "left",
+    ).select("user_id", "event_id", "click_ts", "eff_from", "eff_to", "dim_value")

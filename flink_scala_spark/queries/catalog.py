@@ -1610,3 +1610,68 @@ def q_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dim["eff_to"].isNull() | (clicks["click_ts"] < dim["eff_to"])),
         "left",
     ).select("user_id", "event_id", "click_ts", "eff_from", "eff_to", "dim_value")
+
+
+# Synthetic changelog read of the events table, shared by the batch
+# CDC apply and its streaming twin: entity = (user_id, k % 5), op =
+# DELETE when k % 10 == 0 else UPSERT, ordered by (ts, event_id).
+_CDC_LOG_SQL = """
+        SELECT user_id,
+               CAST(props ->> '$.k' AS INT) % 5 AS entity,
+               CASE WHEN CAST(props ->> '$.k' AS INT) % 10 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               ts, event_id, value
+        FROM events
+"""
+
+
+def _cdc_log(ev: DataFrame) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "user_id",
+        (k % 5).alias("entity"),
+        F.when(k % 10 == 0, "D").otherwise("U").alias("op"),
+        "ts",
+        "event_id",
+        "value",
+    )
+
+
+@register(
+    "cdc_apply_changelog",
+    f"""
+    WITH log AS ({_CDC_LOG_SQL}),
+    latest AS (
+        SELECT user_id, entity, op,
+               CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+               round(value, 2) AS last_value,
+               row_number() OVER (PARTITION BY user_id, entity
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, entity, last_ts, last_value
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+    "warehouse", "cdc",
+)
+def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog materialization (the Debezium/retract-stream apply):
+    a stream of keyed UPSERT/DELETE operations collapses to final
+    table state — last op per key wins, keys whose last op is a
+    DELETE vanish. One map-side-combinable ``max_by`` hash agg (no
+    per-key sort, the X37 technique) then a row-local delete filter;
+    the op column derives from the JSON payload entirely inside
+    codegen."""
+    ev = _events(spark, sf_dir)
+    log = _cdc_log(ev)
+    newest = F.max_by(
+        F.struct("op", epoch_seconds("ts").alias("ts_l"), F.round("value", 2).alias("v")),
+        F.struct(F.col("ts"), F.col("event_id")),
+    )
+    latest = log.groupBy("user_id", "entity").agg(newest.alias("r"))
+    return latest.where(F.col("r.op") == "U").select(
+        "user_id",
+        "entity",
+        F.col("r.ts_l").alias("last_ts"),
+        F.col("r.v").alias("last_value"),
+    )

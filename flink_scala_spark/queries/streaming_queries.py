@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_scala_spark.functions.portable import epoch_seconds
-from flink_scala_spark.queries.catalog import register
+from flink_scala_spark.queries.catalog import _CDC_LOG_SQL, register
 from flink_scala_spark.streaming import sources, stateful
 from flink_scala_spark.streaming.runner import run_bounded
 
@@ -676,3 +676,46 @@ def q_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return exact.join(est, "word").select("word", "exact_cnt", "cms_cnt")
 
+
+
+@register(
+    "streaming_cdc_apply",
+    f"""
+    WITH log AS ({_CDC_LOG_SQL}),
+    latest AS (
+        SELECT user_id, entity, op,
+               CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+               round(value, 2) AS last_value,
+               row_number() OVER (PARTITION BY user_id, entity
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, entity, last_ts, last_value
+    FROM latest WHERE rn = 1 AND op = 'U'
+    """,
+    "streaming", "cdc",
+)
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The changelog apply LIVE: the per-key newest-op state is a
+    streaming max_by aggregate (one state row per key, updated in
+    place each microbatch — exactly the upsert-sink materialized
+    view); the delete filter runs batch-side on the final state (the
+    two-tier split: a key's liveness flips with every op, so filtering
+    inside the stream would need retractions Structured Streaming
+    doesn't emit)."""
+    from flink_scala_spark.queries.catalog import _cdc_log
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    log = _cdc_log(ev)
+    newest = F.max_by(
+        F.struct("op", "ts", "value"),
+        F.struct(F.col("ts"), F.col("event_id")),
+    )
+    agg = log.groupBy("user_id", "entity").agg(newest.alias("r"))
+    out = run_bounded(agg, "complete")
+    return out.where(F.col("r.op") == "U").select(
+        "user_id",
+        "entity",
+        F.unix_timestamp("r.ts").alias("last_ts"),
+        F.round("r.value", 2).alias("last_value"),
+    )

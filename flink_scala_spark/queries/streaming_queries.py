@@ -719,3 +719,60 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("r.ts").alias("last_ts"),
         F.round("r.value", 2).alias("last_value"),
     )
+
+
+@register(
+    "streaming_chained_windows",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    ),
+    ten AS (
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS b_start,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    closed AS (
+        SELECT t.* FROM ten t, wm WHERE t.b_start + 600 <= wm.w
+    )
+    SELECT (c.b_start // 3600) * 3600 AS hour_start, c.event_type,
+           max(c.cnt) AS max_10min_cnt, count(*) AS n_buckets
+    FROM closed c, wm
+    WHERE (c.b_start // 3600) * 3600 + 3600 <= wm.w
+    GROUP BY 1, 2
+    """,
+    "streaming", "chained-agg",
+)
+def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful windowed aggregations chained in ONE streaming
+    query (Spark 3.4+ multiple-stateful-operator support): 10-minute
+    per-type counts feed an hourly max-and-bucket-count directly —
+    no two-tier split, no intermediate sink. The inner agg emits a
+    bucket the microbatch its window closes; the outer consumes it in
+    the SAME batch via watermark-delayed eviction (window_time()
+    carries the inner window's event time downstream).
+
+    The oracle encodes the measured emission rule: a window (either
+    level) emits when final_watermark >= window_end — INCLUSIVE, the
+    opposite boundary of stream-stream join state eviction (strict),
+    both pinned by tests/test_late_data.py. On bounded replay the
+    last hour legitimately never emits."""
+    ev = sources.file_replay(spark, sf_dir, "events").withWatermark(
+        "ts", "10 seconds"
+    )
+    ten = ev.groupBy(F.window("ts", "10 minutes"), "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    hourly = ten.groupBy(
+        F.window(F.window_time("window"), "1 hour"), "event_type"
+    ).agg(
+        F.max("cnt").alias("max_10min_cnt"),
+        F.count("*").alias("n_buckets"),
+    )
+    out = run_bounded(hourly, "append")
+    return out.select(
+        F.col("window.start").cast("long").alias("hour_start"),
+        "event_type",
+        "max_10min_cnt",
+        "n_buckets",
+    )

@@ -191,3 +191,54 @@ def test_outer_interval_join_watermark_boundary_is_exclusive(spark, tmp_path):
         con.execute(QUERIES["streaming_interval_join_outer"].oracle).fetchall()
     )
     assert got == oracle
+
+
+def test_window_close_boundary_is_inclusive_in_chained_aggs(spark, tmp_path):
+    """Windowed-aggregation eviction is INCLUSIVE — a window whose end
+    equals the final watermark emits, at BOTH levels of a chained
+    windowed agg — the opposite boundary of stream-stream join state
+    eviction (strict, pinned above). Pins the `<=` in the
+    streaming_chained_windows oracle against a crafted corpus whose
+    10-minute and 1-hour window ends land exactly on the watermark."""
+    import glob
+    import os
+    import shutil
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)  # hour-aligned
+    rows = [
+        (1, base + 100, 1, "view", 1.0, "{}"),
+        (2, base + 3500, 1, "view", 1.0, "{}"),
+        # flush: watermark = (base+3610) - 10 = base+3600 exactly — the
+        # end of BOTH the [base+3000, base+3600) inner bucket and the
+        # [base, base+3600) hour
+        (3, base + 3610, 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_l long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("ts_l").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    os.makedirs(sf)
+    shutil.copy(
+        glob.glob(str(tmp_path / "raw") + "/*.parquet")[0],
+        os.path.join(sf, "events.parquet"),
+    )
+    got = {
+        (r["hour_start"] - base, r["event_type"], r["max_10min_cnt"], r["n_buckets"])
+        for r in QUERIES["streaming_chained_windows"].fn(spark, sf).collect()
+    }
+    # hour end == watermark: emitted, with BOTH inner buckets (the
+    # second bucket's end also == watermark and still feeds it);
+    # the flusher's own hour (end base+7200 > wm) must not emit.
+    assert got == {(0, "view", 1, 2)}

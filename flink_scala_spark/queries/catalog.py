@@ -1675,3 +1675,62 @@ def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.ts_l").alias("last_ts"),
         F.col("r.v").alias("last_value"),
     )
+
+
+@register(
+    "events_variant_props",
+    """
+    SELECT event_type,
+           CAST(sum(k * k) AS BIGINT) AS sum_k_sq,
+           count(*) FILTER (WHERE k IS NULL) AS n_null_k
+    FROM (SELECT event_type, CAST(props ->> '$.k' AS INT) AS k FROM events) t
+    GROUP BY event_type
+    """,
+    "semistructured", "variant",
+)
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    shreds the payload ONCE into a binary variant value,
+    ``try_variant_get`` then extracts typed fields without re-parsing
+    — at 100 TB this beats per-extraction ``get_json_object`` (which
+    re-parses the string for every field). The variant value itself is
+    engine-internal, so the query emits only extracted/aggregated
+    atoms — the oracle is plain JSON SQL over the same rows."""
+    ev = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    shredded = ev.select("event_type", k.alias("k"))
+    return shredded.groupBy("event_type").agg(
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("sum_k_sq"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_null_k"),
+    )
+
+
+@register(
+    "events_type_unpivot",
+    """
+    WITH wide AS (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click') AS click,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               count(*) FILTER (WHERE event_type = 'error') AS error
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, val FROM wide
+    UNPIVOT (val FOR metric IN (click, purchase, error))
+    """,
+    "reshape", "unpivot",
+)
+def q_events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of X36's pivot: ``unpivot`` (melt) turns the wide
+    per-user counts matrix back into tidy (user, metric, value) rows —
+    the reshape every feature store needs in both directions. Expand
+    is row-local (fan-out = column count), so the only shuffle is the
+    pivot agg itself; declared metric columns keep the driver out of it."""
+    ev = _events(spark, sf_dir)
+    wide = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in ("click", "purchase", "error")
+        ]
+    )
+    return wide.unpivot("user_id", ["click", "purchase", "error"], "metric", "val")

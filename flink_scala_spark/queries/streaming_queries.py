@@ -776,3 +776,66 @@ def q_streaming_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_10min_cnt",
         "n_buckets",
     )
+
+
+@register(
+    "streaming_interval_join_full_outer",
+    """
+    WITH wm AS (
+        SELECT least(
+            (SELECT max(ts) FROM events WHERE event_type = 'error'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+        ) - INTERVAL 1 MINUTE AS w
+    )
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE
+     AND c.ts <= e.ts
+    WHERE (e.event_id IS NOT NULL AND c.event_id IS NOT NULL)
+       OR (c.event_id IS NULL AND e.ts < (SELECT w FROM wm))
+       OR (e.event_id IS NULL
+           AND c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm))
+    """,
+    "join", "interval", "outer", "streaming",
+)
+def q_streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, live — BOTH sides emit
+    null rows on state expiry, completing the outer-join matrix next
+    to the LEFT variant. The two sides expire at DIFFERENT watermark
+    offsets, and the oracle encodes both exactly: an unmatched error
+    nulls out once wm passes its own event time (it can only match
+    PAST clicks), while an unmatched click nulls out once wm passes
+    c_ts + the 10-minute range (a FUTURE error could still reach back
+    to it until then). Both evictions are STRICT at the boundary — an
+    at-the-watermark row stays in state — pinned by crafted-corpus
+    tests in tests/test_late_data.py."""
+    errors = (
+        sources.file_replay(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 minute")
+    )
+    clicks = (
+        sources.file_replay(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("interval 10 minutes"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "full_outer",
+    ).select("error_id", "click_id")
+    return run_bounded(joined, "append")

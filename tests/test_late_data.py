@@ -242,3 +242,54 @@ def test_window_close_boundary_is_inclusive_in_chained_aggs(spark, tmp_path):
     # second bucket's end also == watermark and still feeds it);
     # the flusher's own hour (end base+7200 > wm) must not emit.
     assert got == {(0, "view", 1, 2)}
+
+
+def test_full_outer_right_side_eviction_boundary_is_exclusive(spark, tmp_path):
+    """The right (click) side of the FULL OUTER stream-stream join
+    expires at wm > c_ts + range — also STRICT: an unmatched click
+    whose c_ts + 10 min lands exactly on the final watermark stays in
+    state, one strictly below emits its null row. Pins the second `<`
+    in the streaming_interval_join_full_outer oracle."""
+    import glob
+    import os
+    import shutil
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    base = 1_700_000_000
+    rows = [
+        # user 1 unmatched clicks around the right-side boundary;
+        # final wm = min(max error, max click) - 60 = base + 1940
+        (11, base + 1200, 1, "click", 1.0, "{}"),  # c_ts+600 < wm: emits
+        (12, base + 1340, 1, "click", 1.0, "{}"),  # c_ts+600 == wm: stays
+        (13, base + 1400, 1, "click", 1.0, "{}"),  # c_ts+600 > wm: stays
+        # user 2 drives the watermarks (its own rows don't match)
+        (21, base + 2000, 2, "error", 1.0, "{}"),
+        (22, base + 2660, 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_l long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("ts_l").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    os.makedirs(sf)
+    shutil.copy(
+        glob.glob(str(tmp_path / "raw") + "/*.parquet")[0],
+        os.path.join(sf, "events.parquet"),
+    )
+    got = {
+        (r["error_id"], r["click_id"])
+        for r in QUERIES["streaming_interval_join_full_outer"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert got == {(None, 11)}

@@ -839,3 +839,40 @@ def q_streaming_interval_join_full_outer(spark: SparkSession, sf_dir: str) -> Da
         "full_outer",
     ).select("error_id", "click_id")
     return run_bounded(joined, "append")
+
+
+@register(
+    "streaming_dedup_then_window",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    )
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_start,
+           event_type, count(*) AS cnt
+    FROM events, wm
+    GROUP BY 1, 2, wm.w
+    HAVING hour_start + 3600 <= wm.w
+    """,
+    "streaming", "chained-agg", "dedup",
+)
+def q_streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded dedup CHAINED into a windowed aggregation in
+    ONE streaming query (the dedup + agg multi-stateful combination; a
+    doubled replay makes the dedup load-bearing): at-least-once
+    upstream delivery collapses to exactly-once window counts without
+    an intermediate sink — the standard Kafka-consumer topology. The
+    dedup state expires with the watermark (X91), the window emits
+    under the inclusive close rule pinned for X115, and the oracle is
+    simply DISTINCT events windowed, with the last open hour withheld."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev).withWatermark("ts", "10 seconds")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    hourly = deduped.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    out = run_bounded(hourly, "append")
+    return out.select(
+        F.col("window.start").cast("long").alias("hour_start"),
+        "event_type",
+        "cnt",
+    )

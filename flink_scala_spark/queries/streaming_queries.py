@@ -876,3 +876,76 @@ def q_streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         "cnt",
     )
+
+
+@register(
+    "streaming_join_then_window",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(least(
+            (SELECT max(ts) FROM events WHERE event_type = 'error'),
+            (SELECT max(ts) FROM events WHERE event_type = 'click')
+        ))) AS BIGINT) - 60 AS w
+    )
+    SELECT hour_start, pairs FROM (
+        SELECT (CAST(floor(epoch(e.ts)) AS BIGINT) // 3600) * 3600 AS hour_start,
+               count(*) AS pairs
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts >= e.ts - INTERVAL 10 MINUTE
+         AND c.ts <= e.ts
+        GROUP BY 1
+    ) t, wm
+    WHERE hour_start + 3600 + 600 < wm.w
+    """,
+    "streaming", "chained-agg", "join",
+)
+def q_streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join CHAINED into a windowed aggregation
+    in ONE query — the third multi-stateful combination (after
+    window->window and dedup->window): matched error-click pairs roll
+    into hourly counts with no intermediate sink.
+
+    The join DELAYS the watermark it propagates downstream by its own
+    event-time range (a pair can only be certified complete once no
+    further click could match), so an hour of pairs emits only when
+    the global watermark passes hour_end + 10 minutes — measured
+    STRICT at that boundary (wm == hour_end+600 withholds, +660
+    emits; pinned by tests/test_late_data.py). The oracle encodes
+    exactly that: the full pair histogram with trailing hours
+    withheld."""
+    errors = (
+        sources.file_replay(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 minute")
+    )
+    clicks = (
+        sources.file_replay(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("interval 10 minutes"))
+        & (F.col("c_ts") <= F.col("e_ts")),
+        "inner",
+    )
+    hourly = joined.groupBy(F.window("e_ts", "1 hour")).agg(
+        F.count("*").alias("pairs")
+    )
+    out = run_bounded(hourly, "append")
+    return out.select(
+        F.col("window.start").cast("long").alias("hour_start"), "pairs"
+    )

@@ -293,3 +293,55 @@ def test_full_outer_right_side_eviction_boundary_is_exclusive(spark, tmp_path):
         .collect()
     }
     assert got == {(None, 11)}
+
+
+def test_join_delays_downstream_window_close_by_its_range(spark, tmp_path):
+    """A windowed agg downstream of a stream-stream interval join
+    closes only when the watermark passes window_end + the join's
+    event-time range (the join certifies pair-completeness that much
+    later), and the boundary is STRICT: wm == hour_end + 600 withholds
+    the hour, anything beyond emits it. Pins the `+ 600 <` in the
+    streaming_join_then_window oracle."""
+    import glob
+    import os
+    import shutil
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+
+    def run_case(wm_anchor):
+        rows = [
+            (1, base + 1800, 1, "click", 1.0, "{}"),
+            (2, base + 2000, 1, "error", 1.0, "{}"),  # pair in hour 0
+            (21, wm_anchor, 2, "error", 1.0, "{}"),
+            (22, wm_anchor, 2, "click", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_l long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds("ts_l").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        case_dir = tmp_path / f"case_{wm_anchor}"
+        sf = str(case_dir / "sf")
+        df.coalesce(1).write.parquet(str(case_dir / "raw"))
+        os.makedirs(sf)
+        shutil.copy(
+            glob.glob(str(case_dir / "raw") + "/*.parquet")[0],
+            os.path.join(sf, "events.parquet"),
+        )
+        return {
+            (r["hour_start"] - base, r["pairs"])
+            for r in QUERIES["streaming_join_then_window"].fn(spark, sf).collect()
+        }
+
+    # final wm = anchor - 60; the pair's hour ends at base + 3600
+    assert run_case(base + 4260) == set()       # wm == end + 600: withheld
+    assert run_case(base + 4320) == {(0, 1)}    # wm == end + 660: emitted

@@ -347,7 +347,8 @@ def near_dup_clusters(
     across iterations. The driver-side loop only checks a converged
     count — no row data leaves the cluster. (At pathological diameters
     the alternating large-star/small-star variant bounds rounds to
-    O(log n); near-dup graphs don't need it.)
+    O(log n) — shipped as :func:`near_dup_clusters_star`, same output,
+    shared oracle; near-dup graphs rarely need it.)
 
     Singleton docs (no near-dup edges) never enter the loop — they join
     back at the end with themselves as canonical.
@@ -799,3 +800,113 @@ def containment_pairs(
         ).alias("jaccard"),
     )
     return scored.where(F.col("containment") >= threshold)
+
+
+def _canon_pairs(edges: DataFrame) -> DataFrame:
+    """Undirected edge list -> canonical (lo, hi) pairs, no loops."""
+    return (
+        edges.select(
+            F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 40
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm for PATHOLOGICAL diameters, where
+    plain min-label propagation (``near_dup_clusters``) needs
+    O(diameter) rounds. Long chain-shaped components halve every
+    round here (pinned by test on a 100-long path: converges in ~7
+    rounds, not 100).
+
+    ``pairs``: (doc_a, doc_b) undirected edges. Returns (doc_id,
+    cluster_id = component min) for every node appearing in an edge.
+
+    Each phase is one groupBy (map-side-combined min) plus one
+    broadcast-or-shuffle join keyed the same way — the identical
+    per-round cost profile as label propagation, but with round count
+    logarithmic in the longest chain. Convergence = the small-star
+    output reproduces its input edge set (every edge already points
+    at its component min: a star).
+    """
+    cur = _canon_pairs(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # large-star: for each node u, attach its strictly-larger
+        # neighbors to m = min(N(u) + {u})
+        sym = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        lm = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        lm = lm.select("u", F.least("mn", F.col("u")).alias("m"))
+        ls = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(lm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ls_edges = _canon_pairs(ls).localCheckpoint()
+        # small-star: each node u attaches its smaller neighbors (and
+        # itself) to m = min of those
+        e2 = ls_edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        sm = e2.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            e2.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select("u", F.col("m").alias("v")))
+        )
+        nxt = _canon_pairs(ss).localCheckpoint()
+        # converged when the whole round is idempotent: the round's
+        # OUTPUT equals its INPUT edge set (comparing mid-round states
+        # can exit early on a coincidental match and silently emit
+        # non-minimal labels)
+        stable = (
+            nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
+        )
+        cur = nxt
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"alternating-star did not converge in {max_iter} rounds"
+        )
+    # stars: every hi points at its component min lo; minima map to
+    # themselves
+    members = cur.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
+    roots = (
+        cur.select(F.col("lo").alias("doc_id"))
+        .distinct()
+        .join(members.select(F.col("doc_id").alias("r")), F.col("doc_id") == F.col("r"), "left_anti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return members.unionByName(roots)
+
+
+def near_dup_clusters_star(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """X16's cluster assignment computed by the alternating-star
+    algorithm instead of label propagation — identical output (same
+    oracle), logarithmic round bound. Singletons join back with
+    themselves as canonical, exactly like ``near_dup_clusters``."""
+    pairs_all, prof = _minhash_pairs(
+        docs, text_col, 3, NUM_HASHES, NUM_BANDS, threshold
+    )
+    comp = connected_components_star(pairs_all.select("doc_a", "doc_b"))
+    prof.unpersist()
+    base = docs.select("doc_id")
+    lab = base.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )

@@ -1961,3 +1961,24 @@ def q_text_rare_token_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-multiplied integer threshold) and the permille ratio. See
     pipeline/text.py:rare_token_novelty."""
     return text.rare_token_novelty(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X122: connected components via alternating star (O(log n) rounds)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_clusters_star",
+    QUERIES["dedup_clusters"].oracle,  # identical result contract
+    "dedup", "clusters", "graph",
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16's cluster assignment recomputed by the alternating
+    large-star/small-star algorithm (Kiveris et al.) — IDENTICAL
+    output to `dedup_clusters` (the oracle is shared verbatim), but
+    round count logarithmic in the longest chain instead of linear:
+    the remedy for pathological component diameters the label-prop
+    docstring points at, now shipped and oracle-checked. A 121-node
+    path converges in ~10 alternations, not 120 (pinned by
+    tests/test_properties.py)."""
+    return dedup.near_dup_clusters_star(_docs(spark, sf_dir), threshold=0.5)

@@ -563,3 +563,56 @@ def test_rare_token_novelty_matches_bruteforce(spark, texts_):
         for r in rare_token_novelty(docs).collect()
     )
     assert got == exp
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=1, max_size=40))
+def test_alternating_star_components_match_union_find(spark, raw_edges):
+    """connected_components_star must equal a plain union-find on
+    arbitrary graphs (self-loops dropped, duplicates welcome)."""
+    from flink_scala_spark.pipeline.dedup import connected_components_star
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    nodes = sorted({x for e in edges for x in e})
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    exp = {
+        (n, min(ms)) for ms in comp.values() for n in ms
+    }
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(df).collect()
+    }
+    assert got == exp
+
+
+def test_alternating_star_is_logarithmic_on_a_path(spark):
+    """The selling point over label propagation: a 121-node path
+    (diameter 120) must converge well inside 20 alternations — label
+    propagation needs ~120 rounds on the same graph."""
+    from flink_scala_spark.pipeline.dedup import connected_components_star
+
+    path = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(path, "doc_a long, doc_b long")
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components_star(df, max_iter=20).collect()
+    }
+    assert got == {(i, 0) for i in range(121)}

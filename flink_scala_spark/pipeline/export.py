@@ -1,17 +1,17 @@
 """Training-corpus materialization: the step that SHIPS the data.
 
-Everything upstream (curation, chunking, packing, splitting) is a
-catalog query with an exact oracle; this module composes them into a
-write: kept documents -> overlapping chunks -> token-budgeted packed
-sequences -> train/val/test hash-split -> Hive-partitioned parquet
+Everything upstream (curation, chunking, splitting) is a catalog
+query with an exact oracle; this module composes them into a write:
+kept documents -> overlapping chunk rows -> train/val/test hash-split
+-> Hive-partitioned parquet
 (``split=...``) plus a JSON manifest with the per-split row counts and
 an integrity digest.
 
 Scale shape: the only new work over the member operators is the final
 write. ``partitionBy('split')`` writes each split under its own
 directory (directory-pruned reads, `tests/test_partitioning.py`'s
-layout); within a split, files are sized by the same
-round-robin-repartition rule the compaction op uses. The manifest is
+layout); within a split, file count follows the (split, doc_id) hash
+repartition above. The manifest is
 written LAST, from already-aggregated counts (a few rows to the
 driver), so a reader that honors the manifest never sees a partial
 export — the same contract as the X62 two-phase-commit sink.
@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 
 def curated_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kept docs -> chunks -> packed sequences with split labels.
+    """Kept docs -> overlapping chunk rows with split labels.
 
     Composes the cataloged operators verbatim (same parameters), so
     each stage's correctness is already oracle-proven; this function
@@ -68,7 +68,11 @@ def export_training_corpus(
     seqs = curated_sequences(spark, sf_dir)
     data_dir = os.path.join(out_dir, "data")
     (
-        seqs.repartition(files_per_split, "split")
+        # hash on (split, doc_id): rows of ONE split spread over
+        # multiple partitions -> multiple files per split directory
+        # (repartition on split alone would hash every split to a
+        # single partition and cap write parallelism at n_splits)
+        seqs.repartition(files_per_split, "split", "doc_id")
         .write.mode("overwrite")
         .partitionBy("split")
         .parquet(data_dir)
@@ -77,12 +81,20 @@ def export_training_corpus(
     # computed from the files just written (read-back, not the plan),
     # so the manifest certifies what is actually on disk
     written = spark.read.parquet(data_dir)
+    from flink_scala_spark.functions.portable import h60
+
     non_part = [c for c in written.columns if c != "split"]
-    row_h = F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(non_part)])), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    # explicit NULL sentinel: concat_ws silently SKIPS nulls, which
+    # would give ('a', NULL, 'b') and ('a', 'b', NULL) equal digests
+    row_h = h60(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in sorted(non_part)
+            ],
+        )
+    )
     stats = (
         written.select("split", row_h.alias("h"))
         .groupBy("split")
@@ -95,7 +107,7 @@ def export_training_corpus(
         .collect()
     )
     manifest = {
-        "table": "curated_sequences",
+        "table": "curated_chunks",
         "source_sf_dir": sf_dir,
         "splits": {
             r["split"]: {"rows": r["rows"], "digest": str(r["digest"])}

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_scala_spark.functions.portable import epoch_seconds
-from flink_scala_spark.queries.catalog import _CDC_LOG_SQL, register
+from flink_scala_spark.queries.catalog import register
 from flink_scala_spark.streaming import sources, stateful
 from flink_scala_spark.streaming.runner import run_bounded
 
@@ -678,21 +678,16 @@ def q_streaming_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
+from flink_scala_spark.queries.catalog import QUERIES as _CATALOG_QUERIES  # noqa: E402
+
+#: identical result contract to the batch apply — share its oracle so
+#: the two can never drift textually
+CDC_APPLY_ORACLE = _CATALOG_QUERIES["cdc_apply_changelog"].oracle
+
+
 @register(
     "streaming_cdc_apply",
-    f"""
-    WITH log AS ({_CDC_LOG_SQL}),
-    latest AS (
-        SELECT user_id, entity, op,
-               CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
-               round(value, 2) AS last_value,
-               row_number() OVER (PARTITION BY user_id, entity
-                                  ORDER BY ts DESC, event_id DESC) AS rn
-        FROM log
-    )
-    SELECT user_id, entity, last_ts, last_value
-    FROM latest WHERE rn = 1 AND op = 'U'
-    """,
+    CDC_APPLY_ORACLE,  # identical result contract to the batch apply
     "streaming", "cdc",
 )
 def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

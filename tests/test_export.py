@@ -43,12 +43,21 @@ def test_export_roundtrip_matches_operators_and_manifest(spark, sf_dir, tmp_path
     with open(os.path.join(out, "MANIFEST.json")) as f:
         assert json.load(f) == manifest
 
-    # 4. split predicate prunes to the partition directory
+    # 4. split predicate prunes to the partition directory: the scan
+    # must carry a NON-EMPTY partition filter on split ("PartitionFilters"
+    # prints even when empty, so match the filter content)
+    import re
+
     pruned = data.where(F.col("split") == "train")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or pruned.count() == disk_counts.get(
-        "train", 0
-    )
+    assert re.search(r"PartitionFilters: \[[^\]]*split", plan), plan
+    assert pruned.count() == disk_counts.get("train", 0)
+
+    # files_per_split spreads one split over multiple files
+    import glob as _glob
+
+    train_files = _glob.glob(os.path.join(out, "data", "split=train", "*.parquet"))
+    assert len(train_files) > 1
 
     # 5. a second export overwrites cleanly and re-certifies
     manifest2 = export_training_corpus(spark, sf_dir, out)

@@ -345,3 +345,53 @@ def test_join_delays_downstream_window_close_by_its_range(spark, tmp_path):
     # final wm = anchor - 60; the pair's hour ends at base + 3600
     assert run_case(base + 4260) == set()       # wm == end + 600: withheld
     assert run_case(base + 4320) == {(0, 1)}    # wm == end + 660: emitted
+
+
+def test_dedup_does_not_delay_downstream_window_close(spark, tmp_path):
+    """Unlike a stream-stream join (which delays the propagated
+    watermark by its event-time range), dropDuplicatesWithinWatermark
+    propagates the watermark UNCHANGED: the downstream window still
+    closes inclusively at wm == window_end. Pins the `<=` in the
+    streaming_dedup_then_window oracle — and the cnt of 1 (not 2)
+    re-proves the dedup collapsed the doubled replay."""
+    import glob
+    import os
+    import shutil
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    base = 1_700_000_000 - (1_700_000_000 % 3600)
+
+    def run_case(flush_ts):
+        rows = [
+            (1, base + 1800, 1, "view", 1.0, "{}"),
+            (3, flush_ts, 2, "click", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_l long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds("ts_l").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        case_dir = tmp_path / f"case_{flush_ts}"
+        sf = str(case_dir / "sf")
+        df.coalesce(1).write.parquet(str(case_dir / "raw"))
+        os.makedirs(sf)
+        shutil.copy(
+            glob.glob(str(case_dir / "raw") + "/*.parquet")[0],
+            os.path.join(sf, "events.parquet"),
+        )
+        return sorted(
+            (r["hour_start"] - base, r["event_type"], r["cnt"])
+            for r in QUERIES["streaming_dedup_then_window"].fn(spark, sf).collect()
+        )
+
+    # watermark delay is 10 s; the view's hour ends at base + 3600
+    assert run_case(base + 3609) == []                    # wm just below end
+    assert run_case(base + 3610) == [(0, "view", 1)]      # wm == end: emits

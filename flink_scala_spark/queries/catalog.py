@@ -1573,7 +1573,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND d.eff_from <= c.click_ts
      AND (d.eff_to IS NULL OR c.click_ts < d.eff_to)
     """,
-    "warehouse", "temporal-join", "scd2",
+    "warehouse", "temporal-join", "scd2", "bench",
 )
 def q_temporal_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (point-in-time) join — Flink SQL's FOR SYSTEM_TIME AS
@@ -1652,7 +1652,7 @@ def _cdc_log(ev: DataFrame) -> DataFrame:
     SELECT user_id, entity, last_ts, last_value
     FROM latest WHERE rn = 1 AND op = 'U'
     """,
-    "warehouse", "cdc",
+    "warehouse", "cdc", "bench",
 )
 def q_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog materialization (the Debezium/retract-stream apply):

@@ -782,3 +782,80 @@ def rare_token_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "rare_permille", F.expr("(1000 * n_rare) DIV n_tok")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+#: BM25 parameters as exact rationals: k1 = 6/5 (1.2), b = 3/4 (0.75).
+#: With integer tf, dl, N, T(=total tokens), each term's score is the
+#: ratio of two exactly-representable integers (see bm25_scores), so
+#: the one double division per term is bit-identical across engines.
+BM25_QUERY = ("spark", "window", "join")
+
+
+def bm25_scores(
+    docs: DataFrame, query: tuple[str, ...] = BM25_QUERY, text_col: str = "text"
+) -> DataFrame:
+    """BM25 relevance of every document to a fixed term query — the
+    classic retrieval scorer over the same stats as the inverted
+    index / TF-IDF ops.
+
+    House-style exactness: the standard ln-idf is replaced by its
+    log-free rational core idf_r = (2N - 2df + 1) / (2df + 1) (same
+    monotonicity, exact integers), and with k1 = 6/5, b = 3/4 the tf
+    saturation term becomes 44*T*tf / (20*T*tf + 6*T + 18*dl*N) —
+    numerator and denominator are exact BIGINTs, so each term's double
+    division and the fixed-order sum are bit-identical in Spark and
+    DuckDB. (At 100 TB the BIGINT products need DECIMAL(38,0) — a
+    widening, not a redesign.)
+
+    Scale: one (doc, term) pre-agg restricted to the query terms (the
+    explode is filtered BEFORE the shuffle, so fan-out is |query| per
+    doc max), corpus stats and per-term document frequencies are 1-row
+    broadcast aggregates, scoring is row-local.
+    """
+    base = _nonempty(docs, text_col).select(
+        "doc_id", F.split(F.col(text_col), " ").alias("w")
+    )
+    doc_len = base.select("doc_id", F.size("w").alias("dl"))
+    stats = doc_len.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    toks = base.select("doc_id", F.explode("w").alias("word")).where(
+        F.col("word").isin(*query)
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy().agg(
+        *[
+            F.countDistinct(F.when(F.col("word") == t, F.col("doc_id"))).alias(
+                f"df_{i}"
+            )
+            for i, t in enumerate(query)
+        ]
+    )
+    wide = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("word") == t, F.col("tf"))).alias(f"tf_{i}")
+            for i, t in enumerate(query)
+        ]
+    )
+    scored = (
+        doc_len.join(wide, "doc_id", "left")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(dfreq))
+    )
+    score = F.lit(0.0)
+    for i in range(len(query)):
+        tf_i = F.coalesce(F.col(f"tf_{i}"), F.lit(0))
+        df_i = F.col(f"df_{i}")
+        n, t = F.col("n_docs"), F.col("t_tokens")
+        idf_num = (2 * n - 2 * df_i + 1).cast("double")
+        idf_den = (2 * df_i + 1).cast("double")
+        sat_num = (44 * t * tf_i).cast("double")
+        sat_den = (20 * t * tf_i + 6 * t + 18 * F.col("dl") * n).cast("double")
+        score = score + (idf_num / idf_den) * (sat_num / sat_den)
+    return scored.select(
+        "doc_id", "dl", F.round(score, 6).alias("bm25")
+    )

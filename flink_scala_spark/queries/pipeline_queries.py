@@ -1982,3 +1982,64 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     path converges in ~10 alternations, not 120 (pinned by
     tests/test_properties.py)."""
     return dedup.near_dup_clusters_star(_docs(spark, sf_dir), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# X123: BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = text.BM25_QUERY
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_SCORE_SQL = " + ".join(
+    f"""(CAST(2 * s.n_docs - 2 * d.df_{i} + 1 AS DOUBLE)
+         / CAST(2 * d.df_{i} + 1 AS DOUBLE))
+      * (CAST(44 * s.t_tokens * coalesce(w.tf_{i}, 0) AS DOUBLE)
+         / CAST(20 * s.t_tokens * coalesce(w.tf_{i}, 0)
+                + 6 * s.t_tokens + 18 * dl.dl * s.n_docs AS DOUBLE))"""
+    for i in range(len(_BM25_TERMS))
+)
+_BM25_TF_COLS = ",\n               ".join(
+    f"sum(CASE WHEN word = '{t}' THEN tf END) AS tf_{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF_COLS = ",\n               ".join(
+    f"count(DISTINCT CASE WHEN word = '{t}' THEN doc_id END) AS df_{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    dl AS (SELECT doc_id, len(w) AS dl FROM base),
+    s AS (SELECT count(*) AS n_docs, sum(len(w)) AS t_tokens FROM base),
+    toks AS (
+        SELECT doc_id, unnest(w) AS word FROM base
+    ),
+    tf AS (
+        SELECT doc_id, word, count(*) AS tf FROM toks
+        WHERE word IN ({_BM25_TERM_LIST}) GROUP BY 1, 2
+    ),
+    d AS (SELECT {_BM25_DF_COLS} FROM tf),
+    wide AS (
+        SELECT doc_id, {_BM25_TF_COLS} FROM tf GROUP BY doc_id
+    )
+    SELECT dl.doc_id, dl.dl,
+           round(0.0 + {_BM25_SCORE_SQL}, 6) AS bm25
+    FROM dl LEFT JOIN wide w ON w.doc_id = dl.doc_id, s, d
+    """,
+    "text", "retrieval",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring over the corpus for a fixed term query —
+    the retrieval layer on top of the inverted-index/TF-IDF stats. The
+    ln-idf is replaced by its log-free rational core and k1/b are
+    exact rationals, so every term score is a double division of two
+    exact BIGINTs and the fixed-order sum hash-matches DuckDB (see
+    pipeline/text.py:bm25_scores for the algebra and the 100 TB
+    shape)."""
+    return text.bm25_scores(_docs(spark, sf_dir))

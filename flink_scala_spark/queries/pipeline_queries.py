@@ -11,7 +11,7 @@ approximate-compare tolerances anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_scala_spark import tables
@@ -2043,3 +2043,73 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline/text.py:bm25_scores for the algebra and the 100 TB
     shape)."""
     return text.bm25_scores(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X124: entity-resolution clusters (fuzzy graph + alternating star)
+# ---------------------------------------------------------------------------
+
+@register(
+    "entity_clusters",
+    """
+    WITH RECURSIVE vocab AS (SELECT DISTINCT c_name AS word FROM customer
+                   WHERE c_name IS NOT NULL AND c_name <> ''),
+    keys AS (
+        SELECT word, unnest(list_append(
+            list_transform(range(1, length(word) + 1),
+                i -> substr(word, 1, CAST(i AS INT) - 1)
+                     || substr(word, CAST(i AS INT) + 1, length(word))),
+            word)) AS k
+        FROM vocab),
+    cand AS (SELECT DISTINCT a.word AS word_a, b.word AS word_b
+             FROM keys a JOIN keys b ON a.k = b.k AND a.word < b.word),
+    pv AS (SELECT word_a, word_b FROM cand
+           WHERE levenshtein(word_a, word_b) = 1),
+    edges AS (SELECT word_a AS src, word_b AS dst FROM pv
+              UNION SELECT word_b, word_a FROM pv),
+    reach(w, r) AS (
+        SELECT word, word FROM vocab
+        UNION
+        SELECT e.dst, rc.r FROM edges e JOIN reach rc ON rc.w = e.src
+    ),
+    lab AS (SELECT w AS name, min(r) AS canonical FROM reach GROUP BY w)
+    SELECT name, canonical,
+           count(*) OVER (PARTITION BY canonical) AS cluster_size,
+           CAST(name = canonical AS INT) AS is_canonical
+    FROM lab
+    """,
+    "entity-resolution", "graph", "clusters",
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: the fuzzy-match graph (X68's
+    deletion-neighborhood candidates + levenshtein verify) collapsed
+    into canonical entities by the alternating-star components of
+    X122 — every name mapped to its cluster's lexicographically
+    smallest name. The composition is two already-proven operators
+    joined on the entity string; singleton names canonicalize to
+    themselves. The oracle is the fuzzy oracle's edges under a
+    recursive reachability CTE."""
+    from flink_scala_spark.pipeline.dedup import connected_components_star
+
+    cust = tables.load(spark, sf_dir, "customer")
+    pairs = text.fuzzy_string_pairs(cust, "c_name").select(
+        F.col("word_a").alias("doc_a"), F.col("word_b").alias("doc_b")
+    )
+    comp = connected_components_star(pairs).select(
+        F.col("doc_id").alias("name"), F.col("cluster_id").alias("canonical")
+    )
+    vocab = (
+        cust.where(F.col("c_name").isNotNull() & (F.col("c_name") != ""))
+        .select(F.col("c_name").alias("name"))
+        .distinct()
+    )
+    lab = vocab.join(comp, "name", "left").select(
+        "name", F.coalesce("canonical", F.col("name")).alias("canonical")
+    )
+    w = Window.partitionBy("canonical")
+    return lab.select(
+        "name",
+        "canonical",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("name") == F.col("canonical")).cast("int").alias("is_canonical"),
+    )

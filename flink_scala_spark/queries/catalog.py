@@ -238,7 +238,8 @@ def q_revenue_by_region_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate < TIMESTAMP '2000-09-01 00:00:00'
           AND l.l_shipdate > TIMESTAMP '2000-09-01 00:00:00'
         GROUP BY 1, 2, 3)
-    SELECT l_orderkey, order_date, o_orderpriority, revenue, rank
+    SELECT l_orderkey, order_date, o_orderpriority, revenue,
+           CAST(rank AS INT) AS rank
     FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
           FROM agg) t
     WHERE rank <= 10

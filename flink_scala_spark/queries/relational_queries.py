@@ -184,7 +184,7 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "revenue_cube",
     f"""
-    SELECT n.n_name AS nation, year(o.o_orderdate) AS order_year,
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
            count(*) AS cnt, CAST(sum({_REV}) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -298,7 +298,7 @@ def q_returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFr
     "nation_trade_flow",
     f"""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-           year(o.o_orderdate) AS order_year,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
            CAST(sum({_REV}) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -478,8 +478,8 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, decile, count(*) AS cnt,
            min(value) AS lo, max(value) AS hi
     FROM (SELECT event_type, value,
-                 ntile(10) OVER (PARTITION BY event_type
-                                 ORDER BY value, event_id) AS decile
+                 CAST(ntile(10) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS INT) AS decile
           FROM events) t
     GROUP BY 1, 2
     """,
@@ -916,10 +916,10 @@ def q_sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
                 THEN 'fast' ELSE 'slow' END AS latency_class,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority_lines,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority_lines
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY 1
     """,
@@ -951,7 +951,7 @@ def q_ship_latency_priority_counts(spark: SparkSession, sf_dir: str) -> DataFram
     "nation_market_share",
     f"""
     WITH base AS (
-        SELECT EXTRACT(year FROM o.o_orderdate) AS yr,
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
                {_REV} AS rev,
                sn.n_name AS supp_nation
         FROM lineitem l

@@ -13,6 +13,7 @@ import os
 import duckdb
 import pytest
 
+from flink_scala_spark.oracle_types import dtype_mismatches
 from flink_scala_spark.queries.catalog import QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -53,10 +54,14 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     if spec.oracle is None:
         assert len(s_rows) >= 0  # rows-only check for non-SQL ops
         return
-    res = duck.execute(spec.oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    tbl = duck.execute(spec.oracle).fetch_arrow_table()
+    d_cols = tbl.schema.names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
     assert sorted(sdf.columns) == sorted(d_cols)
+    # The driver hashes TYPED values — an uncast DuckDB integer sum()
+    # (HUGEINT) str()-matches Spark's BIGINT yet hash-mismatches at the
+    # driver (cost: 2 red rows in round 3). Compare dtypes, not str().
+    assert dtype_mismatches(sdf.dtypes, tbl.schema) == []
     assert len(s_rows) == len(d_rows)
     assert _sorted_rows(sdf.columns, s_rows) == _sorted_rows(d_cols, d_rows)
 

@@ -19,6 +19,8 @@ sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
 
+from flink_scala_spark.oracle_types import dtype_mismatches  # noqa: E402
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -67,6 +69,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_dtypes = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
@@ -77,9 +80,11 @@ def main() -> int:
             n_weak += 1
             continue
         try:
-            res = con.execute(omap[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            tbl = con.execute(omap[name]).fetch_arrow_table()
+            d_cols = tbl.schema.names
+            d_rows = [
+                tuple(row[c] for c in d_cols) for row in tbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
@@ -90,6 +95,13 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             ok = False
             msgs.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        # The driver hashes TYPED values: an uncast DuckDB integer sum()
+        # (HUGEINT → arrow decimal128(38,0)) hash-mismatches Spark's
+        # BIGINT even when every str(cell) agrees. Hard-fail it locally.
+        tmis = dtype_mismatches(s_dtypes, tbl.schema)
+        if tmis:
+            ok = False
+            msgs.append("dtype drift: " + "; ".join(tmis))
         if len(s_rows) != len(d_rows):
             ok = False
             msgs.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
@@ -102,21 +114,8 @@ def main() -> int:
                     (a, b) for a, b in zip(s_sorted, d_sorted) if a != b
                 ][:3]
                 msgs.append(f"values differ; first diffs: {diffs}")
-        if ok and s_rows and d_rows:
-            # Values equal under str-normalization, but the driver hashes
-            # typed values: DuckDB HUGEINT/DECIMAL vs Spark LONG slips
-            # through str() yet hash-mismatches. Surface it here.
-            order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-            order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-            for i_s, i_d in zip(order_s, order_d):
-                ts_, td_ = type(s_rows[0][i_s]), type(d_rows[0][i_d])
-                if ts_ is not td_ and None not in (s_rows[0][i_s], d_rows[0][i_d]):
-                    msgs.append(
-                        f"TYPE-WARN col {s_cols[i_s]}: spark={ts_.__name__} duck={td_.__name__}"
-                    )
         if ok:
-            warn = (" | " + " | ".join(msgs)) if msgs else ""
-            print(f"PASS {name}: rows={len(s_rows)} [{time.time()-t0:.1f}s]{warn}")
+            print(f"PASS {name}: rows={len(s_rows)} [{time.time()-t0:.1f}s]")
             n_pass += 1
         else:
             print(f"FAIL {name}: " + " | ".join(msgs))

@@ -944,3 +944,128 @@ def q_streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").cast("long").alias("hour_start"), "pairs"
     )
+
+
+# ---------------------------------------------------------------------------
+# ST4 first-class: transformWithStateInPandas timers in the driver gate
+# ---------------------------------------------------------------------------
+
+#: Replay/bucketing constants for the TWS rising alarm. 2-day buckets
+#: give ~16 deterministic microbatches over the 30-day events span; a
+#: 12-hour horizon yields a healthy alarm count at every sf (7 / 50 /
+#: 544 at sf 0.001 / 0.01 / 0.1).
+_TWS_BUCKET_S = 172_800
+_TWS_HORIZON_S = 43_200
+
+# The oracle replays the MEASURED first-class timer semantics in pure
+# SQL (all pinned by probes + tests/test_tws_timers.py):
+#   * batch k's watermark = max event time through batch k-1 minus the
+#     1 s delay; timers fire when expiry <= watermark (INCLUSIVE);
+#   * a batch's input rows are processed BEFORE its expired timers, so
+#     a fall in (or before) the firing batch deletes the timer and the
+#     rises of the firing batch count into n_rising;
+#   * availableNow runs one trailing no-data batch, firing whatever
+#     the FINAL watermark covers (the least(fire_k, max k) clamp).
+# Buckets are epoch-aligned `unix_micros DIV (W*1e6)` — identical
+# arithmetic on both engines — so batch boundaries, watermarks, firing
+# batches, and therefore every output row are exactly reproducible.
+_TWS_ALARM_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+           epoch_us(ts) AS ts_us,
+           value,
+           epoch_us(ts) // {_TWS_BUCKET_S * 1_000_000} AS bucket
+    FROM events
+),
+bx AS (
+    SELECT bucket,
+           max(bmax) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS m_us,
+           row_number() OVER (ORDER BY bucket) AS k
+    FROM (SELECT bucket, max(ts_us) AS bmax FROM ev GROUP BY 1) t
+),
+flagged AS (
+    SELECT e.*, bx.k,
+           CASE WHEN lag(value) OVER w IS NOT NULL
+                 AND value > lag(value) OVER w THEN 1 ELSE 0 END AS rising
+    FROM ev e JOIN bx USING (bucket)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_l, event_id)
+),
+islands AS (
+    SELECT *, sum(1 - rising) OVER (PARTITION BY user_id ORDER BY ts_l, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+    FROM flagged
+),
+streaks AS (
+    SELECT user_id, grp, min(ts_l) AS streak_start
+    FROM islands WHERE rising = 1 GROUP BY 1, 2
+),
+falls AS (
+    SELECT user_id, grp - 1 AS grp, min(k) AS fall_k
+    FROM islands WHERE rising = 0 AND grp > 1 GROUP BY 1, 2
+),
+fired AS (
+    SELECT s.user_id, s.grp, s.streak_start,
+           (s.streak_start + {_TWS_HORIZON_S}) AS alarm_ts,
+           least(min(bx.k) + 1, (SELECT max(k) FROM bx)) AS proc_k
+    FROM streaks s JOIN bx
+      ON (bx.m_us // 1000) - 1000 >= (s.streak_start + {_TWS_HORIZON_S}) * 1000
+    GROUP BY 1, 2, 3
+),
+alive AS (
+    SELECT f.*
+    FROM fired f LEFT JOIN falls fl
+      ON fl.user_id = f.user_id AND fl.grp = f.grp
+    WHERE fl.fall_k IS NULL OR fl.fall_k > f.proc_k
+)
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(a.streak_start AS BIGINT) AS streak_start,
+       CAST(a.alarm_ts AS BIGINT) AS alarm_ts,
+       CAST(count(*) AS BIGINT) AS n_rising
+FROM alive a JOIN islands i
+  ON i.user_id = a.user_id AND i.grp = a.grp
+ AND i.rising = 1 AND i.k <= a.proc_k
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "streaming_rising_alarm_tws",
+    _TWS_ALARM_ORACLE,
+    "ST4", "tws", "timers", "streaming",
+)
+def q_streaming_rising_alarm_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 on the FIRST-CLASS Spark 4 timer API, in the driver gate:
+    the reference's rising-temperature alarm
+    (ProcessAlarmTest.scala:76-108) — registerTimer on the first rise
+    (:90-94), deleteTimer on a fall (:95-100), alarm emitted from the
+    expired-timer callback (:103-107) — executed for real through
+    ``transformWithStateInPandas`` + RocksDB on the events table,
+    replayed as ~16 time-ordered microbatches so the watermark
+    actually climbs and fires timers mid-stream. The protobuf runtime
+    the TWS worker needs is unlocked in-session
+    (streaming/tws.py:ensure_tws_runtime), so this runs on the
+    driver's own vanilla SparkSession; the DuckDB oracle replays the
+    measured watermark/timer semantics exactly (see _TWS_ALARM_ORACLE).
+    The `applyInPandasWithState` emulation twin is `rising_streak_alarm`
+    / `streaming_delta_alarm`."""
+    from flink_scala_spark.streaming.runner import run_bounded_now
+    from flink_scala_spark.streaming.tws import ensure_tws_runtime, rising_alarm_tws
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    ensure_tws_runtime(spark)
+    try:
+        src = sources.file_replay_time_buckets(
+            spark, sf_dir, "events", _TWS_BUCKET_S
+        )
+        alarms = rising_alarm_tws(src, horizon_seconds=_TWS_HORIZON_S)
+        return run_bounded_now(alarms, "append")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

@@ -45,6 +45,38 @@ def run_bounded(
     return spark.table(name)
 
 
+def run_bounded_now(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    query_name: str | None = None,
+    timeout: int = 600,
+) -> DataFrame:
+    """Like :func:`run_bounded` but with ``trigger(availableNow=True)``.
+
+    ``processAllAvailable`` only guarantees the SOURCE data is drained;
+    it can stop the query before the trailing no-data microbatch that
+    fires still-pending event-time TIMERS off the final watermark.
+    ``availableNow`` termination includes that batch (measured: a timer
+    whose expiry <= final watermark fires before the query ends), so
+    timer-driven operators must run through this helper.
+    """
+    spark = stream_df.sparkSession
+    name = query_name or f"fss_q{next(_counter)}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(name)
+
+
 def run_bounded_foreach(stream_df: DataFrame, fn, output_mode: str = "update") -> None:
     """Execute a bounded streaming plan through foreachBatch ``fn``."""
     q = stream_df.writeStream.outputMode(output_mode).foreachBatch(fn).start()

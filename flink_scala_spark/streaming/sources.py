@@ -20,6 +20,9 @@ parallelism lever is topic partitioning, not engine code.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,6 +56,70 @@ def file_replay(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             # UTC the cast is an exact identity on the stored micros.
             stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
+
+
+def file_replay_time_buckets(
+    spark: SparkSession, sf_dir: str, table: str, bucket_seconds: int
+) -> DataFrame:
+    """S2 variant: replay a testdata table as TIME-ORDERED microbatches.
+
+    ``file_replay`` yields ONE batch (one parquet file), which never
+    advances the watermark mid-stream — fine for final-state aggs,
+    useless for event-time TIMERS, which only fire when a later batch
+    moves the watermark past their expiry. This source splits the
+    table into epoch-aligned time buckets of ``bucket_seconds`` (one
+    distributed partitionBy write), lays the bucket files out in
+    ascending time order, and replays them one file per trigger — so
+    batch k's rows all postdate batch k-1's, the watermark climbs
+    deterministically between batches, and timer-based operators
+    (streaming/tws.py) get the reference's multi-watermark timeline
+    (ProcessAlarmTest.scala) from bounded testdata.
+
+    Determinism: bucket boundaries are pure functions of the data
+    (``unix_micros DIV bucket``), file order is forced by both name and
+    mtime, and each bucket is a single part file — so the microbatch
+    sequence, and therefore every watermark value, is reproducible
+    bit-for-bit at any sf.
+    """
+    from flink_scala_spark import tables
+
+    batch = tables.load(spark, sf_dir, table)
+    if dict(batch.dtypes).get("ts") == "timestamp_ntz":
+        # Watermarks (and unix_micros) need TIMESTAMP; with the session
+        # pinned to UTC the cast is an exact identity on stored micros.
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = tempfile.mkdtemp(prefix=f"replay_{table}_")
+    staged = os.path.join(out, "staged")
+    (
+        batch.withColumn(
+            "bucket", F.expr(f"unix_micros(ts) DIV {bucket_seconds * 1_000_000}")
+        )
+        .repartition(1)  # one part file per bucket dir; testdata-sized
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    bdirs = sorted(
+        (d for d in os.listdir(staged) if d.startswith("bucket=")),
+        key=lambda s: int(s.split("=")[1]),
+    )
+    replay = os.path.join(out, "replay")
+    os.makedirs(replay)
+    now = time.time()
+    for i, bd in enumerate(bdirs):
+        parts = [
+            f for f in os.listdir(os.path.join(staged, bd)) if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"expected one part file in {bd}, got {parts}"
+        dst = os.path.join(replay, f"b{i:04d}.parquet")
+        shutil.move(os.path.join(staged, bd, parts[0]), dst)
+        os.utime(dst, (now + i, now + i))
+    schema = spark.read.parquet(replay).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
 
 
 def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 7777) -> DataFrame:

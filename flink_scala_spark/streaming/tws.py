@@ -30,6 +30,8 @@ TWS additionally requires the RocksDB state store provider.
 from __future__ import annotations
 
 import os
+import sys
+import tempfile
 
 #: Known locations of a vendored public protobuf runtime (checked in
 #: order). The Google Cloud SDK ships one under its appengine platform.
@@ -64,6 +66,56 @@ def tws_env(path: str) -> dict[str, str]:
         prev = os.environ.get("PYTHONPATH", "")
         env["PYTHONPATH"] = f"{path}:{prev}" if prev else path
     return env
+
+
+_RUNTIME_READY = False
+
+
+def ensure_tws_runtime(spark) -> None:
+    """Unlock the TWS Python workers ON AN ARBITRARY (vanilla) session,
+    after the JVM has already started — the driver-gate path.
+
+    Launching with ``PYTHONPATH``/env prepared up front (``tws_env``)
+    remains the clean route for fresh processes, but the correctness
+    driver hands us an already-running session. Three measured facts
+    make the in-session unlock possible anyway:
+
+    1. ``sc.environment`` mutations propagate to Python workers spawned
+       AFTER the mutation (each worker request carries the dict), so
+       ``PYTHONPATH`` + the protobuf version-check escape hatch reach
+       the TWS state-server worker without restarting the JVM.
+       (``sc.addPyFile`` does NOT reach that worker — it is launched by
+       ``StreamingPythonRunner``, which only sees env vars.)
+    2. The driver side only needs ``sys.path`` + ``os.environ``, both
+       process-local and mutable at any time.
+    3. The RocksDB provider is a runtime SQL conf.
+
+    The vendored protobuf lives in a directory with many other
+    top-level modules, so the path handed to workers is a scratch dir
+    exposing ONLY a symlink to its ``google/`` package — nothing else
+    can be shadowed. Raises RuntimeError when no runtime exists.
+    """
+    global _RUNTIME_READY
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
+    if _RUNTIME_READY:
+        return
+    path = protobuf_pythonpath()
+    if path is None:
+        raise RuntimeError("no protobuf runtime available for TWS workers")
+    sc = spark.sparkContext
+    os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
+    if path:
+        link_dir = tempfile.mkdtemp(prefix="pbuf_runtime_")
+        os.symlink(os.path.join(path, "google"), os.path.join(link_dir, "google"))
+        sys.path.insert(0, link_dir)
+        prev = sc.environment.get("PYTHONPATH", "")
+        sc.environment["PYTHONPATH"] = (
+            f"{link_dir}:{prev}" if prev else link_dir
+        )
+    _RUNTIME_READY = True
 
 
 def build_rising_alarm_tws(horizon_seconds: int = 600):

@@ -30,77 +30,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-3 rotation: (a) the seven queries whose round-3 changes touch
-# their results or hardening (quantize digest, blocked near-dup,
-# fixed-k IVF, containment blocking, incremental_dedup profile
-# versioning, late_data_accounting's order-key guard, gap_fill's
-# tie-break) lead; (b) the 22 entries never driver-verified in rounds
-# 1-2 follow, so the union of driver-green rows approaches the full
-# catalog (the other three never-verified entries —
-# embedding_quantize_int8, dedup_containment, gap_fill_forward — are
-# already in (a)); (b2) the eight operators added mid-round-3
-# (duplicate-passage dedup, rarity scoring, Q17/Q22/Q21/Q12/Q8/Q16
-# shapes); (c) the
-# remaining slots refresh round-1-only entries across the window /
-# streaming / keyed-agg families.
-# Everything else stays covered by tests/test_catalog_oracle.py at
-# sf0.001 every pytest run, and the head contract is pinned by
+# Round-4 rotation: (a) every entry with NO green driver row across
+# rounds 1-3 — the 29 round-3 additions VERDICT r3 listed, the two
+# round-3 hash-FAILs whose oracles are now cast to BIGINT
+# (ship_latency_priority_counts, text_rare_token_novelty), the
+# reshaped approx_ndv_hll (now fully oracle-checked), and the new
+# first-class-timer query streaming_rising_alarm_tws — after round 4
+# the driver-green union covers all 155 catalog entries; (b) the ten
+# queries whose ORACLES changed this round (integer-width casts from
+# the typed-gate sweep) re-earn green rows against the new SQL;
+# (c) the remaining slots refresh the stalest round-1-only rows, one
+# per operator family. Everything else stays oracle-checked at
+# sf0.001 on every pytest run (tests/test_catalog_oracle.py), and the
+# head contract is pinned by
 # tests/test_catalog_oracle.py::test_driver_priority_head_is_valid.
 _PRIORITY = [
-    # (a) changed this round — must re-earn green driver rows
-    "embedding_quantize_int8",
-    "embedding_near_dup",
-    "ann_ivf_topk",
-    "dedup_containment",
-    "incremental_dedup",
-    "late_data_accounting",
-    "gap_fill_forward",
-    # (b) never driver-checked in r1/r2
-    "count_window_sliding",
-    "skew_join_salted",
-    "value_histogram",
-    "windowed_topk_types",
-    "session_stats",
-    "rolling_window_avg",
-    "revenue_day_over_day",
-    "streaming_funnel",
-    "streaming_cohort_retention",
-    "dedup_ngram_jaccard",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint",
-    "dataset_split",
-    "stratified_sample_events",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "approx_ndv_hll",
-    "asof_join_cogrouped",
-    "value_deciles",
-    "copurchase_pairs",
-    "value_outliers",
-    # (b2) eight operators added this session — never driver-checked
-    "dedup_substring_spans",
-    "text_rare_token_novelty",
-    "small_quantity_part_revenue",
-    "idle_high_balance_customers",
-    "sole_late_supplier_waits",
+    # (a) never driver-green in rounds 1-3
     "ship_latency_priority_counts",
+    "text_rare_token_novelty",
+    "approx_ndv_hll",
+    "streaming_rising_alarm_tws",
+    "scd2_history",
+    "temporal_join_scd2",
+    "cdc_apply_changelog",
+    "events_variant_props",
+    "events_type_unpivot",
+    "streaming_static_enrichment",
+    "streaming_dedup_within_watermark",
+    "streaming_windowed_topk",
+    "streaming_interval_join_outer",
+    "streaming_cms_heavy_hitters",
+    "streaming_cdc_apply",
+    "streaming_chained_windows",
+    "streaming_interval_join_full_outer",
+    "streaming_dedup_then_window",
+    "streaming_join_then_window",
+    "decontamination_bloom",
+    "sample_events_per_type",
+    "ann_pq_topk",
+    "udtf_bigram_topk",
+    "udaf_second_largest",
+    "corpus_curation_pipeline",
+    "dedup_triangles",
+    "semantic_dedup",
+    "dedup_clusters_star",
+    "bm25_search",
+    "entity_clusters",
+    "local_supplier_volume",
+    "bracketed_revenue",
+    "forecast_revenue_change",
+    # (b) oracle changed this round (typed-gate casts) — re-earn
+    "shipping_priority_topk",
+    "text_quality",
+    "value_deciles",
     "nation_market_share",
-    "part_supplier_diversity",
-    # (c) round-1-only entries refreshed across operator families
-    "day_window_offset_utc8",
-    "window_all_minute",
-    "trigger_per_element_fire",
-    "evictor_prefilter",
-    "delta_alarm",
-    "side_output_alarm",
-    "split_select_bands",
-    "generated_order_dashboard",
-    "streaming_word_count",
-    "streaming_keyed_sum",
-    "streaming_tumbling_counts",
-    "streaming_session_windows",
-    "streaming_order_dashboard",
+    "text_token_stats",
+    "pii_scrub",
+    "revenue_cube",
+    "nation_trade_flow",
+    "text_lang_id",
+    "text_fingerprint",
+    # (c) stalest round-1-only rows, one per operator family
+    "order_dashboard_total",
+    "word_count",
+    "sensor_parse",
+    "keyed_sum",
+    "ordered_fold",
+    "tumbling_window_counts",
+    "streaming_delta_alarm",
 ]
 
 

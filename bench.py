@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
+    "dedup_clusters_star",
     "embedding_near_dup",
     "ann_cosine_topk",
     "ann_lsh_bucketed",

@@ -78,7 +78,5 @@ def test_driver_priority_head_is_valid():
         assert name in QUERIES, name
     ordered = list(se.queries())
     assert ordered[:50] == head
-    missing_oracles = [
-        n for n in head if QUERIES[n].oracle is None and n != "approx_ndv_hll"
-    ]
+    missing_oracles = [n for n in head if QUERIES[n].oracle is None]
     assert missing_oracles == []

@@ -50,6 +50,7 @@ _PRIORITY = [
     "text_rare_token_novelty",
     "approx_ndv_hll",
     "streaming_rising_alarm_tws",
+    "streaming_session_summary_tws",
     "scd2_history",
     "temporal_join_scd2",
     "cdc_apply_changelog",
@@ -93,7 +94,6 @@ _PRIORITY = [
     # (c) stalest round-1-only rows, one per operator family
     "order_dashboard_total",
     "word_count",
-    "sensor_parse",
     "keyed_sum",
     "ordered_fold",
     "tumbling_window_counts",

@@ -1069,3 +1069,88 @@ def q_streaming_rising_alarm_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+# The running-summary processor emits one row per (key, batch-with-
+# input); n_events is strictly increasing across a key's emissions, so
+# end-state selection is max_by(n_events) — and the end state must
+# equal the plain batch aggregate over the whole table, which is the
+# oracle. last3_cents folds the final three events in (bucket,
+# event_id) arrival order with floor(value*100) (float64 floor is
+# bit-identical across engines; round's half-rule is not).
+_TWS_SUMMARY_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(value * 100) AS BIGINT) AS cents,
+           epoch_us(ts) // {_TWS_BUCKET_S * 1_000_000} AS bucket
+    FROM events
+),
+tc AS (
+    SELECT user_id, event_type, count(*) AS c FROM ev GROUP BY 1, 2
+),
+agg AS (
+    SELECT user_id,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(max(c) AS BIGINT) AS max_type_cnt
+    FROM tc GROUP BY 1
+),
+l3 AS (
+    SELECT user_id, CAST(sum(cents) AS BIGINT) AS last3_cents
+    FROM (SELECT user_id, cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY bucket DESC, event_id DESC) AS rn
+          FROM ev) t
+    WHERE rn <= 3 GROUP BY 1
+)
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       a.n_events, a.n_types, a.max_type_cnt, l3.last3_cents
+FROM agg a JOIN l3 USING (user_id)
+"""
+
+
+@register(
+    "streaming_session_summary_tws",
+    _TWS_SUMMARY_ORACLE,
+    "ST1", "ST2", "ST3", "tws", "streaming",
+)
+def q_streaming_session_summary_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining first-class TWS state kinds in the driver gate:
+    MapState (per-event-type counts), ListState (rolling last-3
+    values), running per-key emission in update mode — the Spark 4
+    StatefulProcessor realization of the reference's keyed-state
+    processors (ProcessFunctionTest.scala / ProcessAlarmTest.scala
+    state handling), complementing the timer query
+    `streaming_rising_alarm_tws`. State must survive across the ~16
+    time-bucketed microbatches for the end-state row (max_by n_events)
+    to equal the whole-table aggregate the oracle computes."""
+    from flink_scala_spark.streaming.runner import run_bounded_now
+    from flink_scala_spark.streaming.tws import (
+        ensure_tws_runtime,
+        session_summary_tws,
+    )
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    ensure_tws_runtime(spark)
+    try:
+        src = sources.file_replay_time_buckets(
+            spark, sf_dir, "events", _TWS_BUCKET_S
+        )
+        out = run_bounded_now(session_summary_tws(src), "update")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    final = out.groupBy("user_id").agg(
+        F.expr(
+            "max_by(struct(n_events, n_types, max_type_cnt, last3_cents), n_events)"
+        ).alias("s")
+    )
+    return final.select(
+        "user_id", "s.n_events", "s.n_types", "s.max_type_cnt", "s.last3_cents"
+    )

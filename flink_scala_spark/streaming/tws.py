@@ -224,6 +224,108 @@ def build_rising_alarm_tws(horizon_seconds: int = 600):
     return RisingStreakTimerProcessor(), out_schema
 
 
+def build_session_summary_tws():
+    """Return (processor, output_schema) for the running per-user
+    session summary on the remaining first-class state kinds:
+
+    - MapState  per-event-type counts (ProcessFunctionTest's keyed
+      state generalized to a map keyed by a second dimension),
+    - ListState rolling last-3 values,
+    - plus the derived totals a ValueState would hold.
+
+    The processor emits a RUNNING summary row for a key whenever a
+    microbatch contains input for it (update mode); the final state of
+    a key is therefore its row with the maximal n_events — strictly
+    increasing per emitting batch — which is how the bounded catalog
+    query selects end-state deterministically. State must genuinely
+    survive across microbatches for the numbers to come out right,
+    so the catalog feeds it the time-bucketed replay source."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("n_types", LongType()),
+            StructField("max_type_cnt", LongType()),
+            StructField("last3_cents", LongType()),
+        ]
+    )
+
+    class SessionSummaryProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts",
+                StructType([StructField("t", StringType())]),
+                StructType([StructField("n", LongType())]),
+            )
+            self.recent = handle.getListState(
+                "recent", StructType([StructField("cents", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import math
+
+            pdf = pd.concat(list(rows), ignore_index=True)
+            # Arrival order is (bucket, event_id): batches come in time-
+            # bucket order, rows inside a batch are sorted here.
+            pdf = pdf.sort_values(["event_id"])
+            recent = [r[0] for r in self.recent.get()]
+            for t, v in zip(pdf["event_type"], pdf["value"]):
+                k = (str(t),)
+                n = self.counts.getValue(k)[0] if self.counts.containsKey(k) else 0
+                self.counts.updateValue(k, (n + 1,))
+                # floor, not round: float64 floor is bit-identical across
+                # engines; round's half-rule is not.
+                recent = (recent + [int(math.floor(float(v) * 100.0))])[-3:]
+            self.recent.put([(c,) for c in recent])
+            n_events, n_types, max_cnt = 0, 0, 0
+            for _, val in self.counts.iterator():
+                n_types += 1
+                n_events += val[0]
+                max_cnt = max(max_cnt, val[0])
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n_events],
+                    "n_types": [n_types],
+                    "max_type_cnt": [max_cnt],
+                    "last3_cents": [sum(recent)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SessionSummaryProcessor(), out_schema
+
+
+def session_summary_tws(events_stream):
+    """Streaming DataFrame -> running per-user summary stream (update
+    mode). Input carries (user_id, event_id, event_type, value)."""
+    proc, out_schema = build_session_summary_tws()
+    return (
+        events_stream.select("user_id", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def rising_alarm_tws(events_stream, horizon_seconds: int = 600):
     """Streaming DataFrame -> timer-based rising alarm stream.
 

@@ -46,17 +46,23 @@ ROCKSDB_PROVIDER = (
 
 def protobuf_pythonpath() -> str | None:
     """Path to prepend to PYTHONPATH so ``google.protobuf`` imports,
-    or '' if it already does, or None if unavailable anywhere."""
+    or '' if it already does without help, or None if unavailable.
+
+    The vendor paths are probed FIRST: after
+    :func:`ensure_tws_runtime` has run in this process,
+    ``google.protobuf`` imports via a process-local ``sys.path``
+    entry that subprocesses do NOT inherit — returning '' then would
+    hand child processes (the pytest subprocess harness) an empty
+    PYTHONPATH and break their workers."""
+    for p in PROTOBUF_VENDOR_PATHS:
+        if os.path.isfile(os.path.join(p, "google", "protobuf", "__init__.py")):
+            return p
     try:
         import google.protobuf  # noqa: F401
 
         return ""
     except ImportError:
-        pass
-    for p in PROTOBUF_VENDOR_PATHS:
-        if os.path.isfile(os.path.join(p, "google", "protobuf", "__init__.py")):
-            return p
-    return None
+        return None
 
 
 def tws_env(path: str) -> dict[str, str]:

@@ -159,3 +159,64 @@ def group_quantiles(
         for q in qs
     ]
     return ranked.groupBy(key).agg(F.max("n").alias("n"), *aggs)
+
+
+def group_quantiles_certified(
+    df: DataFrame,
+    key: str,
+    value: str,
+    tiebreak: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Per-group quantiles via the GK sketch (``percentile_approx``)
+    WITH a proof the sketch honored its error bound — the 100 TB
+    quantile path made oracle-checkable.
+
+    ``percentile_approx`` is the production choice at scale (fixed-size
+    mergeable summaries, no global sort), but its returned value is
+    engine-specific AND may vary with partition merge order, so it can
+    never be hash-compared directly. Same resolution as the HLL row
+    (`approx_ndv_hll`): emit the EXACT rank-selected quantiles plus a
+    certificate boolean — the GK guarantee says the approximate value's
+    rank lies within n/accuracy of the target, so the value must fall
+    between the exact order statistics at target ∓ (n/accuracy + 1)
+    ranks; that bound holds under ANY partitioning, making the boolean
+    deterministically TRUE while the sketch genuinely runs and is
+    genuinely checked.
+
+    Shape: ONE sort-shuffle for the exact ranks (shared with
+    group_quantiles) + the map-side-combinable sketch agg riding the
+    same groupBy. At true 100 TB one would drop the exact branch and
+    keep only the sketch; here the exact branch IS the checker.
+    """
+    wo = Window.partitionBy(key).orderBy(F.col(value).asc(), F.col(tiebreak).asc())
+    wn = Window.partitionBy(key)
+    ranked = (
+        df.select(key, value, tiebreak)
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count("*").over(wn))
+    )
+    slack = F.ceil(F.col("n") / F.lit(accuracy)) + F.lit(1)
+    aggs = [F.max("n").alias("n")]
+    ps = [int(q * 100) for q in qs]
+    for q, p in zip(qs, ps):
+        target = F.ceil(F.lit(q) * F.col("n"))
+        lo_r = F.greatest(F.lit(1).cast("long"), target - slack)
+        hi_r = F.least(F.col("n").cast("long"), target + slack)
+        aggs += [
+            F.max(F.when(F.col("rn") == target, F.col(value))).alias(f"p{p}"),
+            F.max(F.when(F.col("rn") == lo_r, F.col(value))).alias(f"_lo{p}"),
+            F.max(F.when(F.col("rn") == hi_r, F.col(value))).alias(f"_hi{p}"),
+            F.percentile_approx(value, q, accuracy).alias(f"_apx{p}"),
+        ]
+    out = ranked.groupBy(key).agg(*aggs)
+    cert = None
+    for p in ps:
+        ok = (F.col(f"_apx{p}") >= F.col(f"_lo{p}")) & (
+            F.col(f"_apx{p}") <= F.col(f"_hi{p}")
+        )
+        cert = ok if cert is None else (cert & ok)
+    return out.select(
+        key, "n", *[f"p{p}" for p in ps], cert.alias("within_gk_bound")
+    )

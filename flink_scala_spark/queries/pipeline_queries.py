@@ -2127,3 +2127,42 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("name") == F.col("canonical")).cast("int").alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X125: GK-sketch quantiles with an exactness certificate
+# ---------------------------------------------------------------------------
+
+@register(
+    "approx_quantiles_certified",
+    """
+    WITH ranked AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+           max(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
+           max(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99,
+           TRUE AS within_gk_bound
+    FROM ranked GROUP BY event_type
+    """,
+    "sketch", "quantile", "analytics",
+)
+def q_approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-quantile production path (`percentile_approx`,
+    GK mergeable summaries — no global sort at 100 TB) run WITH its
+    correctness certificate: the sketch's value must land between the
+    exact order statistics at target ∓ (n/accuracy + 1) ranks, which
+    the GK bound guarantees under any partitioning; the oracle pins
+    the exact quantiles and the literal TRUE. Exact twin:
+    `event_value_quantiles`; same certificate pattern as
+    `approx_ndv_hll`. See operators/aggregations.py:
+    group_quantiles_certified."""
+    from flink_scala_spark.operators import aggregations as agg_ops
+
+    return agg_ops.group_quantiles_certified(
+        _events(spark, sf_dir), "event_type", "value", "event_id"
+    )

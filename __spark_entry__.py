@@ -51,6 +51,7 @@ _PRIORITY = [
     "approx_ndv_hll",
     "streaming_rising_alarm_tws",
     "streaming_session_summary_tws",
+    "streaming_session_gap_tws",
     "approx_quantiles_certified",
     "scd2_history",
     "temporal_join_scd2",
@@ -95,7 +96,6 @@ _PRIORITY = [
     # (c) stalest round-1-only rows, one per operator family
     "order_dashboard_total",
     "word_count",
-    "keyed_sum",
     "tumbling_window_counts",
     "streaming_delta_alarm",
 ]

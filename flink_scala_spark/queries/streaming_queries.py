@@ -1154,3 +1154,114 @@ def q_streaming_session_summary_tws(spark: SparkSession, sf_dir: str) -> DataFra
     return final.select(
         "user_id", "s.n_events", "s.n_types", "s.max_type_cnt", "s.last3_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# ST4 first-class, pattern 3: session windows driven by gap timers
+# ---------------------------------------------------------------------------
+
+#: Session gap for the timer-driven sessionization (6 h against the
+#: ~11 h mean per-user event spacing: plenty of both merges and splits
+#: at every sf).
+_TWS_GAP_S = 21_600
+
+# Same measured-semantics model as _TWS_ALARM_ORACLE, applied to gap
+# timers: a row opens a NEW session iff the previous row's gap timer
+# could fire strictly before the row's batch — i.e. the watermark of
+# batch (k_curr - 1), which is max-event-time through batch k_curr - 2
+# minus the 1 s delay, reaches prev_ts + gap (watermarks are monotone,
+# so "exists an earlier firing batch" collapses to that single
+# lookup). A user's final session emits only if the trailing no-data
+# batch's watermark (global max - 1 s) covers its close; every earlier
+# session was closed by construction of the split.
+_TWS_SESSION_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+           epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100) AS BIGINT) AS cents,
+           epoch_us(ts) // {_TWS_BUCKET_S * 1_000_000} AS bucket
+    FROM events
+),
+bx AS (
+    SELECT bucket,
+           max(bmax) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS m_us,
+           row_number() OVER (ORDER BY bucket) AS k
+    FROM (SELECT bucket, max(ts_us) AS bmax FROM ev GROUP BY 1) t
+),
+seq AS (
+    SELECT e.*, bx.k,
+           lag(e.ts_l) OVER (PARTITION BY e.user_id
+                             ORDER BY e.ts_l, e.event_id) AS prev_ts
+    FROM ev e JOIN bx USING (bucket)
+),
+flag AS (
+    SELECT s.*,
+           CASE WHEN s.prev_ts IS NULL THEN 1
+                WHEN b2.m_us IS NOT NULL
+                 AND (b2.m_us // 1000) - 1000
+                     >= (s.prev_ts + {_TWS_GAP_S}) * 1000 THEN 1
+                ELSE 0 END AS new_sess
+    FROM seq s LEFT JOIN bx b2 ON b2.k = s.k - 2
+),
+sess AS (
+    SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts_l, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flag
+),
+agg AS (
+    SELECT user_id, sid,
+           min(ts_l) AS session_start, max(ts_l) AS session_end,
+           count(*) AS n_events, sum(cents) AS sum_cents
+    FROM sess GROUP BY 1, 2
+),
+lastsid AS (SELECT user_id, max(sid) AS max_sid FROM agg GROUP BY 1)
+SELECT CAST(a.user_id AS BIGINT) AS user_id,
+       CAST(a.session_start AS BIGINT) AS session_start,
+       CAST(a.session_end AS BIGINT) AS session_end,
+       CAST(a.n_events AS BIGINT) AS n_events,
+       CAST(a.sum_cents AS BIGINT) AS sum_cents
+FROM agg a JOIN lastsid l USING (user_id)
+WHERE a.sid < l.max_sid
+   OR ((SELECT max(m_us) FROM bx) // 1000) - 1000
+      >= (a.session_end + {_TWS_GAP_S}) * 1000
+"""
+
+
+@register(
+    "streaming_session_gap_tws",
+    _TWS_SESSION_ORACLE,
+    "ST4", "W4", "tws", "timers", "streaming",
+)
+def q_streaming_session_gap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows realized the Flink way — gap TIMERS, not Spark's
+    built-in session_window: every event deletes and re-registers the
+    key's timer at event_time + 6 h (ProcessAlarmTest.scala:90-100's
+    delete/register discipline); the session row is emitted from the
+    expired-timer callback when the watermark outruns the last event
+    by the gap, and state clears for the next session. Third
+    first-class TWS pattern in the gate (timers-as-alarm:
+    `streaming_rising_alarm_tws`; state kinds:
+    `streaming_session_summary_tws`); the built-in-operator twin is
+    `streaming_session_windows`. Oracle: the measured bucket/watermark
+    model (see _TWS_SESSION_ORACLE)."""
+    from flink_scala_spark.streaming.runner import run_bounded_now
+    from flink_scala_spark.streaming.tws import ensure_tws_runtime, session_gap_tws
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    ensure_tws_runtime(spark)
+    try:
+        src = sources.file_replay_time_buckets(
+            spark, sf_dir, "events", _TWS_BUCKET_S
+        )
+        return run_bounded_now(session_gap_tws(src, _TWS_GAP_S), "append")
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

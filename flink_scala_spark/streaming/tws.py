@@ -332,6 +332,109 @@ def session_summary_tws(events_stream):
     )
 
 
+def build_session_gap_tws(gap_seconds: int):
+    """Return (processor, output_schema) for timer-driven
+    sessionization — THE canonical Flink timer pattern: every event
+    deletes the key's pending gap timer and re-registers it at
+    ``event_time + gap``; when the watermark outruns the last event by
+    the gap, the timer fires, the session row is emitted from the
+    callback, and the state clears so the next event opens a new
+    session (the onTimer discipline of ProcessAlarmTest.scala:90-107
+    applied to session windows)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", LongType()),
+            StructField("session_end", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType()),
+            StructField("last", LongType()),
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+
+    class SessionGapProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("sess", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            if self.state.exists():
+                start, last, n, cents = self.state.get()
+                # one live timer per key: replace it with the batch's
+                # final position below (ProcessAlarmTest.scala:95-100)
+                self.handle.deleteTimer((last + gap_seconds) * 1000)
+            else:
+                start = last = None
+                n = cents = 0
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_l", "event_id"])
+            for ts_l, v in zip(pdf["ts_l"], pdf["value"]):
+                ts_l = int(ts_l)
+                if start is None:
+                    start = ts_l
+                last = ts_l
+                n += 1
+                cents += int(math.floor(float(v) * 100.0))
+            self.state.update((start, last, n, cents))
+            self.handle.registerTimer((last + gap_seconds) * 1000)
+            return iter(())
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            start, last, n, cents = self.state.get()
+            self.state.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "session_start": [int(start)],
+                    "session_end": [int(last)],
+                    "n_events": [int(n)],
+                    "sum_cents": [int(cents)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SessionGapProcessor(), out_schema
+
+
+def session_gap_tws(events_stream, gap_seconds: int):
+    """Streaming DataFrame -> closed-session stream. Input carries
+    (user_id, event_id, ts TIMESTAMP, value)."""
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    proc, out_schema = build_session_gap_tws(gap_seconds)
+    withts = events_stream.select(
+        "user_id", "event_id", epoch_seconds("ts").alias("ts_l"), "value", "ts"
+    ).withWatermark("ts", "1 second")
+    return withts.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def rising_alarm_tws(events_stream, horizon_seconds: int = 600):
     """Streaming DataFrame -> timer-based rising alarm stream.
 

@@ -203,3 +203,55 @@ def asof_join_cogrouped(
         .cogroup(rsel.groupBy(key))
         .applyInPandas(merge, schema=schema)
     )
+
+
+def binned_range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    lookback_seconds: int = 21_600,
+) -> DataFrame:
+    """KEYLESS time-range correlation — for each left row, count right
+    rows anywhere in ``[left.ts - lookback, left.ts]`` — executed as an
+    EQUI-join via time binning.
+
+    Without an equi-key Catalyst can only run a range predicate as
+    BroadcastNestedLoopJoin (or a cartesian product): O(|L|*|R|)
+    comparisons, a guaranteed 100 TB killer. Binning restores a
+    shuffle join: with bin width equal to the lookback, a right row in
+    ``[l - W, l]`` can only live in the left row's bin or the one
+    before it, so each left row expands to exactly TWO candidate bins,
+    both sides shuffle on the bin key, and the range check runs as a
+    residual filter inside sort-merge join. Cost: one 2x fan-out of
+    the left side + a hash-partitioned join whose per-task load is the
+    bin population — bounded, tunable, skew-visible (plan pinned by
+    tests/test_plans.py: no BroadcastNestedLoopJoin, no
+    CartesianProduct).
+    """
+    w_us = lookback_seconds * 1_000_000
+    l2 = left.select(
+        F.col(left_id).alias("left_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("l_us"),
+    ).withColumn(
+        # integer DIV, not double division: epoch-micro values exceed
+        # the 52-bit double mantissa's exact-integer range headroom
+        "bin",
+        F.explode(
+            F.array(
+                F.expr(f"l_us DIV {w_us}") - 1, F.expr(f"l_us DIV {w_us}")
+            )
+        ),
+    )
+    r2 = right.select(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("r_us")
+    ).withColumn("bin", F.expr(f"r_us DIV {w_us}"))
+    hit = l2.join(r2, "bin").where(
+        (F.col("r_us") >= F.col("l_us") - w_us) & (F.col("r_us") <= F.col("l_us"))
+    )
+    counted = hit.groupBy("left_id").agg(F.count("*").alias("n_in_window"))
+    # left rows with an empty window keep n_in_window = 0
+    base = left.select(F.col(left_id).alias("left_id"))
+    return base.join(counted, "left_id", "left").select(
+        "left_id", F.coalesce("n_in_window", F.lit(0)).alias("n_in_window")
+    )

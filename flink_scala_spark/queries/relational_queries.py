@@ -1056,3 +1056,34 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("p_brand", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
+
+
+@register(
+    "range_join_binned",
+    """
+    WITH err AS (SELECT event_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id AS left_id,
+           CAST(count(a.ts) AS BIGINT) AS n_in_window
+    FROM err e LEFT JOIN events a
+      ON a.ts >= e.ts - INTERVAL 6 HOUR AND a.ts <= e.ts
+    GROUP BY 1
+    """,
+    "join", "range", "scale",
+)
+def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range correlation: for each error event, how many
+    events of ANY user landed in the preceding 6 hours (global
+    activity at failure time). Without an equi-key Catalyst would plan
+    BroadcastNestedLoop — O(|L|x|R|), dead at 100 TB — so the operator
+    bins both sides by the window width and joins on the bin: see
+    operators/joins.py:binned_range_join_count (plan pinned: no BNLJ,
+    no cartesian). Note the self-match: an error event is inside its
+    own window, exactly as the oracle's inclusive bounds count it."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.operators.joins import binned_range_join_count
+
+    ev = tables.load(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error")
+    return binned_range_join_count(
+        err, ev, ts_col="ts", left_id="event_id", lookback_seconds=21_600
+    )

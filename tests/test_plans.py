@@ -312,3 +312,19 @@ def test_substring_spans_no_explode_shuffle_of_text(spark, sf_dir):
     # the exploded span string must not survive into any exchange
     parts = [l for l in plan.splitlines() if "hashpartitioning" in l]
     assert parts and all("concat_ws" not in l for l in parts), plan
+
+
+def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
+    """The keyless range correlation must run as a bin-keyed shuffle
+    join, never BroadcastNestedLoop/Cartesian — binning exists exactly
+    to kill the O(|L|x|R|) plan."""
+    df = QUERIES["range_join_binned"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # any EQUI-join operator is the win (small inputs legitimately
+    # broadcast; at scale the same plan becomes a shuffle join on bin)
+    assert any(
+        op in plan
+        for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    ), plan

@@ -834,9 +834,22 @@ def connected_components_star(
     output reproduces its input edge set (every edge already points
     at its component min: a star).
     """
+    def _fingerprint(edges: DataFrame):
+        # (count, sum of row hashes): one tiny agg job. Used only to
+        # SKIP the exact convergence check on rounds that obviously
+        # still changed — never to declare convergence by itself.
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI
+            # (a sum of 64-bit hashes overflows LongType)
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     cur = _canon_pairs(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     ).localCheckpoint()
+    cur_fp = _fingerprint(cur)
     for _ in range(max_iter):
         # large-star: for each node u, attach its strictly-larger
         # neighbors to m = min(N(u) + {u})
@@ -864,11 +877,17 @@ def connected_components_star(
         # converged when the whole round is idempotent: the round's
         # OUTPUT equals its INPUT edge set (comparing mid-round states
         # can exit early on a coincidental match and silently emit
-        # non-minimal labels)
+        # non-minimal labels). The exact check is an exceptAll — two
+        # full shuffles — so it only runs when the cheap fingerprint
+        # already agrees; equal multiset cardinalities make ONE empty
+        # multiset difference sufficient for equality.
+        nxt_fp = _fingerprint(nxt)
         stable = (
-            nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
+            nxt_fp == cur_fp
+            and nxt_fp[0] == cur_fp[0]
+            and nxt.exceptAll(cur).isEmpty()
         )
-        cur = nxt
+        cur, cur_fp = nxt, nxt_fp
         if stable:
             break
     else:

@@ -54,6 +54,7 @@ _PRIORITY = [
     "streaming_session_gap_tws",
     "approx_quantiles_certified",
     "range_join_binned",
+    "dataset_split_leakage_safe",
     "scd2_history",
     "temporal_join_scd2",
     "cdc_apply_changelog",
@@ -96,7 +97,6 @@ _PRIORITY = [
     "text_fingerprint",
     # (c) stalest round-1-only rows, one per operator family
     "order_dashboard_total",
-    "word_count",
     "streaming_delta_alarm",
 ]
 

@@ -2166,3 +2166,43 @@ def q_approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg_ops.group_quantiles_certified(
         _events(spark, sf_dir), "event_type", "value", "event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# X126: leakage-safe dataset split (split by dedup cluster, not by doc)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dataset_split_leakage_safe",
+    f"""
+    SELECT c.doc_id, c.cluster_id,
+           CAST({duck_h60("CAST(c.cluster_id AS VARCHAR)")} % 100 AS INT) AS bucket,
+           CASE WHEN {duck_h60("CAST(c.cluster_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                WHEN {duck_h60("CAST(c.cluster_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM ({QUERIES["dedup_clusters"].oracle}) c
+    """,
+    "split", "sampling", "dedup", "clusters",
+)
+def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed by the NEAR-DUP CLUSTER's
+    canonical id instead of the doc id: `dataset_split` hashes each
+    doc independently, so two near-duplicate documents can land in
+    train AND test — silent eval contamination that decontamination
+    checks against an external benchmark would never catch. Hashing
+    the cluster canonical sends every member of a near-dup cluster to
+    the same split by construction. Composes the X16 component labels
+    with the X20 hash-mod rule (same h60 bucket arithmetic on both
+    engines); the oracle nests the dedup_clusters oracle verbatim."""
+    from flink_scala_spark.functions import h60
+
+    clusters = dedup.near_dup_clusters(
+        _docs(spark, sf_dir), threshold=0.5
+    ).select("doc_id", "cluster_id")
+    b = F.pmod(h60(F.col("cluster_id").cast("string")), F.lit(100)).cast("int")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return clusters.select(
+        "doc_id", "cluster_id", b.alias("bucket"), split.alias("split")
+    )

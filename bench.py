@@ -77,6 +77,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "count_window_sum",
     "skew_join_salted",
+    "range_join_binned",
+    "approx_quantiles_certified",
 ]
 
 

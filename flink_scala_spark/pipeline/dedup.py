@@ -863,7 +863,11 @@ def connected_components_star(
             .join(lm, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        ls_edges = _canon_pairs(ls).localCheckpoint()
+        # no mid-round checkpoint: small-star consumes large-star's
+        # output exactly once, so the round's eager end-of-round
+        # checkpoint below materializes the whole two-phase chain in
+        # ONE job instead of two
+        ls_edges = _canon_pairs(ls)
         # small-star: each node u attaches its smaller neighbors (and
         # itself) to m = min of those
         e2 = ls_edges.select(F.col("hi").alias("u"), F.col("lo").alias("v"))

@@ -229,7 +229,7 @@ def binned_range_join_count(
     tests/test_plans.py: no BroadcastNestedLoopJoin, no
     CartesianProduct).
     """
-    w_us = lookback_seconds * 1_000_000
+    w_us = int(lookback_seconds * 1_000_000)
     l2 = left.select(
         F.col(left_id).alias("left_id"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("l_us"),

@@ -616,3 +616,78 @@ def test_alternating_star_is_logarithmic_on_a_path(spark):
         for r in connected_components_star(df, max_iter=20).collect()
     }
     assert got == {(i, 0) for i in range(121)}
+
+
+# ---------------------------------------------------------------------------
+# Binned keyless range join == naive O(n^2) range scan (bin boundaries)
+# ---------------------------------------------------------------------------
+
+_ts_lists = st.lists(
+    st.integers(min_value=0, max_value=500_000),  # micros, spans many bins
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(_ts_lists, _ts_lists)
+def test_binned_range_join_matches_naive(spark, left_us, right_us):
+    """The 2-bin fan-out must capture EVERY right row in
+    [l - W, l] — including rows exactly on bin boundaries and exactly
+    at the window edges — and count nothing outside it."""
+    from flink_scala_spark.operators.joins import binned_range_join_count
+
+    W_S = 0.1  # 100 ms lookback => 100_000 us bins, several per list
+    left = spark.createDataFrame(
+        [(i, us / 1e6) for i, us in enumerate(left_us)], "event_id long, sec double"
+    ).selectExpr("event_id", "timestamp_seconds(sec) AS ts")
+    right = spark.createDataFrame(
+        [(us / 1e6,) for us in right_us], "sec double"
+    ).selectExpr("timestamp_seconds(sec) AS ts")
+    got = {
+        r["left_id"]: r["n_in_window"]
+        for r in binned_range_join_count(
+            left, right, ts_col="ts", left_id="event_id",
+            lookback_seconds=W_S,
+        ).collect()
+    }
+    w_us = int(W_S * 1e6)
+    want = {
+        i: sum(1 for r in right_us if l - w_us <= r <= l)
+        for i, l in enumerate(left_us)
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Certified GK quantiles: certificate holds, exact ranks match a reference
+# ---------------------------------------------------------------------------
+
+_val_lists = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32).map(float),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**SETTINGS)
+@given(_val_lists)
+def test_certified_quantiles_exact_and_certified(spark, vals):
+    """For arbitrary value sets: the exact columns equal the
+    rank-selection reference (value at ceil(q*n), ties broken by id),
+    and the GK certificate is TRUE — the guarantee the oracle pins as
+    a literal must hold for ANY input, not just the fixture table."""
+    import math
+
+    from flink_scala_spark.operators.aggregations import group_quantiles_certified
+
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "k string, event_id long, value double",
+    )
+    row = group_quantiles_certified(df, "k", "value", "event_id").collect()[0]
+    ordered = [v for v, _ in sorted(zip(vals, range(len(vals))))]
+    n = len(vals)
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        assert row[col] == ordered[math.ceil(q * n) - 1], (q, vals)
+    assert row["within_gk_bound"] is True

@@ -1787,6 +1787,10 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(newest.alias("r"))
         .where(F.col("r.op") == "U")
         .select("user_id", "entity", cents.alias("cents"))
+        # materialized ONCE — this plays the stored state a production
+        # pipeline reads back; without it the demo's plan would rescan
+        # and re-aggregate the base log for both consumers below
+        .localCheckpoint()
     )
     # the stored materialization (in production: read, not computed)
     base_agg = base_live.groupBy("user_id").agg(

@@ -2206,3 +2206,102 @@ def q_dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select(
         "doc_id", "cluster_id", b.alias("bucket"), split.alias("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# X131: split-contamination audit (why splits must be cluster-keyed)
+# ---------------------------------------------------------------------------
+
+_SPLIT_CASE = (
+    "CASE WHEN {h} % 100 < 80 THEN 'train' "
+    "WHEN {h} % 100 < 90 THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "split_contamination_audit",
+    f"""
+    WITH pairs AS ({QUERIES["dedup_minhash_lsh"].oracle}),
+    clusters AS ({QUERIES["dedup_clusters"].oracle}),
+    naive AS (
+        SELECT doc_id,
+               {_SPLIT_CASE.format(h=duck_h60("CAST(doc_id AS VARCHAR)"))} AS split
+        FROM documents
+    ),
+    safe AS (
+        SELECT doc_id,
+               {_SPLIT_CASE.format(h=duck_h60("CAST(cluster_id AS VARCHAR)"))} AS split
+        FROM clusters
+    ),
+    naive_x AS (
+        SELECT count(*) AS total,
+               sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS crossed
+        FROM pairs p JOIN naive a ON a.doc_id = p.doc_a
+                     JOIN naive b ON b.doc_id = p.doc_b
+    ),
+    safe_x AS (
+        SELECT count(*) AS total,
+               sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS crossed
+        FROM pairs p JOIN safe a ON a.doc_id = p.doc_a
+                     JOIN safe b ON b.doc_id = p.doc_b
+    )
+    SELECT 'per_doc' AS scheme,
+           CAST(total AS BIGINT) AS near_dup_pairs,
+           CAST(crossed AS BIGINT) AS cross_split_pairs
+    FROM naive_x
+    UNION ALL
+    SELECT 'per_cluster', CAST(total AS BIGINT), CAST(crossed AS BIGINT)
+    FROM safe_x
+    """,
+    "split", "dedup", "audit",
+)
+def q_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that justifies X126: count verified near-dup pairs
+    whose endpoints land in DIFFERENT train/val/test splits under (a)
+    the naive per-doc hash split and (b) the cluster-keyed split.
+    Per-doc leaks a predictable ~1-(0.8^2+0.1^2+0.1^2)=34% of pairs
+    across splits; per-cluster leaks exactly ZERO by construction —
+    and the zero is COMPUTED on both engines, not asserted. One
+    near-dup pair derivation feeds the component labels, both split
+    schemes, and both counts."""
+    from flink_scala_spark.functions import h60
+    from flink_scala_spark.pipeline.dedup import connected_components_star
+
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        dedup.minhash_lsh_dedup(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # feeds components AND both audits once
+    )
+    comp = connected_components_star(pairs)
+    labels = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+
+    def split_of(col):
+        b = F.pmod(h60(col.cast("string")), F.lit(100))
+        return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+
+    naive = docs.select("doc_id", split_of(F.col("doc_id")).alias("split"))
+    safe = labels.select("doc_id", split_of(F.col("cluster_id")).alias("split"))
+
+    def audit(scheme, splits):
+        a = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+        b = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+        return (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .agg(
+                F.lit(scheme).alias("scheme"),
+                F.count("*").alias("near_dup_pairs"),
+                F.sum(
+                    F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)
+                ).alias("cross_split_pairs"),
+            )
+        )
+
+    return audit("per_doc", naive).unionByName(audit("per_cluster", safe))

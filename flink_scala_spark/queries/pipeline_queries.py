@@ -2305,3 +2305,58 @@ def q_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return audit("per_doc", naive).unionByName(audit("per_cluster", safe))
+
+
+# ---------------------------------------------------------------------------
+# X132: training token-budget report
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_token_budget",
+    """
+    WITH per_doc AS (
+        SELECT lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    tot AS (SELECT sum(toks) AS all_toks FROM per_doc)
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(max(toks) AS BIGINT) AS max_doc_tokens,
+           CAST((1000000 * sum(toks)) // (SELECT all_toks FROM tot) AS BIGINT)
+             AS share_ppm
+    FROM per_doc GROUP BY 1, 2
+    """,
+    "text", "analytics", "mixture",
+)
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a mixture design starts from: per (lang, source)
+    bucket — document count, whitespace-token budget, largest doc, and
+    the bucket's share of the whole corpus in integer parts-per-million
+    (cross-multiplied, no float division, so the oracle is exact). One
+    map-side-combinable agg over a row-local token count plus a 1-row
+    broadcast total; at 100 TB the token count is the scan and the agg
+    is free."""
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    per = docs.select(
+        "lang", "source", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    agg = per.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.max("toks").alias("max_doc_tokens"),
+    )
+    tot = per.agg(F.sum("toks").alias("all_toks"))
+    return agg.join(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "max_doc_tokens",
+        # integer DIV, not double-divide-then-cast: the double can
+        # round across an integer boundary where DuckDB's // floors
+        F.expr("(1000000 * n_tokens) DIV all_toks").alias("share_ppm"),
+    )

@@ -2349,8 +2349,16 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("toks").alias("n_tokens"),
         F.max("toks").alias("max_doc_tokens"),
     )
-    tot = per.agg(F.sum("toks").alias("all_toks"))
-    return agg.join(F.broadcast(tot)).select(
+    # corpus total = sum of the group sums, as a global window over the
+    # AGGREGATED output — ONE corpus scan (a separate agg branch loses
+    # exchange reuse to column pruning and rescans). The unpartitioned
+    # window is safe here because its input is |langs x sources| rows
+    # (metadata cardinality), not the corpus.
+    withtot = agg.withColumn(
+        "all_toks",
+        F.sum("n_tokens").over(Window.partitionBy()),
+    )
+    return withtot.select(
         "lang",
         "source",
         "n_docs",

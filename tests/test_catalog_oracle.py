@@ -80,3 +80,50 @@ def test_driver_priority_head_is_valid():
     assert ordered[:50] == head
     missing_oracles = [n for n in head if QUERIES[n].oracle is None]
     assert missing_oracles == []
+
+
+def test_dtype_gate_sees_hugeint_drift():
+    """The exact failure class that cost round 3 two driver rows: an
+    uncast DuckDB integer sum() (HUGEINT) must be flagged against a
+    Spark BIGINT even though str() of every cell matches — and the
+    benign width-identical cases must pass."""
+    import duckdb
+
+    from flink_scala_spark.oracle_types import (
+        arrow_to_spark_dtype,
+        dtype_mismatches,
+    )
+
+    con = duckdb.connect()
+    t = con.execute(
+        "SELECT sum(x) AS bad, CAST(sum(x) AS BIGINT) AS good,"
+        "       1.5 AS dec_lit, 'a' AS s, DATE '2020-01-01' AS d "
+        "FROM (SELECT 1 AS x)"
+    ).fetch_arrow_table()
+    assert arrow_to_spark_dtype(t.schema.field("bad").type) == "decimal(38,0)"
+    assert arrow_to_spark_dtype(t.schema.field("good").type) == "bigint"
+    assert arrow_to_spark_dtype(t.schema.field("d").type) == "date"
+    spark_dtypes = [
+        ("bad", "bigint"),      # drift: HUGEINT vs bigint -> flagged
+        ("good", "bigint"),     # exact match
+        ("dec_lit", "double"),  # drift: decimal literal vs double
+        ("s", "string"),
+        ("d", "date"),
+        ("extra_col", "int"),   # absent from oracle: name drift is
+    ]                           # reported elsewhere, not here
+    mis = dtype_mismatches(spark_dtypes, t.schema)
+    assert any("bad" in m for m in mis)
+    assert any("dec_lit" in m for m in mis)
+    assert len(mis) == 2, mis
+
+
+def test_dtype_gate_timestamp_ntz_equivalence():
+    """timestamp vs timestamp_ntz is the same wire value under the
+    UTC-pinned session — must NOT be flagged."""
+    import pyarrow as pa
+
+    from flink_scala_spark.oracle_types import dtype_mismatches
+
+    schema = pa.schema([pa.field("ts", pa.timestamp("us"))])
+    assert dtype_mismatches([("ts", "timestamp_ntz")], schema) == []
+    assert dtype_mismatches([("ts", "timestamp")], schema) == []

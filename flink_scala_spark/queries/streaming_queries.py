@@ -1265,3 +1265,61 @@ def q_streaming_session_gap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+# ---------------------------------------------------------------------------
+# Unified batch+stream backfill (the lambda-architecture kill)
+# ---------------------------------------------------------------------------
+
+@register(
+    "unified_backfill_daily",
+    """
+    SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS day,
+           event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+    """,
+    "streaming", "backfill", "unified",
+)
+def q_unified_backfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch backfill + streaming tail as ONE result — the pattern
+    that retires lambda architectures: history (days before the cut)
+    aggregates through the BATCH DataFrame API, the tail replays
+    through a real Structured Streaming query (watermark, state store,
+    microbatches), and because both APIs share Spark's semantics the
+    union is seamlessly equal to a full batch recompute over the whole
+    table — which is exactly what the cut-blind oracle computes. The
+    daily sums travel as integer cents so the batch/stream seam cannot
+    introduce float-order drift. In production the cut is the
+    checkpoint of the streaming job that took over from the backfill;
+    here it is a fixed mid-range day."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.streaming.runner import run_bounded
+
+    cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    day = F.date_format("ts", "yyyyMMdd").cast("int").alias("day")
+    cents = F.floor(F.col("value") * 100).cast("long")
+
+    # batch history: everything before the cut
+    ev_b = tables.load(spark, sf_dir, "events")
+    if dict(ev_b.dtypes).get("ts") == "timestamp_ntz":
+        ev_b = ev_b.withColumn("ts", F.col("ts").cast("timestamp"))
+    hist = (
+        ev_b.where(F.col("ts") < cut)
+        .groupBy(day, "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum(cents).alias("cents"))
+    )
+
+    # streaming tail: at-and-after the cut, through a live query
+    ev_s = sources.file_replay(spark, sf_dir, "events").where(F.col("ts") >= cut)
+    tail_agg = (
+        ev_s.withWatermark("ts", "1 minute")
+        .groupBy(day, "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum(cents).alias("cents"))
+    )
+    tail = run_bounded(tail_agg, "complete")
+
+    # the cut is day-aligned, so no (day, event_type) group straddles
+    # it and the union IS the full-table aggregate
+    return hist.unionByName(tail)

@@ -216,11 +216,16 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
     #   (pinned by test_q17_window_single_exchange); the
     #   SinglePartition exchange is the 1-row FINAL aggregate, not the
     #   window's input.
+    # - corpus_token_budget: the global-total window runs over the
+    #   ALREADY-AGGREGATED (lang, source) rows — metadata cardinality,
+    #   not corpus rows — chosen precisely so the corpus is scanned
+    #   once (a second agg branch loses exchange reuse to pruning).
     SINGLE_PARTITION_WINDOW_OK = {
         "revenue_day_over_day",
         "late_data_accounting",
         "ann_pq_topk",
         "small_quantity_part_revenue",
+        "corpus_token_budget",
     }
 
     offenders = {}

@@ -345,3 +345,26 @@ def test_tws_state_survives_checkpoint_restart():
     r1, r2 = json.loads(line[0][len("RESULT:"):])
     assert [tuple(r) for r in r1] == [(1, 2), (2, 1)]
     assert [tuple(r) for r in r2] == [(1, 3), (3, 1)]
+
+
+def test_tws_gate_query_is_repeatable_in_one_session(spark, sf_dir):
+    """The driver may invoke a catalog entry more than once on the
+    same session (smoke + gate). The TWS queries mutate session state
+    (ensure_tws_runtime, provider conf, replay tempdirs, memory-sink
+    names) — a second invocation must return the identical result and
+    leave the provider conf restored."""
+    import pytest
+
+    from flink_scala_spark.queries.catalog import QUERIES
+    from flink_scala_spark.streaming.tws import protobuf_pythonpath
+
+    if protobuf_pythonpath() is None:
+        pytest.skip("no protobuf runtime for TWS workers")
+    fn = QUERIES["streaming_rising_alarm_tws"].fn
+    r1 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    r2 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert r1 == r2 and len(r1) > 0
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
+        != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )

@@ -933,3 +933,53 @@ def near_dup_clusters_star(
         F.count("*").over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
+
+
+def minhash_signature_exprs(text_col: str = "text") -> list:
+    """ROW-LOCAL MinHash signature columns mh0..mh{NUM_HASHES-1} —
+    the streaming-friendly twin of :func:`minhash_signatures`.
+
+    The batch path explodes shingles and groupBy-mins them (right at
+    corpus scale: map-side combine); a stream wants the signature
+    before any shuffle, so here the same arithmetic — distinct word
+    trigrams -> 60-bit md5-prefix hash -> (A_s*lo + B_s*hi) mod
+    (2^61-1), min over shingles — runs as pure array expressions
+    inside whole-stage codegen, one row at a time. Docs with fewer
+    than 3 words (no shingles) yield NULL signatures, mirroring their
+    absence from the exploded batch/oracle signature sets."""
+    w = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(w) - 2, F.lit(0))
+    shingles = F.when(
+        n_sh > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i),
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                ),
+            )
+        ),
+    )
+    hs = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    mask = F.lit((1 << 30) - 1)
+
+    def _mh_lambda(s):
+        # NB: a default-arg capture (lambda x, _s=s: ...) would make
+        # the lambda binary, and pyspark's transform() then passes the
+        # ARRAY INDEX as the second argument — a closure keeps it unary
+        a, b = F.lit(MH_A[s]), F.lit(MH_B[s])
+        return lambda x: (a * x.bitwiseAND(mask) + b * F.shiftright(x, 30)) % F.lit(
+            MH_MOD
+        )
+
+    cols = []
+    for s in range(NUM_HASHES):
+        mh = F.array_min(F.transform(hs, _mh_lambda(s)))
+        cols.append(mh.alias(f"mh{s}"))
+    return cols

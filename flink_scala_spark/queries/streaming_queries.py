@@ -1323,3 +1323,74 @@ def q_unified_backfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cut is day-aligned, so no (day, event_type) group straddles
     # it and the union IS the full-table aggregate
     return hist.unionByName(tail)
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate detection (stateful LSH across microbatches)
+# ---------------------------------------------------------------------------
+
+# Reuse the batch minhash oracle's building blocks verbatim so the
+# streaming twin can never drift from X2's arithmetic.
+from flink_scala_spark.queries.pipeline_queries import (  # noqa: E402
+    _BAND_SELECTS,
+    _HX_CTE,
+    _MH_COLS,
+    _SH_CTE,
+)
+
+_ND_AGREE = " + ".join(
+    f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(8)
+)
+
+_STREAMING_ND_ORACLE = f"""
+    WITH {_SH_CTE}, {_HX_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx GROUP BY doc_id),
+    bands AS (
+  {_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    agree AS (
+        SELECT c.src, c.dst FROM cand c
+        JOIN sig sa ON sa.doc_id = c.src
+        JOIN sig sb ON sb.doc_id = c.dst
+        WHERE {_ND_AGREE} >= 6
+    )
+    SELECT dst AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(min(src) AS BIGINT) AS first_source
+    FROM agree GROUP BY 1
+"""
+
+
+@register(
+    "streaming_dedup_minhash",
+    _STREAMING_ND_ORACLE,
+    "streaming", "dedup", "minhash", "stateful",
+)
+def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate detection as a live stateful stream — the
+    production ingest shape: documents arrive over 8 ascending-id
+    microbatches, each computes its MinHash signature ROW-LOCALLY
+    (dedup.minhash_signature_exprs — no shuffle before the band key),
+    and per-LSH-bucket keyed state holds the signatures seen so far;
+    a doc agreeing with an EARLIER doc on >= 6 of 8 minhashes is
+    flagged with its sources. Pigeonhole makes bucket-local checking
+    lossless at this threshold (>= 6 matches forces at least one
+    fully-equal band). Complements `streaming_dedup_events` (exact
+    keys) and the batch `dedup_minhash_lsh` (whole-corpus pairs); the
+    oracle runs the identical signature/band arithmetic with
+    'earlier' = smaller doc_id, which the id-bucket replay contract
+    guarantees."""
+    from flink_scala_spark.streaming.runner import run_bounded
+    from flink_scala_spark.streaming.stateful import near_dup_flags
+
+    stream = sources.file_replay_id_buckets(
+        spark, sf_dir, "documents", "doc_id", 8
+    )
+    flags = run_bounded(near_dup_flags(stream), "append")
+    pairs = flags.distinct()  # the same pair can surface in 2+ bands
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").alias("n_sources"), F.min("src").alias("first_source")
+    )

@@ -122,6 +122,54 @@ def file_replay_time_buckets(
     )
 
 
+def file_replay_id_buckets(
+    spark: SparkSession, sf_dir: str, table: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """S2 variant for tables WITHOUT an event-time column: replay in
+    ascending ID-RANGE microbatches (bucket = id DIV width). Gives
+    stateful operators a deterministic multi-batch arrival order —
+    batch k's ids all exceed batch k-1's — so "seen earlier" means
+    "smaller id", globally, which a batch oracle can express. Same
+    determinism levers as :func:`file_replay_time_buckets` (pure
+    function of the data, forced file order, one part file per
+    bucket)."""
+    from flink_scala_spark import tables
+
+    batch = tables.load(spark, sf_dir, table)
+    max_id = batch.agg(F.max(id_col)).collect()[0][0]
+    width = (int(max_id) // n_buckets) + 1
+    out = tempfile.mkdtemp(prefix=f"replay_{table}_id_")
+    staged = os.path.join(out, "staged")
+    (
+        batch.withColumn("bucket", F.expr(f"{id_col} DIV {width}"))
+        .repartition(1)
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    bdirs = sorted(
+        (d for d in os.listdir(staged) if d.startswith("bucket=")),
+        key=lambda s: int(s.split("=")[1]),
+    )
+    replay = os.path.join(out, "replay")
+    os.makedirs(replay)
+    now = time.time()
+    for i, bd in enumerate(bdirs):
+        parts = [
+            f for f in os.listdir(os.path.join(staged, bd)) if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"expected one part file in {bd}, got {parts}"
+        dst = os.path.join(replay, f"b{i:04d}.parquet")
+        shutil.move(os.path.join(staged, bd, parts[0]), dst)
+        os.utime(dst, (now + i, now + i))
+    schema = spark.read.parquet(replay).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+
+
 def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 7777) -> DataFrame:
     """S3: unbounded lines from TCP (StreamWordCount.scala:25)."""
     return (

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from flink_scala_spark.functions.portable import epoch_seconds
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -234,6 +235,90 @@ def count_window(events_stream: DataFrame, size: int = 10) -> DataFrame:
         _count_window_fn(size),
         outputStructType=COUNT_WINDOW_SCHEMA,
         stateStructType=_COUNT_WINDOW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+NEAR_DUP_FLAG_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("src", LongType())]
+)
+
+_ND_SIG_STRUCT = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"mh{s}", LongType()) for s in range(8)]
+)
+_ND_STATE_SCHEMA = StructType(
+    [StructField("sigs", ArrayType(_ND_SIG_STRUCT))]
+)
+
+
+def _near_dup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-LSH-bucket state: signatures of every doc seen so far in
+    this bucket. Each arriving doc (ascending doc_id by the id-bucket
+    replay contract) is compared against the EARLIER signatures; >= 6
+    of 8 matching minhashes flags it as a near-dup of that source."""
+    seen = [tuple(r) for r in state.get[0]] if state.exists else []
+    out_doc, out_src = [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("doc_id")
+        cols = ["doc_id"] + [f"mh{s}" for s in range(8)]
+        for row in pdf[cols].itertuples(index=False):
+            row = tuple(int(v) for v in row)
+            for prev in seen:
+                agree = sum(1 for a, b in zip(prev[1:], row[1:]) if a == b)
+                if agree >= 6:
+                    out_doc.append(row[0])
+                    out_src.append(prev[0])
+            seen.append(row)
+    state.update((seen,))
+    yield pd.DataFrame({"doc_id": out_doc, "src": out_src})
+
+
+def near_dup_flags(docs_stream: DataFrame) -> DataFrame:
+    """Streaming near-duplicate detection: row-local MinHash
+    signatures -> 4x2 LSH band keys -> per-bucket keyed state of
+    earlier signatures (ST1-ST3 machinery applied to X2's banding).
+    Emits (doc_id, src) for every earlier same-bucket doc agreeing on
+    >= 6 of 8 minhashes; by pigeonhole such a pair always shares at
+    least one full band, so bucket-local checking is LOSSLESS for
+    this threshold. State per bucket is the bucket's signature list —
+    the LSH keys spread it uniformly; production would expire it with
+    a watermark/TTL."""
+    from flink_scala_spark.pipeline.dedup import (
+        NUM_BANDS,
+        ROWS_PER_BAND,
+        minhash_signature_exprs,
+    )
+
+    sig = docs_stream.select("doc_id", *minhash_signature_exprs("text")).where(
+        F.col("mh0").isNotNull()
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.col(f"mh{b * ROWS_PER_BAND}").cast("string"),
+                        F.col(f"mh{b * ROWS_PER_BAND + 1}").cast("string"),
+                    )
+                ).alias("key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    banded = sig.withColumn("bk", F.explode(band_structs)).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        *[f"mh{s}" for s in range(8)]
+    )
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        _near_dup_fn,
+        outputStructType=NEAR_DUP_FLAG_SCHEMA,
+        stateStructType=_ND_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

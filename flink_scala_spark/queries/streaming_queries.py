@@ -1394,3 +1394,78 @@ def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("doc_id").agg(
         F.count("*").alias("n_sources"), F.min("src").alias("first_source")
     )
+
+
+# TTL'd twin: per-bucket signatures EXPIRE once the watermark outruns
+# them by the dedup horizon (2 id-bucket widths). The oracle models the
+# measured watermark timeline exactly: during the batch that delivers
+# dst's bucket, the watermark is the max event time of all EARLIER
+# buckets (delay 0), so a cross-bucket source survives iff
+#   src_id >= prev_bucket_max(dst) - horizon_ids
+# and same-bucket sources always match (they are added to state in the
+# same invocation, before any later watermark can evict them).
+_STREAMING_ND_TTL_ORACLE = f"""
+    WITH {_SH_CTE}, {_HX_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx GROUP BY doc_id),
+    bands AS (
+  {_BAND_SELECTS}),
+    w AS (SELECT ((SELECT max(doc_id) FROM documents) // 8) + 1 AS w),
+    cand AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    alive AS (SELECT c.src, c.dst FROM cand c, w
+              WHERE (c.src // w.w) = (c.dst // w.w)
+                 OR c.src >= (SELECT max(d2.doc_id) FROM documents d2
+                              WHERE (d2.doc_id // w.w) < (c.dst // w.w))
+                              - 2 * w.w),
+    agree AS (
+        SELECT c.src, c.dst FROM alive c
+        JOIN sig sa ON sa.doc_id = c.src
+        JOIN sig sb ON sb.doc_id = c.dst
+        WHERE {_ND_AGREE} >= 6
+    )
+    SELECT dst AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(min(src) AS BIGINT) AS first_source
+    FROM agree GROUP BY 1
+"""
+
+
+@register(
+    "streaming_dedup_minhash_ttl",
+    _STREAMING_ND_TTL_ORACLE,
+    "streaming", "dedup", "minhash", "stateful", "ttl",
+)
+def q_streaming_dedup_minhash_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streaming_dedup_minhash` with BOUNDED state — the form that
+    survives unbounded 100 TB ingest: each document carries a synthetic
+    event time (1 s per doc_id, the id-bucket replay's arrival order
+    made explicit), the stream is watermarked, and every LSH bucket's
+    signature list EXPIRES entries the watermark has outrun by the
+    dedup horizon (2 bucket widths) — lazy eviction on arrival plus a
+    `GroupStateTimeout.EventTimeTimeout` that clears wholly idle
+    buckets. This is WindowTest.scala:71-72's allowedLateness state
+    bounding applied to dedup state. A doc is therefore flagged only
+    against sources still in-horizon, which is exactly what the oracle
+    computes from the deterministic watermark timeline (see
+    _STREAMING_ND_TTL_ORACLE)."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.streaming.runner import run_bounded
+    from flink_scala_spark.streaming.stateful import near_dup_flags_ttl
+
+    max_id = (
+        tables.load(spark, sf_dir, "documents").agg(F.max("doc_id")).collect()[0][0]
+    )  # 1-row agg collect: sizes the horizon, same scan the replay makes
+    width = (int(max_id) // 8) + 1
+    horizon_s = 2 * width  # seconds == ids (1 s per id)
+
+    stream = sources.file_replay_id_buckets(
+        spark, sf_dir, "documents", "doc_id", 8
+    ).withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1000))
+    flags = run_bounded(near_dup_flags_ttl(stream, horizon_s), "append")
+    pairs = flags.distinct()  # the same pair can surface in 2+ bands
+    return pairs.groupBy("doc_id").agg(
+        F.count("*").alias("n_sources"), F.min("src").alias("first_source")
+    )

@@ -41,6 +41,7 @@ def get_spark(app_name: str = "flink_scala_spark", cpus: int | None = None) -> S
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package_to_workers(spark)
     return spark
 
 
@@ -74,4 +75,29 @@ def tune_existing(spark: SparkSession) -> SparkSession:
         )
     except Exception:
         pass
+    _ship_package_to_workers(spark)
     return spark
+
+
+def _ship_package_to_workers(spark: SparkSession) -> None:
+    """Make ``flink_scala_spark`` importable in Python WORKERS.
+
+    Stateful pandas functions defined at module level (e.g.
+    ``streaming.stateful._near_dup_fn``) are cloudpickled BY REFERENCE
+    — the worker re-imports the module. On a cluster the package
+    arrives via ``--py-files``/PYTHONPATH; the driver harness, however,
+    may run from any cwd with only its own ``sys.path`` patched, which
+    workers do not inherit. ``sc.environment`` mutations DO reach every
+    worker spawned after the mutation (each worker request carries the
+    dict — the same measured fact the TWS runtime unlock relies on), so
+    prepending the repo dir here is the local-mode equivalent of
+    ``--py-files``. Idempotent; tolerant of Connect-style sessions
+    without ``sparkContext``."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        env = spark.sparkContext.environment
+        prev = env.get("PYTHONPATH", "")
+        if pkg_root not in prev.split(":"):
+            env["PYTHONPATH"] = f"{pkg_root}:{prev}" if prev else pkg_root
+    except Exception:
+        pass

@@ -70,7 +70,11 @@ def run_bounded_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout)
+        finished = q.awaitTermination(timeout)
+        if not finished:
+            # A hung query would otherwise return a silently-truncated
+            # memory table (timer emissions missing) — fail loudly.
+            raise TimeoutError(f"query {name} did not finish in {timeout}s")
     finally:
         q.stop()
         q.awaitTermination(30)

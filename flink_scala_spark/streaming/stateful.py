@@ -253,28 +253,122 @@ _ND_STATE_SCHEMA = StructType(
 )
 
 
+_ND_COLS = ["doc_id"] + [f"mh{s}" for s in range(8)]
+
+
+def _near_dup_matches(seen_mat, batch_mat):
+    """Vectorized >=6-of-8 agreement: returns (doc_idx, src_idx) pairs.
+
+    ``seen_mat`` (n x 9, int64) holds earlier signatures, ``batch_mat``
+    (m x 9) the new batch sorted ascending by doc_id (col 0 = doc_id,
+    cols 1..8 = minhashes). Two broadcast compares replace the nested
+    interpreted-Python loops: new-vs-state (m x n x 8) and the
+    within-batch strict upper triangle (m x m), preserving the exact
+    sequential 'compare against EARLIER rows' fold semantics."""
+    import numpy as np
+
+    out_doc: list[int] = []
+    out_src: list[int] = []
+    if seen_mat.shape[0] and batch_mat.shape[0]:
+        agree = (
+            (batch_mat[:, None, 1:] == seen_mat[None, :, 1:]).sum(axis=2)
+        )
+        di, si = np.nonzero(agree >= 6)
+        out_doc.extend(batch_mat[di, 0].tolist())
+        out_src.extend(seen_mat[si, 0].tolist())
+    if batch_mat.shape[0] > 1:
+        agree = (
+            (batch_mat[:, None, 1:] == batch_mat[None, :, 1:]).sum(axis=2)
+        )
+        # strict upper triangle: src strictly earlier (smaller doc_id)
+        di, si = np.nonzero((agree >= 6) & np.tri(len(batch_mat), k=-1, dtype=bool))
+        out_doc.extend(batch_mat[di, 0].tolist())
+        out_src.extend(batch_mat[si, 0].tolist())
+    return out_doc, out_src
+
+
 def _near_dup_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-LSH-bucket state: signatures of every doc seen so far in
     this bucket. Each arriving doc (ascending doc_id by the id-bucket
     replay contract) is compared against the EARLIER signatures; >= 6
-    of 8 matching minhashes flags it as a near-dup of that source."""
+    of 8 matching minhashes flags it as a near-dup of that source.
+    The whole batch is concatenated BEFORE the doc_id sort (a bucket's
+    rows can span several Arrow chunks — per-chunk sorting would flip
+    pair direction), and the agreement test is one numpy broadcast
+    compare per batch, not a Python pair loop."""
+    import numpy as np
+
     seen = [tuple(r) for r in state.get[0]] if state.exists else []
-    out_doc, out_src = [], []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")
-        cols = ["doc_id"] + [f"mh{s}" for s in range(8)]
-        for row in pdf[cols].itertuples(index=False):
-            row = tuple(int(v) for v in row)
-            for prev in seen:
-                agree = sum(1 for a, b in zip(prev[1:], row[1:]) if a == b)
-                if agree >= 6:
-                    out_doc.append(row[0])
-                    out_src.append(prev[0])
-            seen.append(row)
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    seen_mat = np.asarray(seen, dtype=np.int64).reshape(len(seen), 9)
+    batch_mat = pdf[_ND_COLS].to_numpy(dtype=np.int64)
+    out_doc, out_src = _near_dup_matches(seen_mat, batch_mat)
+    seen.extend(tuple(int(v) for v in row) for row in batch_mat)
     state.update((seen,))
-    yield pd.DataFrame({"doc_id": out_doc, "src": out_src})
+    yield pd.DataFrame(
+        {"doc_id": pd.array(out_doc, dtype="int64"), "src": pd.array(out_src, dtype="int64")}
+    )
+
+
+_ND_TTL_SIG_STRUCT = StructType(
+    [StructField("doc_id", LongType()), StructField("ts_l", LongType())]
+    + [StructField(f"mh{s}", LongType()) for s in range(8)]
+)
+_ND_TTL_STATE_SCHEMA = StructType(
+    [StructField("sigs", ArrayType(_ND_TTL_SIG_STRUCT))]
+)
+_ND_TTL_COLS = ["doc_id", "ts_l"] + [f"mh{s}" for s in range(8)]
+
+
+def _near_dup_ttl_fn(horizon_seconds: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """TTL'd twin of :func:`_near_dup_fn`: per-bucket state holds
+        (doc_id, ts_l, mh0..7) and each invocation first EVICTS the
+        signatures the watermark has outrun (``ts_l < wm -
+        horizon``) before matching — so state per bucket is bounded by
+        the dedup horizon, the discipline ``WindowTest.scala:71-72``
+        applies to window state via allowedLateness. A fully idle
+        bucket is cleared wholesale by the event-time timeout (set to
+        the newest signature's expiry), so even buckets that stop
+        receiving traffic do not pin state forever."""
+        import numpy as np
+
+        if state.hasTimedOut:
+            # Every signature's expiry predates the watermark (the
+            # timeout was registered at the newest one's) — drop all.
+            state.remove()
+            yield pd.DataFrame(
+                {"doc_id": pd.array([], dtype="int64"), "src": pd.array([], dtype="int64")}
+            )
+            return
+        seen = [tuple(r) for r in state.get[0]] if state.exists else []
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        cutoff = wm_sec - horizon_seconds
+        seen = [s for s in seen if s[1] >= cutoff]
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        seen_mat = np.asarray(
+            [(s[0],) + s[2:] for s in seen], dtype=np.int64
+        ).reshape(len(seen), 9)
+        batch_mat9 = pdf[_ND_COLS].to_numpy(dtype=np.int64)
+        out_doc, out_src = _near_dup_matches(seen_mat, batch_mat9)
+        seen.extend(
+            tuple(int(v) for v in row)
+            for row in pdf[_ND_TTL_COLS].to_numpy(dtype=np.int64)
+        )
+        state.update((seen,))
+        # timeout strictly above the current watermark (Spark requires
+        # it): the newest signature's expiry, +1 s for the boundary.
+        newest = max(s[1] for s in seen)
+        state.setTimeoutTimestamp((newest + horizon_seconds + 1) * 1000)
+        yield pd.DataFrame(
+            {"doc_id": pd.array(out_doc, dtype="int64"), "src": pd.array(out_src, dtype="int64")}
+        )
+
+    return fn
 
 
 def near_dup_flags(docs_stream: DataFrame) -> DataFrame:
@@ -321,4 +415,61 @@ def near_dup_flags(docs_stream: DataFrame) -> DataFrame:
         stateStructType=_ND_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_flags_ttl(docs_stream: DataFrame, horizon_seconds: int) -> DataFrame:
+    """Bounded-state form of :func:`near_dup_flags`: the input stream
+    must carry an event-time ``ts`` column; per-LSH-bucket state keeps
+    only the signatures the watermark has NOT outrun by
+    ``horizon_seconds`` (lazy eviction on arrival + an event-time
+    timeout that clears wholly idle buckets). A doc therefore only
+    matches sources still inside the dedup horizon — the state
+    retention discipline the reference applies to windows via
+    allowedLateness (``WindowTest.scala:71-72``), applied to LSH
+    dedup state. State per bucket is O(docs per horizon), making the
+    operator safe for unbounded 100 TB-scale ingest."""
+    from flink_scala_spark.functions.portable import epoch_seconds
+    from flink_scala_spark.pipeline.dedup import (
+        NUM_BANDS,
+        ROWS_PER_BAND,
+        minhash_signature_exprs,
+    )
+
+    sig = (
+        docs_stream.withWatermark("ts", "0 seconds")
+        .select(
+            "doc_id",
+            epoch_seconds("ts").alias("ts_l"),
+            "ts",
+            *minhash_signature_exprs("text"),
+        )
+        .where(F.col("mh0").isNotNull())
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.col(f"mh{b * ROWS_PER_BAND}").cast("string"),
+                        F.col(f"mh{b * ROWS_PER_BAND + 1}").cast("string"),
+                    )
+                ).alias("key"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    banded = sig.withColumn("bk", F.explode(band_structs)).select(
+        "doc_id", "ts_l", "ts",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        *[f"mh{s}" for s in range(8)]
+    )
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        _near_dup_ttl_fn(horizon_seconds),
+        outputStructType=NEAR_DUP_FLAG_SCHEMA,
+        stateStructType=_ND_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

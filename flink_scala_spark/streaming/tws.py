@@ -102,14 +102,19 @@ def ensure_tws_runtime(spark) -> None:
     can be shadowed. Raises RuntimeError when no runtime exists.
     """
     global _RUNTIME_READY
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-    )
     if _RUNTIME_READY:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
         return
     path = protobuf_pythonpath()
     if path is None:
+        # Probe BEFORE touching session conf: on this error path nothing
+        # must leak into the shared session the caller hands us.
         raise RuntimeError("no protobuf runtime available for TWS workers")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )
     sc = spark.sparkContext
     os.environ["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"
     sc.environment["TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"] = "true"

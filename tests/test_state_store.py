@@ -69,3 +69,27 @@ def test_observe_collects_metrics_without_second_pass(spark, sf_dir):
     assert got["n_rows"] == n == direct["n"]
     assert got["min_v"] == direct["lo"]
     assert got["max_v"] == direct["hi"]
+
+
+def test_ttl_dedup_expires_out_of_horizon_sources(spark, sf_dir):
+    """The TTL'd streaming near-dup state must actually EVICT: its
+    flagged pairs are a strict subset of the unbounded variant's —
+    same in-horizon pairs, and at least one out-of-horizon source
+    dropped (sf0.001 has near-dup pairs up to 470 ids apart vs a
+    126-id horizon, so eviction is guaranteed non-vacuous here)."""
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    plain = {
+        (r["doc_id"], r["first_source"])
+        for r in QUERIES["streaming_dedup_minhash"].fn(spark, sf_dir).collect()
+    }
+    ttl_rows = QUERIES["streaming_dedup_minhash_ttl"].fn(spark, sf_dir).collect()
+    ttl_docs = {r["doc_id"] for r in ttl_rows}
+    plain_docs = {d for d, _ in plain}
+    assert ttl_docs <= plain_docs
+    assert ttl_docs < plain_docs  # some doc's ONLY source expired
+    # every surviving first_source is >= the plain one (earlier == more
+    # likely expired; eviction can only move first_source later)
+    plain_first = dict(plain)
+    for r in ttl_rows:
+        assert r["first_source"] >= plain_first[r["doc_id"]]

@@ -30,74 +30,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-4 rotation: (a) every entry with NO green driver row across
-# rounds 1-3 — the 29 round-3 additions VERDICT r3 listed, the two
-# round-3 hash-FAILs whose oracles are now cast to BIGINT
-# (ship_latency_priority_counts, text_rare_token_novelty), the
-# reshaped approx_ndv_hll (now fully oracle-checked), and the new
-# first-class-timer query streaming_rising_alarm_tws — after round 4
-# the driver-green union covers all 155 catalog entries; (b) the ten
-# queries whose ORACLES changed this round (integer-width casts from
-# the typed-gate sweep) re-earn green rows against the new SQL;
-# (c) the remaining slots refresh the stalest round-1-only rows, one
-# per operator family. Everything else stays oracle-checked at
+# Round-5 rotation: (a) the 9 entries with NO driver row yet — the 5
+# round-4 late additions (added after round 4's head was frozen, so
+# never gate-checked despite being pytest-green since) and the 4
+# round-5 additions (TTL-bounded streaming near-dup, the FIRE_AND_PURGE
+# trigger twin, the two lakehouse-maintenance roundtrips); after round
+# 5 every catalog entry has earned a driver row in some
+# CORRECTNESS_r0N.json. (b) the 26 entries whose only green row is
+# round 1 — four rounds stale — re-earn current evidence; (c) the
+# remaining 15 slots refresh the stalest round-<=2 rows, one per
+# operator family. Everything rotated out stays oracle-checked at
 # sf0.001 on every pytest run (tests/test_catalog_oracle.py), and the
 # head contract is pinned by
 # tests/test_catalog_oracle.py::test_driver_priority_head_is_valid.
 _PRIORITY = [
-    # (a) never driver-green in rounds 1-3
-    "ship_latency_priority_counts",
-    "text_rare_token_novelty",
-    "approx_ndv_hll",
-    "streaming_rising_alarm_tws",
-    "streaming_session_summary_tws",
-    "streaming_session_gap_tws",
-    "approx_quantiles_certified",
-    "range_join_binned",
-    "dataset_split_leakage_safe",
-    "scd2_history",
-    "temporal_join_scd2",
-    "cdc_apply_changelog",
-    "events_variant_props",
-    "events_type_unpivot",
-    "streaming_static_enrichment",
-    "streaming_dedup_within_watermark",
-    "streaming_windowed_topk",
-    "streaming_interval_join_outer",
-    "streaming_cms_heavy_hitters",
-    "streaming_cdc_apply",
-    "streaming_chained_windows",
-    "streaming_interval_join_full_outer",
-    "streaming_dedup_then_window",
-    "streaming_join_then_window",
-    "decontamination_bloom",
-    "sample_events_per_type",
-    "ann_pq_topk",
-    "udtf_bigram_topk",
-    "udaf_second_largest",
-    "corpus_curation_pipeline",
-    "dedup_triangles",
-    "semantic_dedup",
-    "dedup_clusters_star",
-    "bm25_search",
-    "entity_clusters",
-    "local_supplier_volume",
-    "bracketed_revenue",
-    "forecast_revenue_change",
-    # (b) oracle changed this round (typed-gate casts) — re-earn
-    "shipping_priority_topk",
-    "text_quality",
-    "value_deciles",
-    "nation_market_share",
-    "text_token_stats",
-    "pii_scrub",
-    "revenue_cube",
-    "nation_trade_flow",
-    "text_lang_id",
-    "text_fingerprint",
-    # (c) stalest round-1-only rows, one per operator family
-    "order_dashboard_total",
-    "streaming_delta_alarm",
+    # (a) no driver row yet: round-4 late additions...
+    "streaming_dedup_minhash",
+    "unified_backfill_daily",
+    "incremental_agg_maintenance",
+    "split_contamination_audit",
+    "corpus_token_budget",
+    # ...and round-5 additions
+    "streaming_dedup_minhash_ttl",
+    "streaming_trigger_fire_purge",
+    "compaction_roundtrip",
+    "zorder_roundtrip",
+    # (b) green in round 1 only — refresh
+    "order_dashboard_rollup",
+    "lineitem_pricing_summary",
+    "revenue_by_region_parttype",
+    "orders_without_recent_shipments",
+    "big_order_customers",
+    "top_events_per_user",
+    "word_count",
+    "sensor_parse",
+    "filter_threshold",
+    "connect_co_map",
+    "keyed_sum",
+    "keyed_sum_salted",
+    "event_value_quantiles",
+    "events_json_props",
+    "events_type_pivot",
+    "latest_event_per_key",
+    "running_sum",
+    "ordered_fold",
+    "ordered_fold_general",
+    "arg_min_row",
+    "tumbling_window_counts",
+    "tumbling_window_unique_users",
+    "tumbling_window_min_by",
+    "sliding_window_counts",
+    "streaming_interval_join",
+    "streaming_latest_event",
+    # (c) stalest round-<=2 rows, one per operator family
+    "order_dashboard_province",
+    "session_windows",
+    "rising_streak_alarm",
+    "streaming_rising_alarm",
+    "streaming_dedup_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "count_window_sum",
+    "kmeans_assignments",
+    "streaming_count_window",
+    "streaming_union_counts",
+    "cohort_retention",
+    "funnel_conversion",
+    "dedup_clusters",
+    "multimodal_features",
 ]
 
 

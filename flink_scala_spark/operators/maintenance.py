@@ -10,10 +10,36 @@ exactly.
 
 from __future__ import annotations
 
+import atexit
 import math
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: Scratch dirs for maintenance roundtrips, one per logical key —
+#: reused across invocations in a process (the driver gate, pytest,
+#: and bench may each run the same entry) and removed at exit.
+_SCRATCH: dict[tuple, str] = {}
+
+
+def _scratch_cleanup() -> None:
+    for d in _SCRATCH.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH.clear()
+
+
+atexit.register(_scratch_cleanup)
+
+
+def scratch_dir(*key) -> str:
+    """Process-cached scratch directory for the given key."""
+    d = _SCRATCH.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="maint_")
+        _SCRATCH[key] = d
+    return d
 
 
 def plan_compaction(src_dir: str, target_mb: int = 128) -> int:

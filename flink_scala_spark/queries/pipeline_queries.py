@@ -11,6 +11,8 @@ approximate-compare tolerances anywhere.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2367,4 +2369,131 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer DIV, not double-divide-then-cast: the double can
         # round across an integer boundary where DuckDB's // floors
         F.expr("(1000000 * n_tokens) DIV all_toks").alias("share_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X70/X97 lakehouse maintenance, driver-checkable: the file-layout ops
+# (small-file compaction, Z-order clustering) run for real against a
+# staged copy and the CONTENT contract — rewrite preserves every row,
+# and the Morton key is the documented pure function of the data — is
+# what the oracle verifies. File-count / span-shrink assertions stay in
+# tests/test_partitioning.py (DuckDB cannot stat parquet files).
+# ---------------------------------------------------------------------------
+
+@register(
+    "compaction_roundtrip",
+    """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY 1, 2
+    """,
+    "X70", "maintenance", "compaction",
+)
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction end-to-end under the correctness gate:
+    stage the documents table as 32 undersized files (the debris a
+    streaming sink leaves), compact to ~128 MB targets with a
+    doc_id cluster sort (operators/maintenance.py:compact_parquet),
+    and aggregate the RE-READ output — equal to the same aggregate
+    over the original table iff the rewrite preserved rows exactly.
+    The file-count plan (ceil(bytes/target)) and clustering effects
+    are pinned separately in tests/test_partitioning.py."""
+    from flink_scala_spark.operators import maintenance
+
+    base = maintenance.scratch_dir("compaction_roundtrip", sf_dir)
+    src = os.path.join(base, "src")
+    dst = os.path.join(base, "dst")
+    docs = tables.load(spark, sf_dir, "documents")
+    if not os.path.isdir(src):
+        docs.repartition(32).write.mode("overwrite").parquet(src)
+    out = maintenance.compact_parquet(
+        spark, src, dst, target_mb=128, sort_cols=["doc_id"]
+    )
+    return out.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+# The Z-order oracle recomputes the Morton key with the identical
+# arithmetic (min/max-normalize to 256 buckets; interleave 8 bits per
+# dimension). Both engines evaluate ((v - lo) / (hi - lo)) * 256 in
+# IEEE double with the same operation order, so floor() agrees
+# bit-for-bit; all bit ops are BIGINT-exact.
+_ZORDER_ORACLE = """
+    WITH stats AS (
+        SELECT CAST(min(user_id) AS DOUBLE) AS lo_a,
+               CAST(max(user_id) AS DOUBLE) AS hi_a,
+               min(value) AS lo_b, max(value) AS hi_b
+        FROM events
+    ),
+    b AS (
+        SELECT CAST(floor(e.value * 100) AS BIGINT) AS cents,
+               e.user_id,
+               CASE WHEN s.hi_a = s.lo_a THEN 0
+                    ELSE least(CAST(floor(((CAST(e.user_id AS DOUBLE) - s.lo_a)
+                                           / (s.hi_a - s.lo_a)) * 256) AS BIGINT),
+                               255) END AS ba,
+               CASE WHEN s.hi_b = s.lo_b THEN 0
+                    ELSE least(CAST(floor(((e.value - s.lo_b)
+                                           / (s.hi_b - s.lo_b)) * 256) AS BIGINT),
+                               255) END AS bb
+        FROM events e, stats s
+    ),
+    z AS (
+        SELECT cents, user_id,
+               (((ba >> 0) & 1) << 1) + (((bb >> 0) & 1) << 0)
+             + (((ba >> 1) & 1) << 3) + (((bb >> 1) & 1) << 2)
+             + (((ba >> 2) & 1) << 5) + (((bb >> 2) & 1) << 4)
+             + (((ba >> 3) & 1) << 7) + (((bb >> 3) & 1) << 6)
+             + (((ba >> 4) & 1) << 9) + (((bb >> 4) & 1) << 8)
+             + (((ba >> 5) & 1) << 11) + (((bb >> 5) & 1) << 10)
+             + (((ba >> 6) & 1) << 13) + (((bb >> 6) & 1) << 12)
+             + (((ba >> 7) & 1) << 15) + (((bb >> 7) & 1) << 14) AS zval
+        FROM b
+    )
+    SELECT CAST(zval // 64 AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM z GROUP BY 1
+"""
+
+
+@register(
+    "zorder_roundtrip",
+    _ZORDER_ORACLE,
+    "X97", "maintenance", "zorder",
+)
+def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end under the correctness gate: lay
+    the events table out as 8 Morton-range-partitioned files on
+    (user_id, value) (operators/maintenance.py:zorder_layout — range
+    partition on the interleaved key, local sorts only, no global
+    sort), write, RE-READ, and aggregate per z-bucket including the
+    stored ``_zval`` itself — so the oracle independently recomputes
+    the whole Morton construction from the raw table and verifies
+    both the key arithmetic and the rewrite's row preservation. The
+    file-span shrink property (either dimension prunes ~1/sqrt(files))
+    is pinned in tests/test_partitioning.py."""
+    from flink_scala_spark.operators import maintenance
+
+    base = maintenance.scratch_dir("zorder_roundtrip", sf_dir)
+    dst = os.path.join(base, "zorder")
+    ev = tables.load(spark, sf_dir, "events").select("user_id", "value")
+    laid = maintenance.zorder_layout(ev, "user_id", "value", 8)
+    laid.write.mode("overwrite").parquet(dst)
+    back = spark.read.parquet(dst)
+    return (
+        back.withColumn("cents", F.floor(F.col("value") * 100).cast("long"))
+        .groupBy(F.expr("CAST(_zval DIV 64 AS BIGINT)").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("user_id").alias("sum_uid"),
+        )
     )

@@ -1268,6 +1268,108 @@ def q_streaming_session_gap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# W8 streaming twin: FIRE_AND_PURGE trigger + evictor, on real timers
+# ---------------------------------------------------------------------------
+
+#: 4-day tumbling windows (2 replay buckets) fired-and-purged every 5th
+#: element; the evictor drops readings below 5.0 before the window
+#: function (MyEvictor's invalid-element removal, non-vacuous at every
+#: sf: ~9% of events fall below it).
+_FP_WINDOW_S = 2 * _TWS_BUCKET_S
+_FP_COUNT = 5
+_FP_EVICT_BELOW = 5.0
+
+# Oracle model (measured semantics, same facts as _TWS_ALARM_ORACLE):
+# rows of a (user, window) are processed in (ts, event_id) order (the
+# bucket replay's arrival order), so the count-trigger's purge
+# boundaries are row_number DIV N. Complete groups of N fire
+# unconditionally on arrival of their Nth element ('count'); the
+# partial remainder fires from the window-end timer ('timer') iff some
+# batch's watermark reaches window_end — monotone watermarks collapse
+# that to the FINAL watermark (global max event time over post-evictor
+# rows, ms-truncated, minus the 1 s delay), timers firing INCLUSIVE at
+# the boundary. Windows align to epoch multiples of the window size on
+# both engines.
+_FIRE_PURGE_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+           epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value >= {_FP_EVICT_BELOW}
+),
+wx AS (
+    SELECT user_id, ts_us, cents,
+           (ts_l // {_FP_WINDOW_S}) * {_FP_WINDOW_S} AS w_start,
+           row_number() OVER (PARTITION BY user_id, ts_l // {_FP_WINDOW_S}
+                              ORDER BY ts_l, event_id) - 1 AS idx
+    FROM ev
+),
+grps AS (
+    SELECT user_id, w_start, idx // {_FP_COUNT} AS fire_seq,
+           count(*) AS n_events, sum(cents) AS sum_cents
+    FROM wx GROUP BY 1, 2, 3
+),
+wm AS (SELECT (max(ts_us) // 1000) - 1000 AS wm_ms FROM ev)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(w_start AS BIGINT) AS window_start,
+       CAST(fire_seq AS BIGINT) AS fire_seq,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       CASE WHEN n_events = {_FP_COUNT} THEN 'count' ELSE 'timer' END AS fired_by
+FROM grps, wm
+WHERE n_events = {_FP_COUNT}
+   OR wm_ms >= (w_start + {_FP_WINDOW_S}) * 1000
+"""
+
+
+@register(
+    "streaming_trigger_fire_purge",
+    _FIRE_PURGE_ORACLE,
+    "W8", "W9", "ST4", "tws", "timers", "streaming", "trigger",
+)
+def q_streaming_trigger_fire_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FIRE_AND_PURGE trigger semantics
+    (TestTriggerAndEvictor.scala:84-107: UtcTrigger returns
+    FIRE_AND_PURGE from onElement and onEventTime; :71-82 documents the
+    purge-on-fire discipline) as a LIVE streaming query on first-class
+    timers — the general purging form PurgingTrigger(CountTrigger(5))
+    over keyed 4-day tumbling event-time windows: every 5th element of
+    a (user, window) FIRES the buffered aggregate and PURGES it (each
+    emission is the increment since the last fire, so window state
+    never holds raw elements), and the window-end event-time timer
+    fires the remaining partial buffer and drops the window's state.
+    The evictor (MyEvictor:122-134, removing invalid elements before
+    the window function) is the pre-window `value >= 5.0` filter.
+    Closes the last §7.4 emulation-only gap: the batch emulation is
+    `trigger_per_element_fire` / `evictor_prefilter`; this is the
+    streaming form with real purge-on-fire state. Oracle: the measured
+    timer/watermark model (_FIRE_PURGE_ORACLE)."""
+    from flink_scala_spark.streaming.runner import run_bounded_now
+    from flink_scala_spark.streaming.tws import ensure_tws_runtime, fire_purge_tws
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    ensure_tws_runtime(spark)
+    try:
+        src = sources.file_replay_time_buckets(
+            spark, sf_dir, "events", _TWS_BUCKET_S
+        )
+        return run_bounded_now(
+            fire_purge_tws(src, _FP_WINDOW_S, _FP_COUNT, _FP_EVICT_BELOW),
+            "append",
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
+# ---------------------------------------------------------------------------
 # Unified batch+stream backfill (the lambda-architecture kill)
 # ---------------------------------------------------------------------------
 

@@ -440,6 +440,158 @@ def session_gap_tws(events_stream, gap_seconds: int):
     )
 
 
+def build_fire_purge_tws(window_seconds: int, fire_count: int):
+    """Return (processor, output_schema) for the FIRE_AND_PURGE
+    trigger semantics of ``TestTriggerAndEvictor.scala:84-107``:
+    Flink's ``UtcTrigger`` returns FIRE_AND_PURGE from both
+    ``onElement`` and ``onEventTime`` — each fire hands the window
+    function ONLY the delta accumulated since the last fire and then
+    clears the buffer (the comment block at :71-82 spells out why:
+    purge-on-fire keeps big windows from holding all elements).
+
+    Realized here as the general purging form —
+    ``PurgingTrigger(CountTrigger.of(N))`` over keyed tumbling
+    event-time windows, plus the window-end event-time fire:
+
+    - per (key, window) buffer lives in MapState (window_start ->
+      (n, cents, n_fires)); the first element of a window registers
+      the window-end timer (FIRE_AND_PURGE on onEventTime);
+    - every ``fire_count``-th element FIRES the buffered aggregate
+      and PURGES it (emission = the increment, state resets to zero);
+    - the expired window-end timer fires the remaining partial buffer
+      (if any) and removes the window's state entirely — so state per
+      key is O(open windows), never O(elements).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("window_start", LongType()),
+            StructField("fire_seq", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+            StructField("fired_by", StringType()),
+        ]
+    )
+
+    class FirePurgeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.windows = handle.getMapState(
+                "win",
+                StructType([StructField("w_start", LongType())]),
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("cents", LongType()),
+                        StructField("n_fires", LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_l", "event_id"])
+            out = {c: [] for c in ("w", "seq", "n", "cents", "by")}
+            for ts_l, v in zip(pdf["ts_l"], pdf["value"]):
+                ts_l = int(ts_l)
+                w_start = (ts_l // window_seconds) * window_seconds
+                mk = (w_start,)
+                if self.windows.containsKey(mk):
+                    n, cents, n_fires = self.windows.getValue(mk)
+                else:
+                    n, cents, n_fires = 0, 0, 0
+                    # first element of the window: arm the onEventTime
+                    # FIRE_AND_PURGE at the window end
+                    self.handle.registerTimer((w_start + window_seconds) * 1000)
+                n += 1
+                cents += int(math.floor(float(v) * 100.0))
+                if n == fire_count:
+                    # onElement FIRE_AND_PURGE: emit the increment,
+                    # clear the buffer
+                    out["w"].append(w_start)
+                    out["seq"].append(n_fires)
+                    out["n"].append(n)
+                    out["cents"].append(cents)
+                    out["by"].append("count")
+                    n, cents, n_fires = 0, 0, n_fires + 1
+                self.windows.updateValue(mk, (n, cents, n_fires))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array([int(key[0])] * len(out["w"]), dtype="int64"),
+                    "window_start": pd.array(out["w"], dtype="int64"),
+                    "fire_seq": pd.array(out["seq"], dtype="int64"),
+                    "n_events": pd.array(out["n"], dtype="int64"),
+                    "sum_cents": pd.array(out["cents"], dtype="int64"),
+                    "fired_by": pd.array(out["by"], dtype=object),
+                }
+            )
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            w_start = expiredTimerInfo.getExpiryTimeInMs() // 1000 - window_seconds
+            mk = (w_start,)
+            if not self.windows.containsKey(mk):
+                return
+            n, cents, n_fires = self.windows.getValue(mk)
+            self.windows.removeKey(mk)  # window is over: purge entirely
+            if n > 0:
+                yield pd.DataFrame(
+                    {
+                        "user_id": pd.array([int(key[0])], dtype="int64"),
+                        "window_start": pd.array([int(w_start)], dtype="int64"),
+                        "fire_seq": pd.array([int(n_fires)], dtype="int64"),
+                        "n_events": pd.array([int(n)], dtype="int64"),
+                        "sum_cents": pd.array([int(cents)], dtype="int64"),
+                        "fired_by": pd.array(["timer"], dtype=object),
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return FirePurgeProcessor(), out_schema
+
+
+def fire_purge_tws(events_stream, window_seconds: int, fire_count: int,
+                   evict_below: float):
+    """Streaming DataFrame -> FIRE_AND_PURGE emission stream. Input
+    carries (user_id, event_id, ts TIMESTAMP, value). The evictor
+    (MyEvictor in TestTriggerAndEvictor.scala:122-134 drops invalid
+    elements before the window function) is the pre-window filter
+    ``value >= evict_below`` — applied BEFORE the watermark so both
+    engines agree on which rows drive it."""
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    proc, out_schema = build_fire_purge_tws(window_seconds, fire_count)
+    withts = (
+        events_stream.where(F.col("value") >= evict_below)
+        .select(
+            "user_id", "event_id", epoch_seconds("ts").alias("ts_l"), "value", "ts"
+        )
+        .withWatermark("ts", "1 second")
+    )
+    return withts.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def rising_alarm_tws(events_stream, horizon_seconds: int = 600):
     """Streaming DataFrame -> timer-based rising alarm stream.
 

@@ -2065,10 +2065,14 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X124: entity-resolution clusters (fuzzy graph + alternating star)
 # ---------------------------------------------------------------------------
 
-@register(
-    "entity_clusters",
-    """
-    WITH RECURSIVE vocab AS (SELECT DISTINCT c_name AS word FROM customer
+# Shared fragments for the entity-resolution oracle. The SQL form (the
+# driver-gate oracle) closes the graph with a recursive CTE — exact but
+# O(|component|²) in the closure, which the sf0.1 pathological 15k-name
+# component makes slow. tools/check_oracle.py therefore verifies this
+# query through ENTITY_VERIFY_SQL + a linear Python union-find over the
+# same verified edge list (identical semantics, any scale).
+ENTITY_GRAPH_CTES = """
+    vocab AS (SELECT DISTINCT c_name AS word FROM customer
                    WHERE c_name IS NOT NULL AND c_name <> ''),
     keys AS (
         SELECT word, unnest(list_append(
@@ -2080,7 +2084,22 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (SELECT DISTINCT a.word AS word_a, b.word AS word_b
              FROM keys a JOIN keys b ON a.k = b.k AND a.word < b.word),
     pv AS (SELECT word_a, word_b FROM cand
-           WHERE levenshtein(word_a, word_b) = 1),
+           WHERE levenshtein(word_a, word_b) = 1)
+"""
+
+#: Edge list + vocabulary for the union-find verification path.
+ENTITY_VERIFY_SQL = f"""
+    WITH {ENTITY_GRAPH_CTES}
+    SELECT 'edge' AS kind, word_a AS a, word_b AS b FROM pv
+    UNION ALL
+    SELECT 'node', word, NULL FROM vocab
+"""
+
+
+@register(
+    "entity_clusters",
+    f"""
+    WITH RECURSIVE {ENTITY_GRAPH_CTES},
     edges AS (SELECT word_a AS src, word_b AS dst FROM pv
               UNION SELECT word_b, word_a FROM pv),
     reach(w, r) AS (

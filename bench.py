@@ -79,6 +79,8 @@ HEADLINE = [
     "skew_join_salted",
     "range_join_binned",
     "approx_quantiles_certified",
+    "compaction_roundtrip",
+    "zorder_roundtrip",
 ]
 
 

@@ -1,0 +1,91 @@
+"""8x replication stress harness for duplication-rich load.
+
+Builds a synthetic sf dir whose ``documents`` / ``events`` tables are
+the source tables unioned 8x with shifted ids (texts/timestamps kept
+IDENTICAL, so every row gains 7 clones — the worst case for dedup
+state and candidate-pair growth), then times the requested catalog
+queries against it. This is the same treatment every earlier heavy
+family got (BASELINE.md stress entries); persisting the harness keeps
+future rounds from re-deriving it.
+
+    python tools/stress_replicate.py <src_sf_dir> <query> [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REPLICAS = 8
+#: id shifts keep replicas in DISTINCT replay buckets so streaming
+#: state carries clone signatures across microbatches.
+DOC_SHIFT = 1_000_000
+EVENT_SHIFT = 10_000_000
+USER_SHIFT = 1_000_000
+
+
+def build_stress_dir(spark, src_sf_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark import tables
+
+    out = tempfile.mkdtemp(prefix="stress8x_")
+    docs = tables.load(spark, src_sf_dir, "documents")
+    reps = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * DOC_SHIFT))
+        for r in range(REPLICAS)
+    ]
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    u.coalesce(4).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+
+    ev = tables.load(spark, src_sf_dir, "events")
+    reps = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(r * EVENT_SHIFT))
+        .withColumn("user_id", F.col("user_id") + F.lit(r * USER_SHIFT))
+        for r in range(REPLICAS)
+    ]
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    u.coalesce(8).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    return out
+
+
+def main() -> int:
+    src = sys.argv[1]
+    names = sys.argv[2:]
+    from flink_scala_spark.queries.catalog import QUERIES
+    from flink_scala_spark.session import get_spark
+
+    spark = get_spark("stress8x")
+    stress = build_stress_dir(spark, src)
+    print(f"stress dir: {stress}")
+    try:
+        for name in names:
+            fn = QUERIES[name].fn
+            # 1x baseline then 8x, same process (warm JVM for both)
+            t0 = time.time()
+            n1 = fn(spark, src).count()
+            t1 = time.time()
+            n8 = fn(spark, stress).count()
+            t2 = time.time()
+            print(
+                f"{name}: 1x {t1-t0:.2f}s ({n1} rows) -> "
+                f"8x {t2-t1:.2f}s ({n8} rows), wall x{(t2-t1)/max(t1-t0,1e-9):.1f}, "
+                f"rows x{n8/max(n1,1):.1f}"
+            )
+    finally:
+        shutil.rmtree(stress, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

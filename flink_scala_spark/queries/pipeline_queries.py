@@ -2516,3 +2516,90 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_id").alias("sum_uid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X140: hybrid retrieval — BM25 + dense cosine fused by reciprocal rank
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60        # the standard RRF smoothing constant
+_RRF_SYS_K = 100   # per-system candidate depth
+_RRF_OUT_K = 20    # fused result size
+
+_HYBRID_RRF_ORACLE = f"""
+    WITH t_top AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+                   AS r_text
+        FROM ({{bm25}}) b
+        ORDER BY bm25 DESC, doc_id LIMIT {_RRF_SYS_K}
+    ),
+    n AS (SELECT vec_id, embedding, {{nsq}} AS nsq FROM embeddings),
+    v_top AS (
+        SELECT neighbor_id AS doc_id, CAST(r AS BIGINT) AS r_vec FROM (
+            SELECT c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       ORDER BY {{dot}} / sqrt(q.nsq * c.nsq) DESC, c.vec_id
+                   ) AS r
+            FROM n q JOIN n c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id = 0) t
+        WHERE r <= {_RRF_SYS_K}
+    ),
+    f AS (
+        SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id, t.r_text, v.r_vec,
+               COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + t.r_text), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + v.r_vec), 0) AS rrf
+        FROM t_top t FULL OUTER JOIN v_top v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, r_text, r_vec, rrf
+    FROM f ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT_K}
+"""
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    _HYBRID_RRF_ORACLE.format(
+        bm25=QUERIES["bm25_search"].oracle,
+        nsq=_NSQ,
+        dot=duck_dot("q.embedding", "c.embedding"),
+    ),
+    "retrieval", "hybrid", "rrf", "ann", "text",
+)
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval shape: sparse (BM25, X123) and dense (exact
+    cosine top-k, X20) candidate lists fused by reciprocal-rank fusion
+    rrf(d) = Σ 1/(60 + rank_sys(d)) — the standard zero-tuning hybrid
+    that beats either system alone. Composition of two proven
+    operators: each system independently produces its distributed
+    top-100 (TakeOrderedAndProject / the local-then-global top-k of
+    cosine_topk_vectorized — the corpus is never globally sorted), the
+    fusion join and re-rank run on 2x100 constant-size rows. Both
+    engines rank on the 6-dp-rounded BM25 and the bit-identical cosine
+    doubles, and the RRF sum is the same two-term IEEE fold, so the
+    fused ranking hash-matches exactly."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    t_top = (
+        text.bm25_scores(docs)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_SYS_K)
+    )
+    w_t = Window.orderBy(F.desc("bm25"), F.col("doc_id"))
+    t_rank = t_top.select(
+        "doc_id", F.row_number().over(w_t).cast("long").alias("r_text")
+    )
+    v_rank = similarity.cosine_topk_vectorized(
+        emb, F.col("vec_id") == 0, k=_RRF_SYS_K
+    ).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("long").alias("r_vec")
+    )
+    fused = t_rank.join(v_rank, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_text")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_vec")), F.lit(0.0))
+    return (
+        fused.select("doc_id", "r_text", "r_vec", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_OUT_K)
+    )

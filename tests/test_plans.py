@@ -220,12 +220,17 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
     #   ALREADY-AGGREGATED (lang, source) rows — metadata cardinality,
     #   not corpus rows — chosen precisely so the corpus is scanned
     #   once (a second agg branch loses exchange reuse to pruning).
+    # - hybrid_retrieval_rrf: the rank window runs over the TEXT
+    #   system's top-100 candidates — a TakeOrderedAndProject output of
+    #   constant size by construction (the corpus itself is reduced by
+    #   distributed top-k, never globally sorted).
     SINGLE_PARTITION_WINDOW_OK = {
         "revenue_day_over_day",
         "late_data_accounting",
         "ann_pq_topk",
         "small_quantity_part_revenue",
         "corpus_token_budget",
+        "hybrid_retrieval_rrf",
     }
 
     offenders = {}

@@ -925,6 +925,47 @@ def pq_topk(
     )
 
 
+def pq_refined_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    coarse_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN serving — the production retrieval path: the PQ
+    index (:func:`pq_topk`, 8 code bytes/vector) scans the whole
+    corpus cheaply for ``coarse_k`` candidates per query, then ONLY
+    those candidates are re-scored with exact cosine and re-ranked to
+    the final ``k``. Exactly the coarse-quantize -> rerank split every
+    memory-bound vector store runs at 100 TB: the expensive float math
+    touches |queries| x coarse_k rows, never the corpus.
+
+    Scale shape: the candidate list (|queries| x coarse_k ids) plus
+    the flattened query vectors broadcast into ONE hash join against
+    the corpus scan — the corpus is never shuffled; the only exchange
+    is the per-query final top-k. Rerank scoring is the same in-order
+    fold as :func:`cosine_topk`, so ranks replay exactly in SQL."""
+    from pyspark.sql import Window
+
+    cand = pq_topk(emb, query_pred, k=coarse_k, id_col=id_col, vec_col=vec_col)
+    q = flatten(emb.where(query_pred), "q", "qid", id_col, vec_col)
+    cq = cand.select("query_id", "neighbor_id").join(
+        F.broadcast(q), F.col("query_id") == F.col("qid")
+    ).drop("qid")
+    c = _spread(flatten(emb, "c", "cid", id_col, vec_col))
+    pairs = c.join(F.broadcast(cq), F.col("cid") == F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", _flat_cosine("q", "c").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 #: Fixed-point quantization scale for deterministic distributed sums.
 CENTROID_SCALE = 1_000_000.0
 

@@ -2603,3 +2603,73 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(_RRF_OUT_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# X141: two-stage ANN — PQ coarse scan + exact cosine rerank
+# ---------------------------------------------------------------------------
+
+_PQ_REFINE_COARSE_K = 50
+
+
+@register(
+    "ann_pq_refined",
+    f"""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, v AS c
+           FROM v WHERE vec_id IN (
+               SELECT vec_id FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               LIMIT {similarity.PQ_K})),
+    ed AS (SELECT t.vec_id, cb.code_id,
+           {_PQ_D_COLS}
+           FROM v t CROSS JOIN cb),
+    edu AS (
+        {_PQ_EDU}),
+    encu AS (SELECT vec_id AS neighbor_id, m, code_id AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, code_id) AS rn
+        FROM edu) t WHERE rn = 1),
+    qdu AS (SELECT vec_id AS query_id, code_id, m, d FROM edu
+            WHERE vec_id % 50 = 0),
+    j AS (SELECT e.neighbor_id, q.query_id, e.m, q.d
+          FROM encu e JOIN qdu q ON q.m = e.m AND q.code_id = e.code
+          WHERE e.neighbor_id <> q.query_id),
+    s AS (SELECT query_id, neighbor_id,
+                 list_reduce(list(d ORDER BY m), (x, y) -> x + y) AS approx_dist
+          FROM j GROUP BY 1, 2),
+    cand AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_dist, neighbor_id) AS r
+        FROM s) t WHERE r <= {_PQ_REFINE_COARSE_K}),
+    n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
+    x AS (SELECT c.query_id, c.neighbor_id,
+                 {duck_dot('q.embedding', 'e.embedding')} / sqrt(q.nsq * e.nsq)
+                     AS cosine
+          FROM cand c
+          JOIN n q ON q.vec_id = c.query_id
+          JOIN n e ON e.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM x) t
+    WHERE rank <= 5
+    """,
+    "similarity", "ann", "pq", "rerank",
+)
+def q_ann_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving (X141): the PQ index coarse-scans the
+    corpus for 50 candidates per query (8 code bytes/vector, ADC
+    lookup sums — X96's machinery), then exact cosine re-scores ONLY
+    those candidates and re-ranks to the final top-5. The float math
+    touches |queries| x 50 rows; the corpus is scanned but never
+    shuffled (candidate ids + query vectors broadcast into one hash
+    join). The oracle replays both stages — PQ encoding/ADC and the
+    in-order cosine fold — bit-for-bit."""
+    return similarity.pq_refined_topk(
+        _emb(spark, sf_dir),
+        F.col("vec_id") % 50 == 0,
+        k=5,
+        coarse_k=_PQ_REFINE_COARSE_K,
+    )

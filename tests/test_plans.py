@@ -231,6 +231,9 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
         "small_quantity_part_revenue",
         "corpus_token_budget",
         "hybrid_retrieval_rrf",
+        # same fixed-codebook justification as ann_pq_topk (stage 1 is
+        # that operator; stage-2 rerank windows are query-partitioned)
+        "ann_pq_refined",
     }
 
     offenders = {}

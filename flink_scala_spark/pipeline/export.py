@@ -117,3 +117,129 @@ def export_training_corpus(
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# Versioned exports + vacuum (snapshot retention for the shipped corpus)
+# ---------------------------------------------------------------------------
+
+def _list_data_files(data_dir: str) -> set[str]:
+    out = set()
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.relpath(os.path.join(root, f), data_dir))
+    return out
+
+
+def export_versioned(
+    spark: SparkSession, df: DataFrame, out_dir: str, files_per_split: int = 4
+) -> dict:
+    """Append ``df`` (carrying a ``split`` column) as a NEW SNAPSHOT of
+    the export: data files land in the shared ``data/`` pool with
+    Spark's unique part names (append mode — earlier snapshots' files
+    are untouched), and ``MANIFEST-v{N}.json`` — written LAST — lists
+    exactly this snapshot's files plus per-split row counts and
+    digests. Readers pin a manifest and read only its file list, so a
+    snapshot stays byte-stable no matter how many newer snapshots (or
+    vacuums of OLDER ones) happen after it — the same
+    manifest-as-source-of-truth contract Iceberg/Delta snapshots give
+    a 100 TB lakehouse, built from primitives.
+    """
+    data_dir = os.path.join(out_dir, "data")
+    before = _list_data_files(data_dir) if os.path.isdir(data_dir) else set()
+    (
+        df.repartition(files_per_split, "split", "doc_id")
+        .write.mode("append")
+        .partitionBy("split")
+        .parquet(data_dir)
+    )
+    new_files = sorted(_list_data_files(data_dir) - before)
+    versions = existing_versions(out_dir)
+    version = (max(versions) + 1) if versions else 1
+    # digest the snapshot from the files just written (read-back);
+    # basePath keeps the split=... partition column on direct-file reads
+    written = spark.read.option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, f) for f in new_files]
+    )
+    from flink_scala_spark.functions.portable import h60
+
+    non_part = sorted(c for c in written.columns if c != "split")
+    row_h = h60(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in non_part
+            ],
+        )
+    )
+    stats = (
+        written.select(row_h.alias("h"))
+        .agg(F.count("*").alias("rows"), F.expr("bit_xor(h)").alias("digest"))
+        .collect()[0]
+    )
+    manifest = {
+        "version": version,
+        "files": new_files,
+        "rows": stats["rows"],
+        "digest": str(stats["digest"]),
+    }
+    with open(os.path.join(out_dir, f"MANIFEST-v{version}.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def existing_versions(out_dir: str) -> list[int]:
+    if not os.path.isdir(out_dir):
+        return []
+    out = []
+    for f in os.listdir(out_dir):
+        if f.startswith("MANIFEST-v") and f.endswith(".json"):
+            out.append(int(f[len("MANIFEST-v"):-len(".json")]))
+    return sorted(out)
+
+
+def read_snapshot(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
+    """Read exactly one snapshot's files (time travel)."""
+    with open(os.path.join(out_dir, f"MANIFEST-v{version}.json")) as f:
+        manifest = json.load(f)
+    data_dir = os.path.join(out_dir, "data")
+    return spark.read.option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, p) for p in manifest["files"]]
+    )
+
+
+def vacuum_exports(out_dir: str, keep_versions: int = 1) -> dict:
+    """Retention: drop all but the newest ``keep_versions`` snapshots.
+
+    Safety order mirrors a production vacuum: (1) compute the KEEP set
+    from the retained manifests; (2) delete unreferenced data files;
+    (3) delete the expired manifests LAST — so a crash mid-vacuum can
+    strand garbage files (re-vacuum collects them) but can never leave
+    a live manifest pointing at deleted data. Files referenced by ANY
+    retained manifest are never touched. Returns a summary dict."""
+    versions = existing_versions(out_dir)
+    keep = set(versions[-keep_versions:]) if keep_versions > 0 else set()
+    data_dir = os.path.join(out_dir, "data")
+    referenced: set[str] = set()
+    for v in keep:
+        with open(os.path.join(out_dir, f"MANIFEST-v{v}.json")) as f:
+            referenced.update(json.load(f)["files"])
+    removed_files = []
+    for rel in sorted(_list_data_files(data_dir)):
+        if rel not in referenced:
+            os.remove(os.path.join(data_dir, rel))
+            removed_files.append(rel)
+    # prune now-empty split directories
+    for root, dirs, files in os.walk(data_dir, topdown=False):
+        if root != data_dir and not os.listdir(root):
+            os.rmdir(root)
+    removed_versions = [v for v in versions if v not in keep]
+    for v in removed_versions:
+        os.remove(os.path.join(out_dir, f"MANIFEST-v{v}.json"))
+    return {
+        "kept_versions": sorted(keep),
+        "removed_versions": removed_versions,
+        "removed_files": removed_files,
+    }

@@ -1571,3 +1571,52 @@ def q_streaming_dedup_minhash_ttl(spark: SparkSession, sf_dir: str) -> DataFrame
     return pairs.groupBy("doc_id").agg(
         F.count("*").alias("n_sources"), F.min("src").alias("first_source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Live corpus token-budget monitor (streaming twin of X132)
+# ---------------------------------------------------------------------------
+
+from flink_scala_spark.queries.catalog import QUERIES as _Q  # noqa: E402
+
+
+@register(
+    "streaming_token_budget",
+    _Q["corpus_token_budget"].oracle,
+    "streaming", "text", "analytics", "mixture",
+)
+def q_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132's mixture report computed over LIVE ingest: documents
+    replay through 8 ascending-id microbatches, a complete-mode
+    streaming aggregation maintains per-(lang, source) doc/token/max
+    counters across batches (map-side combinable, exactly the running
+    state a corpus-intake dashboard holds), and the final state feeds
+    the same 1-row-total ppm projection as the batch op — so the end
+    state must equal the whole-corpus batch aggregate, which is the
+    shared oracle. Token counting is row-local BEFORE the shuffle; the
+    only state is |lang x source| counter rows."""
+    from flink_scala_spark.streaming.runner import run_bounded
+
+    stream = sources.file_replay_id_buckets(
+        spark, sf_dir, "documents", "doc_id", 8
+    )
+    per = stream.where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).select(
+        "lang", "source", F.size(F.split("text", " ")).cast("long").alias("toks")
+    )
+    agg = per.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.max("toks").alias("max_doc_tokens"),
+    )
+    final = run_bounded(agg, "complete")
+    from pyspark.sql import Window as W
+
+    withtot = final.withColumn(
+        "all_toks", F.sum("n_tokens").over(W.partitionBy())
+    )
+    return withtot.select(
+        "lang", "source", "n_docs", "n_tokens", "max_doc_tokens",
+        F.expr("(1000000 * n_tokens) DIV all_toks").alias("share_ppm"),
+    )

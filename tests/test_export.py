@@ -62,3 +62,66 @@ def test_export_roundtrip_matches_operators_and_manifest(spark, sf_dir, tmp_path
     # 5. a second export overwrites cleanly and re-certifies
     manifest2 = export_training_corpus(spark, sf_dir, out)
     assert manifest2["splits"] == manifest["splits"]
+
+
+def _mini_corpus(spark, n=40, tag="a"):
+    rows = [(i, f"doc {tag} {i} body", "train" if i % 4 else "test") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, split string")
+
+
+def test_versioned_export_snapshots_are_immutable(spark, tmp_path):
+    """A pinned snapshot must read back byte-identically no matter how
+    many NEWER snapshots append into the shared data pool afterwards —
+    the manifest-as-source-of-truth contract."""
+    from flink_scala_spark.pipeline import export
+
+    out = str(tmp_path / "exp")
+    m1 = export.export_versioned(spark, _mini_corpus(spark, 40, "a"), out)
+    v1_rows = {
+        tuple(r) for r in export.read_snapshot(spark, out, 1).collect()
+    }
+    m2 = export.export_versioned(spark, _mini_corpus(spark, 60, "b"), out)
+    assert m1["version"] == 1 and m2["version"] == 2
+    assert not set(m1["files"]) & set(m2["files"])  # append never rewrites
+    # v1 unchanged after v2 appended
+    again = {tuple(r) for r in export.read_snapshot(spark, out, 1).collect()}
+    assert again == v1_rows and len(v1_rows) == 40
+    assert len({tuple(r) for r in export.read_snapshot(spark, out, 2).collect()}) == 60
+
+
+def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
+    """Vacuum keep=1: the old snapshot's files and manifest go, the
+    retained snapshot still reads fully and matches its manifest
+    digest; a second vacuum is a no-op (idempotent)."""
+    from flink_scala_spark.functions.portable import h60
+    from flink_scala_spark.pipeline import export
+
+    out = str(tmp_path / "exp")
+    export.export_versioned(spark, _mini_corpus(spark, 40, "a"), out)
+    m2 = export.export_versioned(spark, _mini_corpus(spark, 60, "b"), out)
+
+    summary = export.vacuum_exports(out, keep_versions=1)
+    assert summary["kept_versions"] == [2]
+    assert summary["removed_versions"] == [1]
+    assert summary["removed_files"]  # v1's files actually deleted
+    assert export.existing_versions(out) == [2]
+    # retained snapshot intact: row count and digest re-verify
+    snap = export.read_snapshot(spark, out, 2)
+    non_part = sorted(c for c in snap.columns if c != "split")
+    row_h = h60(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in non_part
+            ],
+        )
+    )
+    got = snap.select(row_h.alias("h")).agg(
+        F.count("*").alias("rows"), F.expr("bit_xor(h)").alias("digest")
+    ).collect()[0]
+    assert got["rows"] == m2["rows"]
+    assert str(got["digest"]) == m2["digest"]
+    # idempotent
+    again = export.vacuum_exports(out, keep_versions=1)
+    assert again["removed_versions"] == [] and again["removed_files"] == []

@@ -30,16 +30,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-5 rotation: (a) the 12 entries with NO driver row yet — the 5
+# Round-5 rotation: (a) the 14 entries with NO driver row yet — the 5
 # round-4 late additions (added after round 4's head was frozen, so
-# never gate-checked despite being pytest-green since) and the 7
-# round-5 additions (TTL-bounded streaming near-dup, the FIRE_AND_PURGE
-# trigger twin, the two lakehouse-maintenance roundtrips, hybrid RRF
-# retrieval, two-stage PQ rerank, live token-budget monitor); after
+# never gate-checked despite being pytest-green since) and the 9
+# round-5 additions (TTL near-dup, FIRE_AND_PURGE trigger twin,
+# maintenance roundtrips, hybrid RRF retrieval, PQ rerank, live
+# token-budget monitor, keep-best dedup, n-gram LM score); after
 # round 5 every catalog entry has earned a driver row in some
 # CORRECTNESS_r0N.json. (b) the 26 entries whose only green row is
 # round 1 — four rounds stale — re-earn current evidence; (c) the
-# remaining 12 slots refresh the stalest round-<=2 rows, one per
+# remaining 10 slots refresh the stalest round-<=2 rows, one per
 # operator family. Everything rotated out stays oracle-checked at
 # sf0.001 on every pytest run (tests/test_catalog_oracle.py), and the
 # head contract is pinned by
@@ -59,6 +59,8 @@ _PRIORITY = [
     "hybrid_retrieval_rrf",
     "ann_pq_refined",
     "streaming_token_budget",
+    "dedup_keep_best",
+    "ngram_lm_score",
     # (b) green in round 1 only — refresh
     "order_dashboard_rollup",
     "lineitem_pricing_summary",
@@ -94,9 +96,7 @@ _PRIORITY = [
     "streaming_dedup_events",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "kmeans_assignments",
     "streaming_count_window",
-    "streaming_union_counts",
     "dedup_clusters",
     "multimodal_features",
 ]

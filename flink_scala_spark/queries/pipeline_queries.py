@@ -2673,3 +2673,120 @@ def q_ann_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         coarse_k=_PQ_REFINE_COARSE_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# X144: cluster-aware canonical selection — keep the best of each
+# near-dup cluster instead of an arbitrary member
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH c AS ({QUERIES["dedup_clusters"].oracle}),
+    q AS (SELECT doc_id, quality FROM ({QUERIES["text_quality"].oracle}) t),
+    j AS (SELECT c.cluster_id, c.doc_id, q.quality
+          FROM c JOIN q USING (doc_id)),
+    r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality DESC, doc_id) AS rn
+          FROM j)
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+           max(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+           CAST(count(*) - 1 AS BIGINT) AS n_dropped
+    FROM r GROUP BY 1
+    """,
+    "dedup", "clusters", "quality", "curation",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup — the curation rule real training pipelines
+    use: within each near-dup cluster (X16's component labels), KEEP
+    the highest-quality member (X21's score; doc_id tiebreak) and
+    count the drops, instead of keeping an arbitrary canonical. One
+    cluster-keyed window over the cluster-quality join — no new
+    shuffle shape beyond the member operators; both engines rank on
+    bit-identical quality doubles so kept_doc matches exactly."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.near_dup_clusters(docs, threshold=0.5).select(
+        "doc_id", "cluster_id"
+    )
+    q = text.quality_score(docs).select("doc_id", "quality")
+    j = clusters.join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    r = j.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("kept_quality"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X145: n-gram LM quality proxy (KenLM-style model-based filtering)
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000
+
+
+@register(
+    "ngram_lm_score",
+    f"""
+    WITH ppos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS i
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri,
+               substr(text, CAST(i AS INT), 2) AS bi
+        FROM ppos
+    ),
+    c3 AS (SELECT tri, count(*) AS n3 FROM pos GROUP BY 1),
+    c2 AS (SELECT bi, count(*) AS n2 FROM pos GROUP BY 1),
+    s AS (SELECT p.doc_id, ({_LM_SCALE} * c3.n3) // c2.n2 AS v
+          FROM pos p JOIN c3 USING (tri) JOIN c2 USING (bi))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(v) // count(*) AS BIGINT) AS lm_score_ppm
+    FROM s GROUP BY 1
+    """,
+    "text", "quality", "lm",
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring without a model binary — the KenLM
+    filtering idea as pure relational algebra: train a char-trigram LM
+    on the corpus itself (context-restricted counts C3(abc), C2(ab)),
+    then score each document by the mean conditional probability of
+    its characters, p(c|ab) ~ C3/C2, in integer parts-per-million
+    ((S*n3) DIV n2 per position; sum DIV count per doc — every step
+    BIGINT-exact, so the oracle hash-matches with no float tolerance).
+    Fluent/common text scores high; garbled or out-of-distribution
+    text scores low. Scale shape: position explode is row-local, the
+    two count tables are map-side-combinable aggs, scoring is two
+    equi-joins keyed by trigram/bigram (skew-resistant: key cardinality
+    grows with the alphabet, hot keys are the common trigrams every
+    shard holds) and one per-doc agg."""
+    docs = _docs(spark, sf_dir).where(F.length("text") >= 3)
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> struct(substring(text, i, 3) AS tri,"
+                "             substring(text, i, 2) AS bi))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.tri", "p.bi")
+    c3 = pos.groupBy("tri").agg(F.count("*").alias("n3"))
+    c2 = pos.groupBy("bi").agg(F.count("*").alias("n2"))
+    s = pos.join(c3, "tri").join(c2, "bi").select(
+        "doc_id", F.expr(f"({_LM_SCALE} * n3) DIV n2").alias("v")
+    )
+    return s.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.expr("sum(v) DIV count(*)").alias("lm_score_ppm"),
+    )

@@ -341,3 +341,16 @@ def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
         op in plan
         for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan
+
+
+def test_ngram_lm_score_broadcasts_count_tables(spark, sf_dir):
+    """The trigram/bigram count tables are bounded by alphabet^3
+    regardless of corpus size, so scoring must broadcast them against
+    the position stream — at 100 TB a shuffle of the positions on a
+    hot n-gram key (common trigrams are a large fraction of all
+    positions) would be the skew bottleneck. Pin: both joins
+    broadcast, zero hash-partition exchanges below the final per-doc
+    aggregate's own shuffle."""
+    plan = _plan(QUERIES["ngram_lm_score"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -30,6 +30,19 @@ EVENT_SHIFT = 10_000_000
 USER_SHIFT = 1_000_000
 
 
+def _write_single_file(df, out: str, table: str) -> None:
+    """Write as ONE parquet FILE named {table}.parquet (the testdata
+    layout file_replay's pathGlobFilter expects), via a staging dir."""
+    staging = os.path.join(out, f"_stage_{table}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    assert len(part) == 1, part
+    shutil.move(
+        os.path.join(staging, part[0]), os.path.join(out, f"{table}.parquet")
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def build_stress_dir(spark, src_sf_dir: str) -> str:
     from pyspark.sql import functions as F
 
@@ -44,7 +57,7 @@ def build_stress_dir(spark, src_sf_dir: str) -> str:
     u = reps[0]
     for r in reps[1:]:
         u = u.unionByName(r)
-    u.coalesce(4).write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    _write_single_file(u, out, "documents")
 
     ev = tables.load(spark, src_sf_dir, "events")
     reps = [
@@ -55,7 +68,7 @@ def build_stress_dir(spark, src_sf_dir: str) -> str:
     u = reps[0]
     for r in reps[1:]:
         u = u.unionByName(r)
-    u.coalesce(8).write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    _write_single_file(u, out, "events")
     return out
 
 

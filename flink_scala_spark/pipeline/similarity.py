@@ -853,11 +853,28 @@ def pq_topk(
     doubles) broadcast; the approximate distance is then a ROW-LOCAL
     array lookup sum — candidate scoring never shuffles the corpus,
     and the only shuffle is the per-query top-k ranking."""
-    cb = centroid_rows(emb, PQ_K, id_col, vec_col)
+    cbflat = pq_codebook(emb, id_col, vec_col)
+    enc = pq_encode(emb, cbflat, id_col, vec_col)
+    q = flatten(emb.where(query_pred), "e", "query_id", id_col, vec_col)
+    qdt = pq_query_tables(q, cbflat)
+    return pq_adc_topk(enc, qdt, k)
+
+
+def _pq_sub_dist(prefix_a: str, prefix_b: str, m: int) -> Column:
+    d: Column = F.lit(0.0)
+    for i in range(m * PQ_DSUB + 1, (m + 1) * PQ_DSUB + 1):
+        diff = F.col(f"{prefix_a}{i}") - F.col(f"{prefix_b}{i}")
+        d = d + diff * diff
+    return d
+
+
+def pq_codebook(emb, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Flattened PQ_K-row shared codebook (code_id + c1..cD)."""
     from pyspark.sql import Window
 
+    cb = centroid_rows(emb, PQ_K, id_col, vec_col)
     cbw = Window.orderBy(id_col)
-    cbflat = flatten(
+    return flatten(
         cb.withColumn("code_id", F.row_number().over(cbw) - 1).drop(id_col)
         .withColumnRenamed("code_id", id_col),
         "c",
@@ -867,21 +884,19 @@ def pq_topk(
         DIM,
     )
 
-    def sub_dist(prefix_a: str, prefix_b: str, m: int) -> Column:
-        d: Column = F.lit(0.0)
-        for i in range(m * PQ_DSUB + 1, (m + 1) * PQ_DSUB + 1):
-            diff = F.col(f"{prefix_a}{i}") - F.col(f"{prefix_b}{i}")
-            d = d + diff * diff
-        return d
 
+def pq_encode(emb, cbflat, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Corpus -> PQ codes (nid, code0..codeM-1): one broadcast cross
+    join against the 16 codebook rows, argmins collapsed into a single
+    map-side-combinable groupBy."""
     base = _spread(flatten(emb, "e", "nid", id_col, vec_col))
     pair = base.crossJoin(F.broadcast(cbflat))
     enc_d = pair.select(
         "nid",
         "code_id",
-        *[sub_dist("e", "c", m).alias(f"d{m}") for m in range(PQ_M)],
+        *[_pq_sub_dist("e", "c", m).alias(f"d{m}") for m in range(PQ_M)],
     )
-    enc = enc_d.groupBy("nid").agg(
+    return enc_d.groupBy("nid").agg(
         *[
             F.min(F.struct(F.col(f"d{m}"), F.col("code_id"))).alias(f"s{m}")
             for m in range(PQ_M)
@@ -890,14 +905,17 @@ def pq_topk(
         "nid", *[F.col(f"s{m}.code_id").alias(f"code{m}") for m in range(PQ_M)]
     )
 
-    q = flatten(emb.where(query_pred), "e", "query_id", id_col, vec_col)
-    qd = q.crossJoin(F.broadcast(cbflat)).select(
+
+def pq_query_tables(qflat, cbflat):
+    """Flattened query vectors -> per-query ADC lookup tables: one
+    K-entry array per subspace, indexed by code id (array_sort on
+    (code_id, d) structs -> d projection)."""
+    qd = qflat.crossJoin(F.broadcast(cbflat)).select(
         "query_id",
         "code_id",
-        *[sub_dist("e", "c", m).alias(f"d{m}") for m in range(PQ_M)],
+        *[_pq_sub_dist("e", "c", m).alias(f"d{m}") for m in range(PQ_M)],
     )
-    # per-query lookup tables: one K-entry array per subspace, indexed
-    # by code id (array_sort on (code_id, d) structs -> d projection)
+
     def _dtable(m: int) -> Column:
         # factory binds m by value; a default-arg lambda would be
         # mis-detected as a binary (element, index) lambda by
@@ -907,7 +925,14 @@ def pq_topk(
             lambda s: s[f"d{m}"],
         ).alias(f"dt{m}")
 
-    qdt = qd.groupBy("query_id").agg(*[_dtable(m) for m in range(PQ_M)])
+    return qd.groupBy("query_id").agg(*[_dtable(m) for m in range(PQ_M)])
+
+
+def pq_adc_topk(enc, qdt, k: int):
+    """ADC scoring: broadcast the query tables against the code table,
+    row-local lookup sums, per-query top-k."""
+    from pyspark.sql import Window
+
     scored = enc.crossJoin(F.broadcast(qdt)).where(F.col("nid") != F.col("query_id"))
     adist: Column = F.lit(0.0)
     for m in range(PQ_M):

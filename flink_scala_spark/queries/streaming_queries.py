@@ -1620,3 +1620,58 @@ def q_streaming_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", "n_docs", "n_tokens", "max_doc_tokens",
         F.expr("(1000000 * n_tokens) DIV all_toks").alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN serving: query vectors arrive as a stream, scored
+# against a STATIC PQ index (X96's machinery behind a live endpoint)
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_ann_pq_serving",
+    _Q["ann_pq_topk"].oracle,
+    "streaming", "ann", "pq", "serving",
+)
+def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-search SERVING as a streaming query: the corpus is
+    encoded ONCE into the static PQ index (16-row codebook + 8 code
+    bytes/vector — the part that lives in memory at 100 TB), query
+    vectors then arrive over ascending-id microbatches and each batch
+    builds its ADC lookup tables and scores them against the broadcast
+    index inside foreachBatch. Per-query results are independent of
+    the batching, so the union over batches must equal the batch
+    operator's answer — the oracle is ann_pq_topk's, shared verbatim.
+    State: none (the index is static); per-batch work is |batch
+    queries| x corpus row-local lookups plus the query-keyed top-k."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+    from flink_scala_spark.streaming.runner import run_bounded_foreach
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cbflat = pq_cb = similarity.pq_codebook(emb)
+    enc = similarity.pq_encode(emb, cbflat)
+    enc.persist()  # the static index: encode once, serve every batch
+    try:
+        enc.count()
+
+        stream = sources.file_replay_id_buckets(
+            spark, sf_dir, "embeddings", "vec_id", 8
+        ).where(F.col("vec_id") % 50 == 0)
+
+        collected: list = []
+
+        def serve(batch_df, _bid):
+            if batch_df.isEmpty():
+                return
+            q = similarity.flatten(batch_df, "e", "query_id")
+            qdt = similarity.pq_query_tables(q, pq_cb)
+            top = similarity.pq_adc_topk(enc, qdt, k=5)
+            collected.extend(top.collect())
+
+        run_bounded_foreach(stream, serve, "append")
+        return spark.createDataFrame(
+            collected,
+            "query_id long, neighbor_id long, approx_dist double, rank int",
+        )
+    finally:
+        enc.unpersist()

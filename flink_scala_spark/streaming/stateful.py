@@ -70,15 +70,19 @@ def _delta_alarm_fn(threshold: float):
         (user_id,) = key
         last = state.get[0] if state.exists else None
         out = {"user_id": [], "event_id": [], "prev_value": [], "curr_value": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, val in zip(pdf["event_id"], pdf["value"]):
-                if last is not None and abs(val - last) > threshold:
-                    out["user_id"].append(user_id)
-                    out["event_id"].append(eid)
-                    out["prev_value"].append(round(last, 2))
-                    out["curr_value"].append(round(val, 2))
-                last = val
+        # concat ALL Arrow chunks before the order-dependent fold: a
+        # key's batch can arrive as several unordered chunks, and
+        # per-chunk sorting would fold them out of (ts, event_id) order
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            if last is not None and abs(val - last) > threshold:
+                out["user_id"].append(user_id)
+                out["event_id"].append(eid)
+                out["prev_value"].append(round(last, 2))
+                out["curr_value"].append(round(val, 2))
+            last = val
         state.update((last,))
         yield pd.DataFrame(out)
 
@@ -131,29 +135,31 @@ def _rising_alarm_fn(horizon_seconds: int):
         else:
             last_value, streak_start, n_rising, fired = None, None, 0, 0
         out = {"user_id": [], "streak_start": [], "streak_end": [], "n_rising": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, ts_l, val in zip(pdf["event_id"], pdf["ts_l"], pdf["value"]):
-                rising = last_value is not None and val > last_value
-                if rising:
-                    if streak_start is None:
-                        streak_start = ts_l
-                    n_rising += 1
-                    # Flink registers a +horizon processing-time timer on
-                    # the first rise (ProcessAlarmTest.scala:90-94); the
-                    # event-time twin fires once the streak has spanned
-                    # the horizon.
-                    if not fired and ts_l - streak_start >= horizon_seconds:
-                        out["user_id"].append(user_id)
-                        out["streak_start"].append(streak_start)
-                        out["streak_end"].append(ts_l)
-                        out["n_rising"].append(n_rising)
-                        fired = 1
-                else:
-                    # Fall (or first record) deletes the timer
-                    # (ProcessAlarmTest.scala:95-100) and resets.
-                    streak_start, n_rising, fired = None, 0, 0
-                last_value = val
+        # concat all chunks first — same ordering hazard as _delta_alarm_fn
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for eid, ts_l, val in zip(pdf["event_id"], pdf["ts_l"], pdf["value"]):
+            rising = last_value is not None and val > last_value
+            if rising:
+                if streak_start is None:
+                    streak_start = ts_l
+                n_rising += 1
+                # Flink registers a +horizon processing-time timer on
+                # the first rise (ProcessAlarmTest.scala:90-94); the
+                # event-time twin fires once the streak has spanned
+                # the horizon.
+                if not fired and ts_l - streak_start >= horizon_seconds:
+                    out["user_id"].append(user_id)
+                    out["streak_start"].append(streak_start)
+                    out["streak_end"].append(ts_l)
+                    out["n_rising"].append(n_rising)
+                    fired = 1
+            else:
+                # Fall (or first record) deletes the timer
+                # (ProcessAlarmTest.scala:95-100) and resets.
+                streak_start, n_rising, fired = None, 0, 0
+            last_value = val
         state.update((last_value, streak_start, n_rising, fired))
         yield pd.DataFrame(out)
 
@@ -199,18 +205,20 @@ def _count_window_fn(size: int):
         (user_id,) = key
         n_closed, cur_cnt, cur_sum = state.get if state.exists else (0, 0, 0.0)
         out = {"user_id": [], "window_seq": [], "cnt": [], "total": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for val in pdf["value"]:
-                cur_cnt += 1
-                cur_sum += val
-                if cur_cnt == size:
-                    out["user_id"].append(user_id)
-                    out["window_seq"].append(n_closed)
-                    out["cnt"].append(cur_cnt)
-                    out["total"].append(round(cur_sum, 2))
-                    n_closed += 1
-                    cur_cnt, cur_sum = 0, 0.0
+        # concat all chunks first — same ordering hazard as _delta_alarm_fn
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        for val in pdf["value"]:
+            cur_cnt += 1
+            cur_sum += val
+            if cur_cnt == size:
+                out["user_id"].append(user_id)
+                out["window_seq"].append(n_closed)
+                out["cnt"].append(cur_cnt)
+                out["total"].append(round(cur_sum, 2))
+                n_closed += 1
+                cur_cnt, cur_sum = 0, 0.0
         state.update((n_closed, cur_cnt, cur_sum))
         yield pd.DataFrame(out)
 

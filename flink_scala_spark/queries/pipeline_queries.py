@@ -2790,3 +2790,251 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_trigrams"),
         F.expr("sum(v) DIV count(*)").alias("lm_score_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X147: budget-capped corpus sampling — the SELECTION the token-budget
+# report (X132) feeds
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_budget_sampler",
+    f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               {duck_h60('CAST(doc_id AS VARCHAR)')} AS h
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    cap AS (
+        SELECT lang, source, sum(toks) // 2 AS cap_toks
+        FROM per_doc GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p.*, c.cap_toks,
+               sum(p.toks) OVER (PARTITION BY p.lang, p.source
+                                 ORDER BY p.h, p.doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_toks
+        FROM per_doc p JOIN cap c USING (lang, source)
+    )
+    SELECT doc_id, lang, source, toks,
+           CAST(cum_toks AS BIGINT) AS cum_toks
+    FROM ranked WHERE cum_toks - toks < cap_toks
+    """,
+    "sampling", "mixture", "budget",
+)
+def q_corpus_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-capped selection: within each (lang, source)
+    bucket, admit documents in content-hash order (h60(doc_id) — the
+    deterministic, retry/partitioning-proof shuffle X23 uses for
+    splits) until the bucket's token budget (half its total here) is
+    exhausted; the crossing document is admitted, everything after it
+    dropped. This is the op that turns X132's mixture REPORT into an
+    actionable dataset: downsampling over-represented buckets to a
+    target mixture without rand() and without a second pass. One
+    bucket-keyed window (cumulative tokens in hash order) over a
+    row-local token count; the per-bucket caps ride the same shuffle."""
+    from flink_scala_spark.functions import h60
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    per = docs.select(
+        "doc_id", "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        h60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    cap = per.groupBy("lang", "source").agg(
+        F.expr("sum(toks) DIV 2").alias("cap_toks")
+    )
+    w = (
+        W.partitionBy("lang", "source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = per.join(cap, ["lang", "source"]).withColumn(
+        "cum_toks", F.sum("toks").over(w)
+    )
+    return ranked.where(
+        F.col("cum_toks") - F.col("toks") < F.col("cap_toks")
+    ).select("doc_id", "lang", "source", "toks", "cum_toks")
+
+
+# ---------------------------------------------------------------------------
+# X148: source-reputation filtering (domain-level curation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_reputation_filter",
+    f"""
+    WITH q AS (SELECT doc_id, quality FROM ({QUERIES["text_quality"].oracle}) t),
+    d AS (SELECT doc_id, source FROM documents),
+    per_doc AS (
+        SELECT d.doc_id, d.source,
+               CAST(floor(q.quality * 1000000) AS BIGINT) AS q_ppm
+        FROM d JOIN q USING (doc_id)
+    ),
+    rep AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(q_ppm) // count(*) AS BIGINT) AS rep_ppm
+        FROM per_doc GROUP BY 1
+    ),
+    gstats AS (SELECT CAST(sum(q_ppm) // count(*) AS BIGINT) AS global_ppm
+               FROM per_doc)
+    SELECT p.doc_id, p.source, rep.rep_ppm,
+           CAST(rep.rep_ppm >= gstats.global_ppm AS INT) AS keep
+    FROM per_doc p JOIN rep USING (source) CROSS JOIN gstats
+    """,
+    "curation", "quality", "source",
+)
+def q_source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation — the CommonCrawl-style rule that filters
+    whole SOURCES, not documents: each source's reputation is the mean
+    per-doc quality (X21's score, floored to integer ppm per doc BEFORE
+    summing so the aggregate is BIGINT-exact and
+    partitioning-independent), and a document is kept iff its source's
+    reputation clears the corpus-wide mean. Catches the low-quality
+    tail that per-doc thresholds miss (a mediocre doc from a good
+    source survives; a good doc from a spam source does not — that is
+    the point of domain-level filtering). Two map-side-combinable aggs
+    plus a broadcast of |sources| reputation rows back onto the docs."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_score(docs).select(
+        "doc_id", F.floor(F.col("quality") * 1000000).cast("long").alias("q_ppm")
+    )
+    per = docs.select("doc_id", "source").join(q, "doc_id")
+    rep = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(q_ppm) DIV count(*)").alias("rep_ppm"),
+    )
+    glob = per.agg(F.expr("sum(q_ppm) DIV count(*)").alias("global_ppm"))
+    return (
+        per.join(F.broadcast(rep.select("source", "rep_ppm")), "source")
+        .join(F.broadcast(glob))
+        .select(
+            "doc_id", "source", "rep_ppm",
+            (F.col("rep_ppm") >= F.col("global_ppm")).cast("int").alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X149: margin-based bitext mining (parallel-corpus pair extraction)
+# ---------------------------------------------------------------------------
+
+_MINE_TOPK = 4
+_MINE_THRESHOLD = 1.10
+
+
+@register(
+    "bitext_mining_margin",
+    f"""
+    WITH n AS (SELECT vec_id, label, embedding, {_NSQ} AS nsq FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {duck_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+                   AS cosine
+        FROM n a JOIN n b ON a.label = 0 AND b.label = 1
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY vec_a
+                                  ORDER BY cosine DESC, vec_b) AS rnk_a,
+               row_number() OVER (PARTITION BY vec_b
+                                  ORDER BY cosine DESC, vec_a) AS rnk_b
+        FROM pairs
+    ),
+    avg_a AS (
+        SELECT vec_a,
+               list_reduce(list(cosine ORDER BY rnk_a), (x, y) -> x + y)
+                   / {_MINE_TOPK} AS avg_a
+        FROM ranked WHERE rnk_a <= {_MINE_TOPK} GROUP BY 1
+    ),
+    avg_b AS (
+        SELECT vec_b,
+               list_reduce(list(cosine ORDER BY rnk_b), (x, y) -> x + y)
+                   / {_MINE_TOPK} AS avg_b
+        FROM ranked WHERE rnk_b <= {_MINE_TOPK} GROUP BY 1
+    ),
+    scored AS (
+        SELECT p.vec_a, p.vec_b, p.cosine,
+               (CAST(2 AS DOUBLE) * p.cosine) / (a.avg_a + b.avg_b) AS margin
+        FROM pairs p JOIN avg_a a USING (vec_a) JOIN avg_b b USING (vec_b)
+    )
+    SELECT vec_a, vec_b, cosine, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_a
+                                     ORDER BY margin DESC, vec_b) AS r
+        FROM scored) t
+    WHERE r = 1 AND margin >= {_MINE_THRESHOLD}
+    """,
+    "mining", "bitext", "embedding", "similarity",
+)
+def q_bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus (bitext) mining, the margin criterion of
+    Artetxe & Schwenk: between two language sides (labels 0/1 stand in
+    for the language buckets), a candidate pair's raw cosine is
+    normalized by the mean of each endpoint's top-4 neighborhood —
+    margin(x,y) = 2·cos(x,y) / (meanTop4(x→B) + meanTop4(y→A)) — which
+    suppresses hub vectors that are close to EVERYTHING; each source
+    keeps its best target iff the margin clears 1.10. This is the
+    LAION/CCMatrix-style mining step that manufactures aligned
+    training pairs from unaligned corpora. Scale shape: the pair stage
+    is blocked per language pair (side B broadcast here; at 100 TB the
+    in-block candidate generation is the ANN family X20/X95/X96), the
+    neighborhood means are 4-element fixed-order folds riding the same
+    rank shuffle, and the final argmax is one source-keyed window. All
+    doubles are in-order folds, so both engines agree bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    A = similarity.flatten(emb.where(F.col("label") == 0), "a", "vec_a")
+    B = similarity.flatten(emb.where(F.col("label") == 1), "b", "vec_b")
+    dot = F.lit(0.0)
+    for i in range(1, similarity.DIM + 1):
+        dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
+    cos = dot / F.sqrt(F.col("ansq") * F.col("bnsq"))
+    pairs = A.crossJoin(F.broadcast(B)).select(
+        "vec_a", "vec_b", cos.alias("cosine")
+    )
+    wa = W.partitionBy("vec_a").orderBy(F.desc("cosine"), "vec_b")
+    wb = W.partitionBy("vec_b").orderBy(F.desc("cosine"), "vec_a")
+    ranked = pairs.withColumn("rnk_a", F.row_number().over(wa)).withColumn(
+        "rnk_b", F.row_number().over(wb)
+    )
+
+    def _mean_top(side: str) -> DataFrame:
+        rnk = f"rnk_{side[-1]}"
+        key = f"vec_{side[-1]}"
+        fold = F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(rnk, "cosine"))),
+                lambda s: s["cosine"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / _MINE_TOPK
+        return (
+            ranked.where(F.col(rnk) <= _MINE_TOPK)
+            .groupBy(key)
+            .agg(fold.alias(f"avg_{side[-1]}"))
+        )
+
+    scored = (
+        pairs.join(F.broadcast(_mean_top("avg_a")), "vec_a")
+        .join(F.broadcast(_mean_top("avg_b")), "vec_b")
+        .select(
+            "vec_a", "vec_b", "cosine",
+            (
+                (F.lit(2.0) * F.col("cosine"))
+                / (F.col("avg_a") + F.col("avg_b"))
+            ).alias("margin"),
+        )
+    )
+    wm = W.partitionBy("vec_a").orderBy(F.desc("margin"), "vec_b")
+    return (
+        scored.withColumn("r", F.row_number().over(wm))
+        .where((F.col("r") == 1) & (F.col("margin") >= _MINE_THRESHOLD))
+        .select("vec_a", "vec_b", "cosine", "margin")
+    )

@@ -691,3 +691,112 @@ def test_certified_quantiles_exact_and_certified(spark, vals):
     for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
         assert row[col] == ordered[math.ceil(q * n) - 1], (q, vals)
     assert row["within_gk_bound"] is True
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(*([st.integers(0, 6)] * 8)), min_size=0, max_size=30
+    ),
+    st.lists(
+        st.tuples(*([st.integers(0, 6)] * 8)), min_size=1, max_size=20
+    ),
+)
+def test_vectorized_near_dup_matches_brute_force(seen_sigs, batch_sigs):
+    """The numpy broadcast >=6-of-8 agreement must emit EXACTLY the
+    pairs the sequential compare-against-earlier fold emits — state
+    pairs and strict within-batch (smaller doc_id = earlier) pairs —
+    on arbitrary signatures (small alphabet forces plenty of
+    agreements)."""
+    import numpy as np
+
+    from flink_scala_spark.streaming.stateful import _near_dup_matches
+
+    seen = np.asarray(
+        [(i,) + s for i, s in enumerate(seen_sigs)], dtype=np.int64
+    ).reshape(len(seen_sigs), 9)
+    base = len(seen_sigs)
+    batch = np.asarray(
+        [(base + i,) + s for i, s in enumerate(batch_sigs)], dtype=np.int64
+    ).reshape(len(batch_sigs), 9)
+
+    expect = []
+    state = [tuple(r) for r in seen]
+    for row in batch:
+        row = tuple(int(v) for v in row)
+        for prev in state:
+            if sum(1 for a, b in zip(prev[1:], row[1:]) if a == b) >= 6:
+                expect.append((row[0], prev[0]))
+        state.append(row)
+
+    got_doc, got_src = _near_dup_matches(seen, batch)
+    assert sorted(zip(got_doc, got_src)) == sorted(expect)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(15, 20),
+)
+def test_union_find_oracle_matches_reachability(edges, n_nodes):
+    """tools/check_oracle's linear union-find verification path must
+    label components identically to naive transitive closure
+    (lexicographic-min canonical, correct sizes) on arbitrary graphs —
+    the exact contract it stands in for when the recursive-CTE oracle
+    is too slow."""
+    nodes = [f"n{i:02d}" for i in range(n_nodes)]
+    named = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges if a != b]
+
+    # naive closure reference
+    adj = {n: set() for n in nodes}
+    for a, b in named:
+        adj[a].add(b)
+        adj[b].add(a)
+    seen_global = set()
+    expect = {}
+    for n in sorted(nodes):
+        if n in seen_global:
+            continue
+        comp, stack = set(), [n]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        canon = min(comp)
+        for m in comp:
+            expect[m] = (canon, len(comp))
+        seen_global |= comp
+
+    # drive the union-find path through a DuckDB connection whose
+    # ENTITY_VERIFY_SQL is stubbed by a literal VALUES relation
+    import duckdb as _duck
+
+    import tools.check_oracle as co
+
+    rows = [("node", n, None) for n in nodes] + [
+        ("edge", a, b) for a, b in named
+    ]
+    con = _duck.connect()
+    con.execute(
+        "CREATE TABLE verify(kind VARCHAR, a VARCHAR, b VARCHAR)"
+    )
+    con.executemany("INSERT INTO verify VALUES (?, ?, ?)", rows)
+    import flink_scala_spark.queries.pipeline_queries as pq
+
+    orig = pq.ENTITY_VERIFY_SQL
+    pq.ENTITY_VERIFY_SQL = "SELECT kind, a, b FROM verify"
+    try:
+        cols, got_rows = co._union_find_entity_rows(con)
+    finally:
+        pq.ENTITY_VERIFY_SQL = orig
+    got = {r[0]: (r[1], r[2]) for r in got_rows}
+    assert cols == ["name", "canonical", "cluster_size", "is_canonical"]
+    assert got == expect
+    for name, canonical, size, is_canon in got_rows:
+        assert is_canon == (1 if name == canonical else 0)

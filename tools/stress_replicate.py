@@ -69,6 +69,16 @@ def build_stress_dir(spark, src_sf_dir: str) -> str:
     for r in reps[1:]:
         u = u.unionByName(r)
     _write_single_file(u, out, "events")
+
+    emb = tables.load(spark, src_sf_dir, "embeddings")
+    reps = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * DOC_SHIFT))
+        for r in range(REPLICAS)
+    ]
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    _write_single_file(u, out, "embeddings")
     return out
 
 

@@ -368,3 +368,92 @@ def test_tws_gate_query_is_repeatable_in_one_session(spark, sf_dir):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
         != "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     )
+
+
+_FIRE_PURGE_RESTART_SCRIPT = r"""
+import json, sys, tempfile
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+sys.path.insert(0, sys.argv[1])
+from flink_scala_spark.streaming.tws import ROCKSDB_PROVIDER, fire_purge_tws
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+schema = StructType([StructField("user_id", LongType()),
+                     StructField("event_id", LongType()),
+                     StructField("ts_s", LongType()),
+                     StructField("value", DoubleType())])
+src_dir = tempfile.mkdtemp()
+ckpt = tempfile.mkdtemp()
+
+collected = []
+
+def run():
+    collected.clear()
+    src = (spark.readStream.schema(schema).json(src_dir)
+           .withColumn("ts", F.timestamp_seconds("ts_s")))
+    out = fire_purge_tws(src, window_seconds=100, fire_count=3,
+                         evict_below=0.5)
+
+    def sink(batch_df, batch_id):
+        collected.extend(tuple(r) for r in batch_df.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    return sorted(collected)
+
+rows1 = [{"user_id": 1, "event_id": i, "ts_s": 10 * (i + 1), "value": 1.0}
+         for i in range(4)]  # ts 10,20,30,40 — window [0,100)
+pd.DataFrame(rows1).to_json(f"{src_dir}/b0.json", orient="records", lines=True)
+r1 = run()
+
+rows2 = [{"user_id": 1, "event_id": 10, "ts_s": 50, "value": 1.0},
+         {"user_id": 1, "event_id": 11, "ts_s": 60, "value": 1.0},
+         {"user_id": 2, "event_id": 12, "ts_s": 250, "value": 1.0}]
+pd.DataFrame(rows2).to_json(f"{src_dir}/b1.json", orient="records", lines=True)
+r2 = run()
+print("RESULT:" + json.dumps([r1, r2]))
+"""
+
+
+@pytest.mark.skipif(
+    protobuf_pythonpath() is None,
+    reason="no protobuf runtime available for the TWS worker",
+)
+def test_fire_purge_state_survives_checkpoint_restart():
+    """F1-F6 on the FIRE_AND_PURGE processor: run 1 fires one complete
+    count-group (3 of 4 rows) and leaves ONE row buffered in MapState.
+    A second query on the same checkpoint gets only 2 new same-window
+    rows — it can only fire again if the buffered row was RESUMED
+    (1+2=3), must not re-emit run 1's fire (input skipped), and the
+    window-end timer that the new data's watermark releases finds the
+    purged-empty buffer and emits nothing."""
+    env = dict(os.environ)
+    env.update(tws_env(protobuf_pythonpath()))
+    proc = subprocess.run(
+        [sys.executable, "-c", _FIRE_PURGE_RESTART_SCRIPT, REPO],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    r1, r2 = json.loads(line[0][len("RESULT:"):])
+    assert [tuple(r) for r in r1] == [(1, 0, 0, 3, 300, "count")]
+    assert [tuple(r) for r in r2] == [(1, 0, 1, 3, 300, "count")]

@@ -112,9 +112,25 @@ def main() -> int:
     only.discard("--sql-oracle")
 
     import __spark_entry__ as se
-    from flink_scala_spark.session import get_spark
 
-    spark = get_spark("check_oracle")
+    if os.environ.get("CHECK_VANILLA"):
+        # driver-gate dress rehearsal: a plain session with none of our
+        # tuned configs, like the harness passes (queries() wraps each
+        # fn in tune_existing, which is the only tuning they may rely on)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                os.environ.get("CHECK_MASTER", "local[8]")
+            )
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from flink_scala_spark.session import get_spark
+
+        spark = get_spark("check_oracle")
     con = duck_con(sf_dir)
     qmap, omap = se.queries(), se.oracle_sql()
 

@@ -476,6 +476,32 @@ def centroid_rows(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    cent_flat: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (highest cosine,
+    lowest centroid id on ties) against an already-flattened centroid
+    table — the row-independent index-build/maintenance kernel: cost is
+    |input| x |centroids| row-local arithmetic plus one map-side-
+    combined max_by shuffle, so assigning a DELTA costs |delta|, never
+    a corpus rescan. Returns (vec_id, centroid_id)."""
+    base = _spread(flatten(emb, "c", "nid", id_col, vec_col))
+    return (
+        base.crossJoin(F.broadcast(cent_flat))
+        .select("nid", "centroid_id", _flat_cosine("c", "t").alias("sim"))
+        .groupBy("nid")
+        .agg(
+            F.expr(
+                "max_by(centroid_id, struct(sim, -centroid_id))"
+            ).alias("centroid_id")
+        )
+        .select(F.col("nid").alias(id_col), "centroid_id")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_pred,

@@ -3038,3 +3038,70 @@ def q_bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("r") == 1) & (F.col("margin") >= _MINE_THRESHOLD))
         .select("vec_a", "vec_b", "cosine", "margin")
     )
+
+
+# ---------------------------------------------------------------------------
+# X150: incremental ANN index maintenance (cost ∝ delta)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_ivf_index_incremental",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cemb, nsq AS cnsq
+             FROM n WHERE vec_id IN (
+                 SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 LIMIT {similarity.NUM_CENTROIDS})),
+    asg AS (SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {duck_dot('v.embedding', 'c.cemb')}
+                                / sqrt(v.nsq * c.cnsq) DESC,
+                            c.centroid_id) AS r
+        FROM n v CROSS JOIN cent c) t WHERE r = 1)
+    SELECT centroid_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+           CAST(min(vec_id) AS BIGINT) AS min_id,
+           CAST(max(vec_id) AS BIGINT) AS max_id
+    FROM asg GROUP BY 1
+    """,
+    "similarity", "ann", "ivf", "incremental", "maintenance",
+)
+def q_ann_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index MAINTENANCE at delta cost — the lifecycle step after
+    build (X95) and serve (X146): the IVF assignment table for the
+    original corpus (vec_id % 10 != 0) is built ONCE and persisted;
+    when a delta of new vectors (vec_id % 10 == 0) arrives, ONLY the
+    delta is assigned against the same fixed centroid set and unioned
+    with the stored index — per-row assignment is independent given
+    fixed centroids, so incremental-union must equal a full recompute,
+    which is exactly what the oracle computes from scratch. Cost of
+    the maintenance step is |delta| x 64 row-local cosines + one
+    |delta| shuffle; the corpus is never rescanned (the stored index
+    is read back from parquet, the same pattern X67 uses for dedup
+    profiles). Per-centroid count/id digests make any divergence
+    visible."""
+    from flink_scala_spark.operators import maintenance
+
+    emb = _emb(spark, sf_dir)
+    old = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    cent = similarity.flatten(
+        similarity.centroid_rows(old, similarity.NUM_CENTROIDS),
+        "t", "centroid_id",
+    )
+    store = os.path.join(
+        maintenance.scratch_dir("ivf_index", sf_dir), "assignments"
+    )
+    if not os.path.isdir(store):
+        similarity.ivf_assign(old, cent).write.mode("overwrite").parquet(store)
+    stored = spark.read.parquet(store)
+    inc = stored.unionByName(similarity.ivf_assign(delta, cent))
+    return inc.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("vec_id").alias("sum_ids"),
+        F.min("vec_id").alias("min_id"),
+        F.max("vec_id").alias("max_id"),
+    )

@@ -1484,7 +1484,10 @@ def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys) and the batch `dedup_minhash_lsh` (whole-corpus pairs); the
     oracle runs the identical signature/band arithmetic with
     'earlier' = smaller doc_id, which the id-bucket replay contract
-    guarantees."""
+    guarantees. Retention is UNBOUNDED by design (dedup against
+    everything ever seen); the production form for unbounded ingest is
+    `streaming_dedup_minhash_ttl`, which expires bucket state at the
+    watermark horizon."""
     from flink_scala_spark.streaming.runner import run_bounded
     from flink_scala_spark.streaming.stateful import near_dup_flags
 

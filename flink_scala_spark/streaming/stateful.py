@@ -386,9 +386,11 @@ def near_dup_flags(docs_stream: DataFrame) -> DataFrame:
     Emits (doc_id, src) for every earlier same-bucket doc agreeing on
     >= 6 of 8 minhashes; by pigeonhole such a pair always shares at
     least one full band, so bucket-local checking is LOSSLESS for
-    this threshold. State per bucket is the bucket's signature list —
-    the LSH keys spread it uniformly; production would expire it with
-    a watermark/TTL."""
+    this threshold. State per bucket is the bucket's signature list
+    and grows with history — this variant is the UNBOUNDED-retention
+    semantics ("dedup against everything ever seen"); for unbounded
+    production ingest use :func:`near_dup_flags_ttl`, whose per-bucket
+    state expires at the watermark horizon."""
     from flink_scala_spark.pipeline.dedup import (
         NUM_BANDS,
         ROWS_PER_BAND,

@@ -110,6 +110,8 @@ def main() -> int:
     only = set(sys.argv[2:])
     use_sql_oracle = "--sql-oracle" in only
     only.discard("--sql-oracle")
+    head50 = "--head50" in only  # rehearse exactly the driver's 50-entry gate
+    only.discard("--head50")
 
     import __spark_entry__ as se
 
@@ -133,6 +135,8 @@ def main() -> int:
         spark = get_spark("check_oracle")
     con = duck_con(sf_dir)
     qmap, omap = se.queries(), se.oracle_sql()
+    if head50:
+        only |= set(list(qmap)[:50])
 
     n_pass = n_fail = n_weak = 0
     for name, fn in qmap.items():

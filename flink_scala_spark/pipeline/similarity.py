@@ -428,24 +428,28 @@ def near_dup_pairs_blocked(
     )
 
 
-def with_bucket(flat: DataFrame, prefix: str) -> DataFrame:
-    """Attach the 8-bit sign-random-projection bucket id to a flattened
-    frame. Each plane's projection is its own column (codegen splits
+def with_bucket(
+    flat: DataFrame, prefix: str, n_planes: int = NUM_PLANES
+) -> DataFrame:
+    """Attach the ``n_planes``-bit sign-random-projection bucket id to
+    a flattened frame (first ``n_planes`` of the shared hyperplanes —
+    fewer planes = coarser buckets = higher recall, bigger candidate
+    sets). Each plane's projection is its own column (codegen splits
     generated code per column; one fused 8x64-term expression exceeds
     the 64 KB method limit)."""
     out = flat
-    for p in range(NUM_PLANES):
+    for p in range(n_planes):
         proj: Column = F.lit(0.0)
         for i in range(1, DIM + 1):
             proj = proj + F.col(f"{prefix}{i}") * F.lit(HYPERPLANES[p][i - 1])
         out = out.withColumn(f"_pj{p}", proj)
     bucket: Column = F.lit(0)
-    for p in range(NUM_PLANES):
+    for p in range(n_planes):
         bucket = bucket + F.when(F.col(f"_pj{p}") > 0, F.lit(1 << p)).otherwise(
             F.lit(0)
         )
     return out.withColumn("bucket", bucket.cast("int")).drop(
-        *[f"_pj{p}" for p in range(NUM_PLANES)]
+        *[f"_pj{p}" for p in range(n_planes)]
     )
 
 

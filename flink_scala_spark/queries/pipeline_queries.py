@@ -3105,3 +3105,131 @@ def q_ann_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("min_id"),
         F.max("vec_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X151: LSH-blocked bitext mining — X149's scale path implemented
+# ---------------------------------------------------------------------------
+
+_MINE_PLANES = 4  # coarser buckets than ANN: recall > pruning for mining
+
+_BUCKET4_EXPR = " + ".join(
+    f"CASE WHEN {_plane_dot(p)} > 0 THEN {1 << p} ELSE 0 END"
+    for p in range(_MINE_PLANES)
+)
+
+
+@register(
+    "bitext_mining_lsh",
+    f"""
+    WITH n AS (SELECT vec_id, label, embedding, {_NSQ} AS nsq,
+                      CAST({_BUCKET4_EXPR} AS INT) AS bucket
+               FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {duck_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+                   AS cosine
+        FROM n a JOIN n b
+          ON a.bucket = b.bucket AND a.label = 0 AND b.label = 1
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY vec_a
+                                  ORDER BY cosine DESC, vec_b) AS rnk_a,
+               row_number() OVER (PARTITION BY vec_b
+                                  ORDER BY cosine DESC, vec_a) AS rnk_b
+        FROM pairs
+    ),
+    avg_a AS (
+        SELECT vec_a,
+               list_reduce(list(cosine ORDER BY rnk_a), (x, y) -> x + y)
+                   / {_MINE_TOPK} AS avg_a
+        FROM ranked WHERE rnk_a <= {_MINE_TOPK} GROUP BY 1
+    ),
+    avg_b AS (
+        SELECT vec_b,
+               list_reduce(list(cosine ORDER BY rnk_b), (x, y) -> x + y)
+                   / {_MINE_TOPK} AS avg_b
+        FROM ranked WHERE rnk_b <= {_MINE_TOPK} GROUP BY 1
+    ),
+    scored AS (
+        SELECT p.vec_a, p.vec_b, p.cosine,
+               (CAST(2 AS DOUBLE) * p.cosine) / (a.avg_a + b.avg_b) AS margin
+        FROM pairs p JOIN avg_a a USING (vec_a) JOIN avg_b b USING (vec_b)
+    )
+    SELECT vec_a, vec_b, cosine, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_a
+                                     ORDER BY margin DESC, vec_b) AS r
+        FROM scored) t
+    WHERE r = 1 AND margin >= {_MINE_THRESHOLD}
+    """,
+    "mining", "bitext", "embedding", "lsh", "similarity",
+)
+def q_bitext_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149's margin mining with the SCALE-PATH candidate generator
+    actually wired in: instead of scoring every cross-language pair,
+    candidates come from a 4-plane sign-LSH bucket equi-join (~14% of
+    the pair space at these sizes; coarser than the 8-plane ANN
+    bucketing because mining wants recall), and the top-4 neighborhood
+    means — hence the margins — are computed over the bucketed
+    candidate set. At 100 TB this is the only form that runs: the pair
+    stage is an equi-join shuffle keyed by (bucket), never a cross
+    join; everything downstream is identical to the exact variant.
+    Both the bucketing and the margin arithmetic replay exactly in
+    SQL."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    A = similarity.with_bucket(
+        similarity.flatten(emb.where(F.col("label") == 0), "a", "vec_a"),
+        "a", n_planes=_MINE_PLANES,
+    )
+    B = similarity.with_bucket(
+        similarity.flatten(emb.where(F.col("label") == 1), "b", "vec_b"),
+        "b", n_planes=_MINE_PLANES,
+    )
+    dot = F.lit(0.0)
+    for i in range(1, similarity.DIM + 1):
+        dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
+    cos = dot / F.sqrt(F.col("ansq") * F.col("bnsq"))
+    pairs = A.join(B, "bucket").select("vec_a", "vec_b", cos.alias("cosine"))
+    wa = W.partitionBy("vec_a").orderBy(F.desc("cosine"), "vec_b")
+    wb = W.partitionBy("vec_b").orderBy(F.desc("cosine"), "vec_a")
+    ranked = pairs.withColumn("rnk_a", F.row_number().over(wa)).withColumn(
+        "rnk_b", F.row_number().over(wb)
+    )
+
+    def _mean_top(side: str) -> DataFrame:
+        rnk = f"rnk_{side}"
+        key = f"vec_{side}"
+        fold = F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(rnk, "cosine"))),
+                lambda s: s["cosine"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / _MINE_TOPK
+        return (
+            ranked.where(F.col(rnk) <= _MINE_TOPK)
+            .groupBy(key)
+            .agg(fold.alias(f"avg_{side}"))
+        )
+
+    scored = (
+        pairs.join(F.broadcast(_mean_top("a")), "vec_a")
+        .join(F.broadcast(_mean_top("b")), "vec_b")
+        .select(
+            "vec_a", "vec_b", "cosine",
+            (
+                (F.lit(2.0) * F.col("cosine"))
+                / (F.col("avg_a") + F.col("avg_b"))
+            ).alias("margin"),
+        )
+    )
+    wm = W.partitionBy("vec_a").orderBy(F.desc("margin"), "vec_b")
+    return (
+        scored.withColumn("r", F.row_number().over(wm))
+        .where((F.col("r") == 1) & (F.col("margin") >= _MINE_THRESHOLD))
+        .select("vec_a", "vec_b", "cosine", "margin")
+    )

@@ -98,7 +98,7 @@ q = (
     alarms.writeStream.format("memory").queryName("tws_alarms")
     .outputMode("append").trigger(availableNow=True).start()
 )
-q.awaitTermination(180)
+assert q.awaitTermination(540), "streaming query did not finish in 540s"
 out = sorted(tuple(r) for r in spark.table("tws_alarms").collect())
 print("RESULT:" + json.dumps(out))
 """
@@ -115,7 +115,7 @@ def test_rising_alarm_first_class_timers():
         [sys.executable, "-c", _SCRIPT, REPO],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
         env=env,
         cwd=REPO,
     )
@@ -215,7 +215,7 @@ out = src.groupBy("user_id").transformWithStateInPandas(
     timeMode="None")
 q = (out.writeStream.format("memory").queryName("tws_state")
      .outputMode("append").trigger(availableNow=True).start())
-q.awaitTermination(180)
+assert q.awaitTermination(540), "streaming query did not finish in 540s"
 res = sorted(tuple(r) for r in spark.table("tws_state").collect())
 print("RESULT:" + json.dumps(res))
 """
@@ -235,7 +235,7 @@ def test_list_and_map_state_kinds():
         [sys.executable, "-c", _STATE_KINDS_SCRIPT, REPO],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
         env=env,
         cwd=REPO,
     )
@@ -305,7 +305,7 @@ def run(qname):
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("update").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(540), "streaming query did not finish in 540s"
     return sorted(collected)
 
 pd.DataFrame([{"user_id": 1, "v": 1.0}, {"user_id": 1, "v": 2.0},
@@ -335,7 +335,7 @@ def test_tws_state_survives_checkpoint_restart():
         [sys.executable, "-c", _RESTART_SCRIPT, REPO],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
         env=env,
         cwd=REPO,
     )
@@ -412,7 +412,7 @@ def run():
     q = (out.writeStream.foreachBatch(sink)
          .outputMode("append").option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    assert q.awaitTermination(540), "streaming query did not finish in 540s"
     return sorted(collected)
 
 rows1 = [{"user_id": 1, "event_id": i, "ts_s": 10 * (i + 1), "value": 1.0}
@@ -447,7 +447,7 @@ def test_fire_purge_state_survives_checkpoint_restart():
         [sys.executable, "-c", _FIRE_PURGE_RESTART_SCRIPT, REPO],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=900,
         env=env,
         cwd=REPO,
     )

@@ -30,17 +30,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-5 rotation: (a) the 20 entries with NO driver row yet — the 5
+# Round-5 rotation: (a) the 21 entries with NO driver row yet — the 5
 # round-4 late additions (added after round 4's head was frozen, so
-# never gate-checked despite being pytest-green since) and the 15
+# never gate-checked despite being pytest-green since) and the 16
 # round-5 additions (TTL near-dup, FIRE_AND_PURGE trigger twin,
 # maintenance roundtrips, hybrid RRF retrieval, PQ rerank, live
 # token-budget monitor, keep-best dedup, n-gram LM score,
 # streaming PQ serving, budget sampler, source-reputation filter,
-# bitext mining exact+LSH, incremental IVF index); after
+# bitext mining exact+LSH, incremental IVF index, length
+# outliers); after
 # round 5 every catalog entry has earned a driver row in some
 # CORRECTNESS_r0N.json. (b) the 26 entries whose only green row is
-# round 1 — four rounds stale — re-earn current evidence; (c) the
+# round 1 — four rounds stale — re-earn current evidence (one,
+# big_order_customers, yields its refresh slot to a new entry); (c) the
 # remaining 4 slots refresh the stalest round-<=2 rows, one per
 # operator family. Everything rotated out stays oracle-checked at
 # sf0.001 on every pytest run (tests/test_catalog_oracle.py), and the
@@ -69,12 +71,12 @@ _PRIORITY = [
     "bitext_mining_margin",
     "ann_ivf_index_incremental",
     "bitext_mining_lsh",
+    "length_outliers",
     # (b) green in round 1 only — refresh
     "order_dashboard_rollup",
     "lineitem_pricing_summary",
     "revenue_by_region_parttype",
     "orders_without_recent_shipments",
-    "big_order_customers",
     "top_events_per_user",
     "word_count",
     "sensor_parse",

@@ -3233,3 +3233,64 @@ def q_bitext_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("r") == 1) & (F.col("margin") >= _MINE_THRESHOLD))
         .select("vec_a", "vec_b", "cosine", "margin")
     )
+
+
+# ---------------------------------------------------------------------------
+# X152: per-bucket length-outlier flags (3-sigma, integer-exact)
+# ---------------------------------------------------------------------------
+
+_OUT_K = 3  # sigma threshold
+
+
+@register(
+    "length_outliers",
+    f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    stats AS (
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(toks) AS BIGINT) AS s,
+               CAST(sum(toks * toks) AS BIGINT) AS q
+        FROM per_doc GROUP BY 1, 2
+    )
+    SELECT p.doc_id, p.lang, p.source, p.toks,
+           CAST(CASE WHEN st.n * (st.n * p.toks - st.s)
+                          * (st.n * p.toks - st.s)
+                     > {_OUT_K * _OUT_K} * st.n * (st.n * st.q - st.s * st.s)
+                THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM per_doc p JOIN stats st USING (lang, source)
+    """,
+    "curation", "quality", "outlier",
+)
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) 3-sigma token-length outlier flags — the
+    classic distribution-based cleanup (truncated docs, concatenation
+    accidents, boilerplate dumps) — with the z-score test algebraically
+    cleared of every division and square root:
+        |x - mu| > k*sigma  <=>  n*(n*x - S)^2 > k^2 * n*(n*Q - S^2)
+    so both engines compare exact BIGINTs (no float mean/stddev, whose
+    partition-order drift is precisely what breaks cross-engine
+    equality). One map-side-combinable stats agg + a broadcast of
+    |lang x source| stat rows back onto the docs; the corpus is
+    scanned once."""
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    per = docs.select(
+        "doc_id", "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+    )
+    stats = per.groupBy("lang", "source").agg(
+        F.count("*").alias("n"),
+        F.sum("toks").alias("s"),
+        F.sum(F.col("toks") * F.col("toks")).alias("q"),
+    )
+    j = per.join(F.broadcast(stats), ["lang", "source"])
+    dev = F.col("n") * F.col("toks") - F.col("s")
+    var_n3 = F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    flag = (F.col("n") * dev * dev > F.lit(_OUT_K * _OUT_K) * var_n3).cast("int")
+    return j.select("doc_id", "lang", "source", "toks", flag.alias("is_outlier"))

@@ -74,12 +74,23 @@ B2 = [
 B3 = [(1000, 3, 1.0)]  # flush: watermark -> 999
 
 d = tempfile.mkdtemp()
+import os as _os
+import time as _time
+
+_now = _time.time()
 for i, batch in enumerate((B1, B2, B3)):
     rows = [
         {"event_id": j, "ts": ts, "user_id": u, "value": v}
         for j, (ts, u, v) in enumerate(batch)
     ]
     pd.DataFrame(rows).to_json(f"{d}/b{i}.json", orient="records", lines=True)
+    # FileStreamSource orders files by modification time; writes within
+    # the same clock tick TIE, and a tie replays b2 before b1 — whose
+    # rows then sit below the watermark and are DROPPED (reproduced
+    # under co-load: timers fired with batch-1 state). Force strictly
+    # increasing mtimes, exactly like streaming/sources.py's replay
+    # layout does.
+    _os.utime(f"{d}/b{i}.json", (_now + i, _now + i))
 
 schema = StructType([
     StructField("event_id", LongType()),

@@ -81,6 +81,9 @@ HEADLINE = [
     "approx_quantiles_certified",
     "compaction_roundtrip",
     "zorder_roundtrip",
+    "corpus_budget_sampler",
+    "source_reputation_filter",
+    "length_outliers",
 ]
 
 

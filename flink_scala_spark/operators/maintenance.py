@@ -15,6 +15,8 @@ import math
 import os
 import shutil
 import tempfile
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,13 +35,52 @@ def _scratch_cleanup() -> None:
 atexit.register(_scratch_cleanup)
 
 
+_SCRATCH_LOCK = threading.Lock()
+
+
 def scratch_dir(*key) -> str:
     """Process-cached scratch directory for the given key."""
-    d = _SCRATCH.get(key)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="maint_")
-        _SCRATCH[key] = d
-    return d
+    with _SCRATCH_LOCK:
+        d = _SCRATCH.get(key)
+        if d is None or not os.path.isdir(d):
+            d = tempfile.mkdtemp(prefix="maint_")
+            _SCRATCH[key] = d
+        return d
+
+
+def stage_once(path: str, write_fn) -> str:
+    """Stage a deterministic dataset at ``path`` exactly once,
+    atomically: ``write_fn(tmp)`` writes to a sibling temp directory
+    which is then renamed into place. ``path`` is therefore only ever
+    observed absent or complete — a concurrent invocation of the same
+    query (the tests/test_concurrency.py pattern) either wins the
+    rename or discards its own temp copy, and a crashed partial write
+    leaves only an orphaned ``.tmp-*`` sibling, never a half-staged
+    ``path`` that later callers would trust. Requires ``write_fn`` to
+    be deterministic in content (both racers write the same rows), as
+    every caller here is."""
+    if os.path.isdir(path):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    write_fn(tmp)
+    with _SCRATCH_LOCK:
+        if os.path.isdir(path):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # A cross-process racer renamed first; ours is a
+                # byte-equivalent duplicate — drop it.
+                shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def fresh_subdir(base: str, prefix: str) -> str:
+    """A per-invocation output directory under a cached scratch base,
+    so concurrent invocations never overwrite-race on one destination;
+    everything under ``base`` is removed by the atexit cleanup."""
+    return tempfile.mkdtemp(prefix=prefix + "_", dir=base)
 
 
 def plan_compaction(src_dir: str, target_mb: int = 128) -> int:

@@ -136,30 +136,40 @@ def export_versioned(
     spark: SparkSession, df: DataFrame, out_dir: str, files_per_split: int = 4
 ) -> dict:
     """Append ``df`` (carrying a ``split`` column) as a NEW SNAPSHOT of
-    the export: data files land in the shared ``data/`` pool with
-    Spark's unique part names (append mode — earlier snapshots' files
-    are untouched), and ``MANIFEST-v{N}.json`` — written LAST — lists
-    exactly this snapshot's files plus per-split row counts and
-    digests. Readers pin a manifest and read only its file list, so a
-    snapshot stays byte-stable no matter how many newer snapshots (or
-    vacuums of OLDER ones) happen after it — the same
-    manifest-as-source-of-truth contract Iceberg/Delta snapshots give
-    a 100 TB lakehouse, built from primitives.
+    the export: data files land under a snapshot-private subdirectory
+    of ``data/`` (``data/snap-<uuid>/split=.../part-*`` — earlier
+    snapshots' directories are untouched), and ``MANIFEST-v{N}.json``
+    — written LAST, claimed with O_EXCL so two concurrent exporters
+    can never publish the same version — lists exactly this snapshot's
+    files plus row counts and digests. The file list is derived from
+    the snapshot's OWN directory (never a diff of the shared pool), so
+    a concurrent exporter's files or stray leftovers from a crashed
+    write can never be claimed by this manifest; a crash before the
+    manifest write strands an unreferenced ``snap-*`` directory that
+    the next vacuum collects. Readers pin a manifest and read only its
+    file list, so a snapshot stays byte-stable no matter how many
+    newer snapshots (or vacuums of OLDER ones) happen after it — the
+    same manifest-as-source-of-truth contract Iceberg/Delta snapshots
+    give a 100 TB lakehouse, built from primitives.
     """
     data_dir = os.path.join(out_dir, "data")
-    before = _list_data_files(data_dir) if os.path.isdir(data_dir) else set()
+    os.makedirs(data_dir, exist_ok=True)
+    import uuid
+
+    snap_rel = f"snap-{uuid.uuid4().hex}"
+    snap_dir = os.path.join(data_dir, snap_rel)
     (
         df.repartition(files_per_split, "split", "doc_id")
-        .write.mode("append")
+        .write.mode("error")
         .partitionBy("split")
-        .parquet(data_dir)
+        .parquet(snap_dir)
     )
-    new_files = sorted(_list_data_files(data_dir) - before)
-    versions = existing_versions(out_dir)
-    version = (max(versions) + 1) if versions else 1
+    new_files = sorted(
+        os.path.join(snap_rel, f) for f in _list_data_files(snap_dir)
+    )
     # digest the snapshot from the files just written (read-back);
     # basePath keeps the split=... partition column on direct-file reads
-    written = spark.read.option("basePath", data_dir).parquet(
+    written = spark.read.option("basePath", snap_dir).parquet(
         *[os.path.join(data_dir, f) for f in new_files]
     )
     from flink_scala_spark.functions.portable import h60
@@ -179,15 +189,27 @@ def export_versioned(
         .agg(F.count("*").alias("rows"), F.expr("bit_xor(h)").alias("digest"))
         .collect()[0]
     )
-    manifest = {
-        "version": version,
-        "files": new_files,
-        "rows": stats["rows"],
-        "digest": str(stats["digest"]),
-    }
-    with open(os.path.join(out_dir, f"MANIFEST-v{version}.json"), "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    return manifest
+    # publish: claim the next free version number with O_EXCL (the
+    # manifest file IS the commit record, so exclusive creation makes
+    # version assignment race-free across processes)
+    version = (max(existing_versions(out_dir)) + 1) if existing_versions(out_dir) else 1
+    while True:
+        manifest = {
+            "version": version,
+            "base": snap_rel,
+            "files": new_files,
+            "rows": stats["rows"],
+            "digest": str(stats["digest"]),
+        }
+        path = os.path.join(out_dir, f"MANIFEST-v{version}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            version += 1
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        return manifest
 
 
 def existing_versions(out_dir: str) -> list[int]:
@@ -205,7 +227,9 @@ def read_snapshot(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
     with open(os.path.join(out_dir, f"MANIFEST-v{version}.json")) as f:
         manifest = json.load(f)
     data_dir = os.path.join(out_dir, "data")
-    return spark.read.option("basePath", data_dir).parquet(
+    # basePath at the snapshot root so split=... stays a partition column
+    base = os.path.join(data_dir, manifest["base"]) if "base" in manifest else data_dir
+    return spark.read.option("basePath", base).parquet(
         *[os.path.join(data_dir, p) for p in manifest["files"]]
     )
 

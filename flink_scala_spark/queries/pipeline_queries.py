@@ -2424,10 +2424,12 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = maintenance.scratch_dir("compaction_roundtrip", sf_dir)
     src = os.path.join(base, "src")
-    dst = os.path.join(base, "dst")
+    dst = maintenance.fresh_subdir(base, "dst")
     docs = tables.load(spark, sf_dir, "documents")
-    if not os.path.isdir(src):
-        docs.repartition(32).write.mode("overwrite").parquet(src)
+    maintenance.stage_once(
+        src,
+        lambda tmp: docs.repartition(32).write.mode("overwrite").parquet(tmp),
+    )
     out = maintenance.compact_parquet(
         spark, src, dst, target_mb=128, sort_cols=["doc_id"]
     )
@@ -2502,7 +2504,7 @@ def q_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_scala_spark.operators import maintenance
 
     base = maintenance.scratch_dir("zorder_roundtrip", sf_dir)
-    dst = os.path.join(base, "zorder")
+    dst = maintenance.fresh_subdir(base, "zorder")
     ev = tables.load(spark, sf_dir, "events").select("user_id", "value")
     laid = maintenance.zorder_layout(ev, "user_id", "value", 8)
     laid.write.mode("overwrite").parquet(dst)
@@ -3095,8 +3097,12 @@ def q_ann_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(
         maintenance.scratch_dir("ivf_index", sf_dir), "assignments"
     )
-    if not os.path.isdir(store):
-        similarity.ivf_assign(old, cent).write.mode("overwrite").parquet(store)
+    maintenance.stage_once(
+        store,
+        lambda tmp: similarity.ivf_assign(old, cent)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
     stored = spark.read.parquet(store)
     inc = stored.unionByName(similarity.ivf_assign(delta, cent))
     return inc.groupBy("centroid_id").agg(
@@ -3258,9 +3264,12 @@ _OUT_K = 3  # sigma threshold
         FROM per_doc GROUP BY 1, 2
     )
     SELECT p.doc_id, p.lang, p.source, p.toks,
-           CAST(CASE WHEN st.n * (st.n * p.toks - st.s)
-                          * (st.n * p.toks - st.s)
-                     > {_OUT_K * _OUT_K} * st.n * (st.n * st.q - st.s * st.s)
+           CAST(CASE WHEN CAST(st.n AS HUGEINT)
+                          * (CAST(st.n AS HUGEINT) * p.toks - st.s)
+                          * (CAST(st.n AS HUGEINT) * p.toks - st.s)
+                     > {_OUT_K * _OUT_K} * CAST(st.n AS HUGEINT)
+                          * (CAST(st.n AS HUGEINT) * st.q
+                             - CAST(st.s AS HUGEINT) * st.s)
                 THEN 1 ELSE 0 END AS INT) AS is_outlier
     FROM per_doc p JOIN stats st USING (lang, source)
     """,
@@ -3272,11 +3281,17 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     accidents, boilerplate dumps) — with the z-score test algebraically
     cleared of every division and square root:
         |x - mu| > k*sigma  <=>  n*(n*x - S)^2 > k^2 * n*(n*Q - S^2)
-    so both engines compare exact BIGINTs (no float mean/stddev, whose
+    so both engines compare exact integers (no float mean/stddev, whose
     partition-order drift is precisely what breaks cross-engine
-    equality). One map-side-combinable stats agg + a broadcast of
-    |lang x source| stat rows back onto the docs; the corpus is
-    scanned once."""
+    equality). The cubic-in-n magnitudes (~n^3*sigma^2) outgrow int64
+    around bucket sizes of a few tens of thousands of ~1e3-token docs,
+    so the comparison runs in decimal(38,0) on the Spark side and
+    HUGEINT (int128) in the oracle — exact up to n~1e9 docs of ~1e4
+    tokens per (lang, source) bucket, i.e. comfortably past 100 TB; a
+    Spark decimal overflow beyond that yields NULL flags (loud), never
+    silently wrapped ones. One map-side-combinable stats agg + a
+    broadcast of |lang x source| stat rows back onto the docs; the
+    corpus is scanned once."""
     docs = _docs(spark, sf_dir).where(
         F.col("text").isNotNull() & (F.col("text") != "")
     )
@@ -3290,7 +3305,12 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("toks") * F.col("toks")).alias("q"),
     )
     j = per.join(F.broadcast(stats), ["lang", "source"])
-    dev = F.col("n") * F.col("toks") - F.col("s")
-    var_n3 = F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
-    flag = (F.col("n") * dev * dev > F.lit(_OUT_K * _OUT_K) * var_n3).cast("int")
+    dec = "decimal(38,0)"
+    n_d, s_d, q_d, x_d = (
+        F.col("n").cast(dec), F.col("s").cast(dec),
+        F.col("q").cast(dec), F.col("toks").cast(dec),
+    )
+    dev = n_d * x_d - s_d
+    var_n3 = n_d * (n_d * q_d - s_d * s_d)
+    flag = (n_d * dev * dev > F.lit(_OUT_K * _OUT_K).cast(dec) * var_n3).cast("int")
     return j.select("doc_id", "lang", "source", "toks", flag.alias("is_outlier"))

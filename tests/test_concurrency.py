@@ -39,7 +39,7 @@ def test_concurrent_queries_match_serial(spark, sf_dir):
         assert concurrent[n] == serial[n], n
 
 
-def test_worker_package_import_from_foreign_cwd(tmp_path):
+def test_worker_package_import_from_foreign_cwd(tmp_path, sf_dir):
     """The driver harness may run from ANY cwd with only its own
     sys.path patched; Python workers un-pickle module-level stateful
     functions BY REFERENCE and must still import flink_scala_spark.
@@ -57,9 +57,9 @@ def test_worker_package_import_from_foreign_cwd(tmp_path):
         "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
         "import __spark_entry__ as se\n"
-        "rows = se.queries()['streaming_dedup_minhash'](spark, '/root/testdata/sf0.001').collect()\n"
+        "rows = se.queries()['streaming_dedup_minhash'](spark, %r).collect()\n"
         "assert len(rows) > 0, 'no rows'\n"
-        "print('WORKER_IMPORT_OK', len(rows))\n" % repo
+        "print('WORKER_IMPORT_OK', len(rows))\n" % (repo, sf_dir)
     )
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     proc = subprocess.run(

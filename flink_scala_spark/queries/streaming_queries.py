@@ -217,6 +217,77 @@ def q_streaming_delta_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(stateful.delta_alarm(ev, 10.0), "append")
 
 
+_DELTA_TTL_BUCKET_S = 172_800  # 2-day replay buckets (~16 microbatches)
+_DELTA_TTL_HORIZON_S = 43_200  # 12 h idle-state TTL
+
+# Oracle model for the TTL'd alarm: the replay delivers epoch-aligned
+# 2-day buckets in time order, so during the batch that processes
+# bucket k the watermark (delay 0, second-truncated timestamps) is the
+# running max ts_l over buckets < k. A stored reading survives to be
+# compared against iff its bucket is the current one (state written in
+# this very invocation) or it is still inside the TTL horizon of that
+# watermark; the lag() predecessor chain itself is unaffected by
+# eviction because state always re-arms on every new reading.
+_DELTA_TTL_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+               epoch_us(ts) // {_DELTA_TTL_BUCKET_S * 1_000_000} AS bucket
+        FROM events
+    ),
+    bx AS (
+        SELECT bucket,
+               max(bmax) OVER (ORDER BY bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS wm_sec
+        FROM (SELECT bucket, max(ts_l) AS bmax FROM ev GROUP BY 1) t
+    ),
+    lagged AS (
+        SELECT e.*, b.wm_sec,
+               lag(value) OVER w AS prev_value,
+               lag(ts_l) OVER w AS prev_ts,
+               lag(bucket) OVER w AS prev_bucket
+        FROM ev e JOIN bx b USING (bucket)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_l, event_id)
+    )
+    SELECT user_id, event_id,
+           round(prev_value, 2) AS prev_value,
+           round(value, 2) AS curr_value
+    FROM lagged
+    WHERE prev_value IS NOT NULL
+      AND abs(value - prev_value) > 10.0
+      AND (prev_bucket = bucket
+           OR prev_ts >= wm_sec - {_DELTA_TTL_HORIZON_S})
+"""
+
+
+@register(
+    "streaming_delta_alarm_ttl",
+    _DELTA_TTL_ORACLE,
+    "ST1", "ST2", "ST3", "streaming", "ttl",
+)
+def q_streaming_delta_alarm_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streaming_delta_alarm` with BOUNDED per-key state — the Flink
+    StateTtlConfig discipline applied to the reference's ValueState
+    alarm (StateTest.scala:69-74): a key idle past the 12 h horizon
+    loses its stored reading (EventTimeTimeout when idle, the same
+    lazy cutoff when active), so an alarm only fires against a
+    predecessor still inside the horizon — at sf0.001 that drops 54 of
+    823 alarms, so the oracle genuinely distinguishes this from the
+    NoTimeout form. Replayed as ~16 time-ordered microbatches (shared
+    with the TWS queries' replay cache) so the watermark climbs
+    deterministically and both eviction paths actually execute."""
+    ev = sources.file_replay_time_buckets(
+        spark, sf_dir, "events", _DELTA_TTL_BUCKET_S
+    )
+    return run_bounded(
+        stateful.delta_alarm_ttl(
+            ev, 10.0, horizon_seconds=_DELTA_TTL_HORIZON_S
+        ),
+        "append",
+    )
+
+
 @register(
     "streaming_rising_alarm",
     """

@@ -106,6 +106,89 @@ def delta_alarm(events_stream: DataFrame, threshold: float = 10.0) -> DataFrame:
     )
 
 
+_DELTA_TTL_STATE_SCHEMA = StructType(
+    [
+        StructField("last_value", DoubleType()),
+        StructField("last_ts_l", LongType()),
+    ]
+)
+
+
+def _delta_alarm_ttl_fn(threshold: float, horizon_seconds: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        out = {"user_id": [], "event_id": [], "prev_value": [], "curr_value": []}
+        if state.hasTimedOut:
+            # The watermark outran the stored reading by more than the
+            # horizon with no new input for this key — Flink's idle-key
+            # state TTL, realized as an event-time timeout.
+            state.remove()
+            yield pd.DataFrame(out)
+            return
+        last, last_ts = state.get if state.exists else (None, None)
+        # Lazy eviction on arrival: the same cutoff the timeout
+        # encodes, applied when the key IS active this batch (the
+        # timeout only reaches keys with no input).
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        if last is not None and last_ts < wm_sec - horizon_seconds:
+            last, last_ts = None, None
+        # concat ALL Arrow chunks before the order-dependent fold
+        # (same hazard as _delta_alarm_fn); ts_l ties break on event_id
+        # exactly like the oracle's window ordering.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_l", "event_id"]
+        )
+        for eid, ts_l, val in zip(pdf["event_id"], pdf["ts_l"], pdf["value"]):
+            if last is not None and abs(val - last) > threshold:
+                out["user_id"].append(user_id)
+                out["event_id"].append(eid)
+                out["prev_value"].append(round(last, 2))
+                out["curr_value"].append(round(val, 2))
+            last, last_ts = val, int(ts_l)
+        state.update((last, last_ts))
+        # Timeout strictly above the watermark (batch rows postdate it,
+        # so last_ts >= wm); +1 s makes expiry at exactly wm - horizon
+        # match the lazy cutoff's strict '<'.
+        state.setTimeoutTimestamp((last_ts + horizon_seconds + 1) * 1000)
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def delta_alarm_ttl(
+    events_stream: DataFrame,
+    threshold: float = 10.0,
+    horizon_seconds: int = 43_200,
+) -> DataFrame:
+    """ST1-ST3 with BOUNDED per-key state — the Flink state-TTL
+    discipline (StateTtlConfig) the reference's ValueState alarms
+    would need under unbounded key churn, realized deterministically
+    on event time: a key whose last reading the watermark has outrun
+    by ``horizon_seconds`` loses it (lazy eviction when the key is
+    active, ``EventTimeTimeout`` when idle — identical cutoffs), so
+    the next reading has no predecessor and raises no alarm. At 100 TB
+    with ever-growing key spaces this is what keeps the state store
+    O(live keys) instead of O(all keys ever). Timestamps are truncated
+    to whole seconds so the watermark arithmetic is integer-exact and
+    oracle-reproducible."""
+    withts = events_stream.select(
+        "user_id",
+        "event_id",
+        epoch_seconds("ts").alias("ts_l"),
+        F.timestamp_seconds(epoch_seconds("ts")).alias("ts_sec"),
+        "value",
+    ).withWatermark("ts_sec", "0 seconds")
+    return withts.groupBy("user_id").applyInPandasWithState(
+        _delta_alarm_ttl_fn(threshold, horizon_seconds),
+        outputStructType=DELTA_ALARM_SCHEMA,
+        stateStructType=_DELTA_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 RISING_ALARM_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -93,3 +93,44 @@ def test_ttl_dedup_expires_out_of_horizon_sources(spark, sf_dir):
     plain_first = dict(plain)
     for r in ttl_rows:
         assert r["first_source"] >= plain_first[r["doc_id"]]
+
+
+def test_ttl_delta_alarm_expires_idle_keys(spark, sf_dir):
+    """The TTL'd delta alarm must actually EVICT idle-key state: its
+    alarms are a strict subset of the unbounded fold's (computed here
+    as a batch lag() under the identical (ts_l, event_id) ordering),
+    every dropped alarm's predecessor gap exceeds the horizon (state
+    can only be evicted once the watermark — which trails the current
+    event — outruns the stored reading by the horizon), and every
+    alarm whose gap is within the horizon survives (in-horizon state
+    is never evicted)."""
+    from pyspark.sql import Window as W
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.functions.portable import epoch_seconds
+    from flink_scala_spark.queries.catalog import QUERIES
+    from flink_scala_spark.queries.streaming_queries import (
+        _DELTA_TTL_HORIZON_S,
+    )
+
+    w = W.partitionBy("user_id").orderBy("ts_l", "event_id")
+    base_df = (
+        tables.load(spark, sf_dir, "events")
+        .select("user_id", "event_id", epoch_seconds("ts").alias("ts_l"), "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .withColumn("prev_ts", F.lag("ts_l").over(w))
+        .where(F.abs(F.col("value") - F.col("prev")) > 10.0)
+    )
+    base = {
+        r["event_id"]: r["ts_l"] - r["prev_ts"] for r in base_df.collect()
+    }
+    ttl = {
+        r["event_id"]
+        for r in QUERIES["streaming_delta_alarm_ttl"].fn(spark, sf_dir).collect()
+    }
+    assert ttl <= set(base)
+    dropped = set(base) - ttl
+    assert dropped  # eviction non-vacuous at every shipped sf
+    assert all(base[e] > _DELTA_TTL_HORIZON_S for e in dropped)
+    within = {e for e, gap in base.items() if gap <= _DELTA_TTL_HORIZON_S}
+    assert within <= ttl

@@ -3242,6 +3242,207 @@ def q_bitext_mining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X153: ANN-blocked bitext mining — sub-quadratic INSIDE the LSH buckets
+# ---------------------------------------------------------------------------
+
+_MINE_NPROBE = 2  # source-side multi-probe: recall insurance for nprobe=1 loss
+
+
+def _mine_asg_sql(label: int, max_rank) -> str:
+    cond = f"r <= {max_rank}" if max_rank > 1 else "r = 1"
+    return f"""(SELECT vec_id, bucket, embedding, nsq, centroid_id FROM (
+        SELECT v.vec_id, v.bucket, v.embedding, v.nsq, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {duck_dot('v.embedding', 'c.cemb')}
+                            / sqrt(v.nsq * c.cnsq) DESC,
+                            c.centroid_id) AS r
+        FROM n v CROSS JOIN cent c WHERE v.label = {label}) t WHERE {cond})"""
+
+
+@register(
+    "bitext_mining_ann",
+    f"""
+    WITH n AS (SELECT vec_id, label, embedding, {_NSQ} AS nsq,
+                      CAST({_BUCKET4_EXPR} AS INT) AS bucket
+               FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cemb, nsq AS cnsq
+             FROM n WHERE vec_id IN (
+                 SELECT vec_id FROM embeddings
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 LIMIT {similarity.NUM_CENTROIDS})),
+    aasg AS {_mine_asg_sql(0, _MINE_NPROBE)},
+    basg AS {_mine_asg_sql(1, 1)},
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {duck_dot('a.embedding', 'b.embedding')} / sqrt(a.nsq * b.nsq)
+                   AS cosine
+        FROM aasg a JOIN basg b
+          ON a.bucket = b.bucket AND a.centroid_id = b.centroid_id
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY vec_a
+                                  ORDER BY cosine DESC, vec_b) AS rnk_a,
+               row_number() OVER (PARTITION BY vec_b
+                                  ORDER BY cosine DESC, vec_a) AS rnk_b
+        FROM pairs
+    ),
+    avg_a AS (
+        SELECT vec_a,
+               list_reduce(list(cosine ORDER BY rnk_a), (x, y) -> x + y)
+                   / {_MINE_TOPK} AS avg_a
+        FROM ranked WHERE rnk_a <= {_MINE_TOPK} GROUP BY 1
+    ),
+    avg_b AS (
+        SELECT vec_b,
+               list_reduce(list(cosine ORDER BY rnk_b), (x, y) -> x + y)
+                   / {_MINE_TOPK} AS avg_b
+        FROM ranked WHERE rnk_b <= {_MINE_TOPK} GROUP BY 1
+    ),
+    scored AS (
+        SELECT p.vec_a, p.vec_b, p.cosine,
+               (CAST(2 AS DOUBLE) * p.cosine) / (a.avg_a + b.avg_b) AS margin
+        FROM pairs p JOIN avg_a a USING (vec_a) JOIN avg_b b USING (vec_b)
+    )
+    SELECT vec_a, vec_b, cosine, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_a
+                                     ORDER BY margin DESC, vec_b) AS r
+        FROM scored) t
+    WHERE r = 1 AND margin >= {_MINE_THRESHOLD}
+    """,
+    "mining", "bitext", "embedding", "ann", "ivf", "similarity",
+)
+def q_bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151 with the bucket INTERIOR made sub-quadratic — the step the
+    LSH variant's docstring promised: candidates must now agree on the
+    4-plane LSH bucket AND on an IVF coarse-quantizer cell (the
+    NUM_CENTROIDS hash-first centroids of X95, source side probing its
+    top-{_MINE_NPROBE} cells for recall, target side in its argmax
+    cell), so the pair stage is an equi-join on (bucket, centroid_id)
+    whose cost shrinks by ~|centroids| relative to bucket-only
+    blocking (17 of 360 in-bucket pairs at sf0.001). Mining corpora
+    are exactly where LSH buckets run hot — two languages' sentence
+    embeddings pile into few buckets — and at 100 TB the in-bucket
+    all-pairs join is the next quadratic to die; this kills it with
+    the already-proven IVF machinery (one broadcast of 64 centroid
+    rows, two map-side-combinable assignment aggs, never a corpus
+    shuffle by centroid). Margins are computed over the candidate set
+    (as in X151); assignment, probing, and margin arithmetic all
+    replay exactly in SQL."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    cent = similarity.flatten(
+        similarity.centroid_rows(emb, similarity.NUM_CENTROIDS),
+        "t", "centroid_id",
+    )
+    A = similarity.with_bucket(
+        similarity.flatten(emb.where(F.col("label") == 0), "a", "vec_a"),
+        "a", n_planes=_MINE_PLANES,
+    )
+    B = similarity.with_bucket(
+        similarity.flatten(emb.where(F.col("label") == 1), "b", "vec_b"),
+        "b", n_planes=_MINE_PLANES,
+    )
+    a_cols = [f"a{i}" for i in range(1, similarity.DIM + 1)] + ["ansq"]
+    b_cols = [f"b{i}" for i in range(1, similarity.DIM + 1)] + ["bnsq"]
+    # Source side: top-NPROBE cells per vector. collect_list folds the
+    # 64 centroid rows map-side (each vector's rows are partition-local
+    # after the broadcast cross join); array_sort on (-sim, cid) ==
+    # "cosine DESC, centroid_id ASC"; flat vector columns ride through
+    # as first() so no join back to A.
+    a_asg = (
+        A.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_a", "bucket",
+            similarity._flat_cosine("a", "t").alias("sim"),
+            F.col("centroid_id").alias("cid"),
+            *a_cols,
+        )
+        .groupBy("vec_a")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("sim")).alias("ns"), "cid"))
+                ),
+                1, _MINE_NPROBE,
+            ).alias("probes"),
+            F.first("bucket").alias("bucket"),
+            *[F.first(c).alias(c) for c in a_cols],
+        )
+        .select(
+            "vec_a", "bucket",
+            F.explode(F.col("probes.cid")).alias("centroid_id"),
+            *a_cols,
+        )
+    )
+    # Target side: argmax cell only (one map-side-combined max_by).
+    b_asg = (
+        B.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_b", "bucket",
+            similarity._flat_cosine("b", "t").alias("sim"),
+            "centroid_id", *b_cols,
+        )
+        .groupBy("vec_b")
+        .agg(
+            F.max_by(
+                "centroid_id", F.struct(F.col("sim"), -F.col("centroid_id"))
+            ).alias("centroid_id"),
+            F.first("bucket").alias("bucket"),
+            *[F.first(c).alias(c) for c in b_cols],
+        )
+    )
+    dot = F.lit(0.0)
+    for i in range(1, similarity.DIM + 1):
+        dot = dot + F.col(f"a{i}") * F.col(f"b{i}")
+    cos = dot / F.sqrt(F.col("ansq") * F.col("bnsq"))
+    pairs = a_asg.join(b_asg, ["bucket", "centroid_id"]).select(
+        "vec_a", "vec_b", cos.alias("cosine")
+    )
+    wa = W.partitionBy("vec_a").orderBy(F.desc("cosine"), "vec_b")
+    wb = W.partitionBy("vec_b").orderBy(F.desc("cosine"), "vec_a")
+    ranked = pairs.withColumn("rnk_a", F.row_number().over(wa)).withColumn(
+        "rnk_b", F.row_number().over(wb)
+    )
+
+    def _mean_top(side: str) -> DataFrame:
+        rnk = f"rnk_{side}"
+        key = f"vec_{side}"
+        fold = F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(rnk, "cosine"))),
+                lambda s: s["cosine"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / _MINE_TOPK
+        return (
+            ranked.where(F.col(rnk) <= _MINE_TOPK)
+            .groupBy(key)
+            .agg(fold.alias(f"avg_{side}"))
+        )
+
+    scored = (
+        pairs.join(F.broadcast(_mean_top("a")), "vec_a")
+        .join(F.broadcast(_mean_top("b")), "vec_b")
+        .select(
+            "vec_a", "vec_b", "cosine",
+            (
+                (F.lit(2.0) * F.col("cosine"))
+                / (F.col("avg_a") + F.col("avg_b"))
+            ).alias("margin"),
+        )
+    )
+    wm = W.partitionBy("vec_a").orderBy(F.desc("margin"), "vec_b")
+    return (
+        scored.withColumn("r", F.row_number().over(wm))
+        .where((F.col("r") == 1) & (F.col("margin") >= _MINE_THRESHOLD))
+        .select("vec_a", "vec_b", "cosine", "margin")
+    )
+
+
+# ---------------------------------------------------------------------------
 # X152: per-bucket length-outlier flags (3-sigma, integer-exact)
 # ---------------------------------------------------------------------------
 

@@ -17,6 +17,8 @@ the text pipeline; ``embeddings`` feeds similarity search.
 
 from __future__ import annotations
 
+import functools
+import threading
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
@@ -46,10 +48,29 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+#: Thread-local name of the catalog entry whose builder is currently
+#: executing — the bounded-streaming runner keys its captured physical
+#: plans by this, so the streaming plan sweep (tests/test_plans.py)
+#: can pin state-operator shapes per catalog entry without re-running.
+_CURRENT = threading.local()
+
+
+def current_query() -> Optional[str]:
+    return getattr(_CURRENT, "name", None)
+
 
 def register(name: str, oracle: Optional[str], *tags: str):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = QuerySpec(name, fn, oracle, tags)
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            prev = getattr(_CURRENT, "name", None)
+            _CURRENT.name = name
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _CURRENT.name = prev
+
+        QUERIES[name] = QuerySpec(name, wrapped, oracle, tags)
         return fn
 
     return deco

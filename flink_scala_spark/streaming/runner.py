@@ -23,6 +23,45 @@ from pyspark.sql import DataFrame, SparkSession
 
 _counter = itertools.count()
 
+#: Executed physical plan of the most recent bounded run (and a bounded
+#: history by query name) — captured so tests can pin streaming plan
+#: shapes (state-store operator counts, join strategies) without
+#: re-running the query. The streaming executedPlan only exists on a
+#: LIVE query object, so this capture is the one chance to see it.
+LAST_PLANS: dict[str, str] = {}
+_LAST: list[str] = []
+
+#: Accumulated replay statistics per catalog query name — input rows
+#: and microbatch counts summed over every bounded run a catalog entry
+#: performs (some entries drive several). bench_streaming.py clears
+#: this between queries to compute replay throughput (rows/s).
+REPLAY_STATS: dict[str, dict[str, int]] = {}
+
+
+def last_plan() -> str:
+    """Physical plan of the most recently completed bounded run."""
+    return _LAST[-1] if _LAST else ""
+
+
+def _capture_plan(q, name: str) -> None:
+    from flink_scala_spark.queries import catalog
+
+    key = catalog.current_query() or name
+    try:
+        progress = q.recentProgress
+        stats = REPLAY_STATS.setdefault(key, {"input_rows": 0, "batches": 0})
+        stats["input_rows"] += sum(int(p["numInputRows"]) for p in progress)
+        stats["batches"] += len(progress)
+    except Exception:
+        pass
+    try:
+        plan = q._jsq.explainInternal(False)
+    except Exception:
+        return
+    LAST_PLANS[key] = plan
+    _LAST.append(plan)
+    del _LAST[:-1]
+
 
 def run_bounded(
     stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None
@@ -39,6 +78,7 @@ def run_bounded(
     )
     try:
         q.processAllAvailable()
+        _capture_plan(q, name)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -75,6 +115,7 @@ def run_bounded_now(
             # A hung query would otherwise return a silently-truncated
             # memory table (timer emissions missing) — fail loudly.
             raise TimeoutError(f"query {name} did not finish in {timeout}s")
+        _capture_plan(q, name)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -86,6 +127,7 @@ def run_bounded_foreach(stream_df: DataFrame, fn, output_mode: str = "update") -
     q = stream_df.writeStream.outputMode(output_mode).foreachBatch(fn).start()
     try:
         q.processAllAvailable()
+        _capture_plan(q, q.name or "foreach")
     finally:
         q.stop()
         q.awaitTermination(30)

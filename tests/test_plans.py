@@ -224,38 +224,100 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
     #   system's top-100 candidates — a TakeOrderedAndProject output of
     #   constant size by construction (the corpus itself is reduced by
     #   distributed top-k, never globally sorted).
-    SINGLE_PARTITION_WINDOW_OK = {
-        "revenue_day_over_day",
-        "late_data_accounting",
-        "ann_pq_topk",
-        "small_quantity_part_revenue",
-        "corpus_token_budget",
-        "hybrid_retrieval_rrf",
-        # same fixed-codebook justification as ann_pq_topk (stage 1 is
-        # that operator; stage-2 rerank windows are query-partitioned)
-        "ann_pq_refined",
-    }
-
     offenders = {}
     for name, spec in QUERIES.items():
         if name.startswith("streaming_"):
             continue
         plan = _plan(spec.fn(spark, sf_dir))
-        bad = []
-        if "CartesianProduct" in plan:
-            bad.append("CartesianProduct")
-        # formatted mode prints the exchange's distribution under
-        # "Arguments: SinglePartition" — a regex on the node title
-        # alone never fires.
-        if (
-            "SinglePartition" in plan
-            and "Window" in plan
-            and name not in SINGLE_PARTITION_WINDOW_OK
-        ):
-            bad.append("SinglePartition+Window")
+        bad = _batch_antipatterns(name, plan)
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+SINGLE_PARTITION_WINDOW_OK = {
+    "revenue_day_over_day",
+    "late_data_accounting",
+    "ann_pq_topk",
+    "small_quantity_part_revenue",
+    "corpus_token_budget",
+    "hybrid_retrieval_rrf",
+    # same fixed-codebook justification as ann_pq_topk (stage 1 is
+    # that operator; stage-2 rerank windows are query-partitioned)
+    "ann_pq_refined",
+    # its SinglePartition exchanges are the 64-row centroid GlobalLimit
+    # merges (TakeOrderedAndProject), fixed-size by construction; the
+    # Window operators are all vec_a/vec_b-partitioned — the sweep's
+    # "both substrings present" conjunction is a false positive here
+    "bitext_mining_ann",
+}
+
+# Every BroadcastNestedLoopJoin must be an INTENDED broadcast cross:
+# the build side is fixed-size by construction (a codebook, a centroid
+# set, a 1-row global, a salt array), never corpus-scale. Anything
+# else planning a BNLJ is an accidental non-equi join — invisible at
+# test scale, a broadcast of half the corpus at 100 TB.
+BNLJ_OK = {
+    # fixed PQ_K=16 codebook / NUM_CENTROIDS=64 centroid crosses
+    "ann_pq_topk",
+    "ann_pq_refined",
+    "ann_ivf_index_incremental",
+    "bitext_mining_ann",
+    "kmeans_assignments",
+    "semantic_dedup",
+    # 1-row global aggregates broadcast back onto the corpus
+    "idle_high_balance_customers",
+    "source_reputation_filter",
+    "text_rare_token_novelty",
+    "corpus_mixture",
+    "bm25_search",           # query-constant + corpus-stats broadcasts
+    "hybrid_retrieval_rrf",  # constant-size top-100 fusion inputs
+    "bpe_merges",            # per-round 1-row best-pair broadcast
+    "skew_join_salted",      # the salt-array explode cross, by design
+    # documented exact all-pairs BASELINE (scale path: bitext_mining_lsh
+    # / bitext_mining_ann)
+    "bitext_mining_margin",
+}
+
+
+def _batch_antipatterns(name: str, plan: str) -> list[str]:
+    """The scale antipatterns the batch sweep hunts; factored out so a
+    meta-test can prove the detector actually fires."""
+    bad = []
+    if "CartesianProduct" in plan:
+        bad.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        bad.append("BroadcastNestedLoopJoin(unallowlisted)")
+    # formatted mode prints the exchange's distribution under
+    # "Arguments: SinglePartition" — a regex on the node title
+    # alone never fires.
+    if (
+        "SinglePartition" in plan
+        and "Window" in plan
+        and name not in SINGLE_PARTITION_WINDOW_OK
+    ):
+        bad.append("SinglePartition+Window")
+    return bad
+
+
+def test_antipattern_sweep_catches_dropped_join_key(spark, sf_dir):
+    """Meta-test: a deliberately broken join (equi key dropped, leaving
+    only the range predicate -> BroadcastNestedLoopJoin) must be caught
+    by the sweep's detector — proving the BNLJ allowlist actually
+    guards, not just enumerates."""
+    from flink_scala_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events").select("event_id", "value")
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    broken = ev.join(docs, ev.value > docs.n_chars)  # key dropped
+    plan = _plan(broken)
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert _batch_antipatterns("not_an_allowlisted_query", plan)
+    # and the allowlist is not a wildcard: a listed name still fails on
+    # a cartesian product
+    assert "CartesianProduct" in _batch_antipatterns(
+        "skew_join_salted", plan + "CartesianProduct"
+    )
 
 
 def test_q6_scan_predicate_pushdown(spark, sf_dir):
@@ -341,6 +403,113 @@ def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
         op in plan
         for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     ), plan
+
+
+# ---------------------------------------------------------------------------
+# Streaming plan pins: per-query expected stateful-operator counts.
+# ---------------------------------------------------------------------------
+
+#: Exactly which state-store operators each live streaming query's
+#: executed physical plan must contain. A drifted count means a
+#: changed state layout: an extra StateStoreSave is an extra stateful
+#: shuffle + store; a missing one means an agg silently went stateless;
+#: a FlatMapGroupsInPandasWithState that became something else means
+#: the keyed state machine was replanned. Keys: SSS=StateStoreSave
+#: (plain windowed/keyed agg), SW=SessionWindowStateStoreSave,
+#: FMG=FlatMapGroupsInPandasWithState (applyInPandasWithState),
+#: TWS=TransformWithStateInPySpark (first-class StatefulProcessor),
+#: SYM=StreamingSymmetricHashJoin (stream-stream join),
+#: DEDUP=StreamingDeduplicate.
+STREAMING_PLAN_PINS = {
+    "streaming_tumbling_counts": {"SSS": 1},
+    "streaming_keyed_sum": {"SSS": 1},
+    "streaming_word_count": {"SSS": 1},
+    "streaming_order_dashboard": {"SSS": 1},
+    "streaming_session_windows": {"SW": 1},
+    "streaming_interval_join": {"SYM": 1},
+    "streaming_delta_alarm": {"FMG": 1},
+    "streaming_delta_alarm_ttl": {"FMG": 1},
+    "streaming_rising_alarm": {"FMG": 1},
+    "streaming_dedup_events": {"DEDUP": 1},
+    "streaming_latest_event": {"SSS": 1},
+    "streaming_union_counts": {"SSS": 1},
+    "streaming_count_window": {"FMG": 1},
+    "streaming_funnel": {"SSS": 1},
+    "streaming_cohort_retention": {"SSS": 1},
+    "streaming_static_enrichment": {"SSS": 1},  # + a BroadcastHashJoin
+    "streaming_dedup_within_watermark": {"DEDUP": 1},
+    "streaming_windowed_topk": {"SSS": 1},
+    "streaming_interval_join_outer": {"SYM": 1},
+    "streaming_cms_heavy_hitters": {"SSS": 1},
+    "streaming_cdc_apply": {"SSS": 1},
+    # the two-level stateful chains: exactly TWO stores, not one, not three
+    "streaming_chained_windows": {"SSS": 2},
+    "streaming_interval_join_full_outer": {"SYM": 1},
+    "streaming_dedup_then_window": {"DEDUP": 1, "SSS": 1},
+    "streaming_join_then_window": {"SYM": 1, "SSS": 1},
+    "streaming_rising_alarm_tws": {"TWS": 1},
+    "streaming_session_summary_tws": {"TWS": 1},
+    "streaming_session_gap_tws": {"TWS": 1},
+    "streaming_trigger_fire_purge": {"TWS": 1},
+    "streaming_dedup_minhash": {"FMG": 1},
+    "streaming_dedup_minhash_ttl": {"FMG": 1},
+    "streaming_token_budget": {"SSS": 1},
+    # static PQ index served in foreachBatch: ZERO streaming state by
+    # design (the index is a broadcast artifact, not store rows)
+    "streaming_ann_pq_serving": {},
+}
+
+_STREAM_OPS = {
+    # negative lookbehind: SessionWindowStateStoreSave contains the
+    # plain StateStoreSave as a substring
+    "SSS": r"(?<!SessionWindow)StateStoreSave",
+    "SW": r"SessionWindowStateStoreSave",
+    "FMG": r"FlatMapGroupsInPandasWithState",
+    "TWS": r"TransformWithStateInPySpark",
+    "SYM": r"StreamingSymmetricHashJoin",
+    "DEDUP": r"StreamingDeduplicate",
+}
+
+
+def test_streaming_plans_pin_state_operators(spark, sf_dir):
+    """Sweep EVERY live streaming query's executed physical plan (the
+    antipattern sweep above skips streaming_*): the stateful-operator
+    census must match STREAMING_PLAN_PINS exactly, and no streaming
+    plan may contain a cartesian or an (unallowlisted — currently: any)
+    BroadcastNestedLoopJoin from a degenerate stream-static join. Plans
+    are captured by the bounded runner at execution; queries already
+    run this session (the oracle sweep) are not re-run."""
+    import re
+
+    from flink_scala_spark.streaming import runner
+
+    live = {n for n in QUERIES if n.startswith("streaming_")}
+    # completeness: a new streaming query must add its pin here
+    assert live == set(STREAMING_PLAN_PINS), (
+        live ^ set(STREAMING_PLAN_PINS)
+    )
+    failures = {}
+    for name in sorted(live):
+        if name not in runner.LAST_PLANS:
+            QUERIES[name].fn(spark, sf_dir)
+        plan = runner.LAST_PLANS.get(name)
+        if plan is None:
+            failures[name] = ["no plan captured"]
+            continue
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan:
+            bad.append("BroadcastNestedLoopJoin")
+        got = {
+            op: len(re.findall(rx, plan)) for op, rx in _STREAM_OPS.items()
+        }
+        got = {k: v for k, v in got.items() if v}
+        if got != STREAMING_PLAN_PINS[name]:
+            bad.append(f"state ops {got} != {STREAMING_PLAN_PINS[name]}")
+        if bad:
+            failures[name] = bad
+    assert not failures, failures
 
 
 def test_ngram_lm_score_broadcasts_count_tables(spark, sf_dir):

@@ -125,3 +125,62 @@ def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     # idempotent
     again = export.vacuum_exports(out, keep_versions=1)
     assert again["removed_versions"] == [] and again["removed_files"] == []
+
+
+def test_vacuum_under_concurrent_pinned_reader(spark, tmp_path):
+    """A reader holding a PINNED old manifest while vacuum deletes that
+    snapshot must observe all-or-nothing: every read attempt either
+    returns the snapshot's full row set or fails cleanly — never a
+    silent partial result (the corruption mode of a reader racing
+    retention). Checked both as explicit interleavings (pin -> vacuum
+    -> collect must raise; pin -> collect -> vacuum sees full rows)
+    and as a live thread race."""
+    import threading
+
+    from flink_scala_spark.pipeline import export
+
+    out = str(tmp_path / "exp")
+    export.export_versioned(spark, _mini_corpus(spark, 40, "a"), out)
+    export.export_versioned(spark, _mini_corpus(spark, 60, "b"), out)
+
+    # interleaving 1: reader pins v1 and drains it BEFORE vacuum — full
+    pinned = export.read_snapshot(spark, out, 1)
+    full = {tuple(r) for r in pinned.collect()}
+    assert len(full) == 40
+
+    # live race: a reader thread re-collecting the pinned v1 frame
+    # while the main thread vacuums it away; every iteration must be
+    # full-or-clean-failure
+    results: list[tuple[str, object]] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = {tuple(r) for r in pinned.collect()}
+                results.append(("ok", rows))
+            except Exception as e:  # clean, surfaced failure
+                results.append(("err", type(e).__name__))
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    summary = export.vacuum_exports(out, keep_versions=1)
+    stop.set()
+    t.join(120)
+    assert summary["removed_versions"] == [1]
+    for kind, payload in results:
+        if kind == "ok":
+            assert payload == full  # never a partial subset
+    # interleaving 2: post-vacuum reads of the dead snapshot fail
+    # cleanly — the manifest died WITH its files, so the pin itself is
+    # impossible, and a stale pinned frame raises rather than
+    # silently shrinking
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        export.read_snapshot(spark, out, 1)
+    with _pytest.raises(Exception):
+        pinned.collect()
+    # the survivor is untouched
+    assert len(export.read_snapshot(spark, out, 2).collect()) == 60

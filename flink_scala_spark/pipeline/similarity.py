@@ -224,13 +224,16 @@ def cosine_topk_vectorized(
     )
 
 
-def near_dup_pairs(
+def _baseline_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force all-pairs cosine filter — the exact baseline."""
+    """Brute-force all-pairs cosine filter — TEST-ONLY exact baseline
+    (underscore-namespaced so no caller mistakes it for a production
+    path; its broadcast of one full side cannot scale). The catalog
+    routes to :func:`near_dup_pairs_blocked`."""
     a = _spread(flatten(emb, "a", "vec_a", id_col, vec_col))
     b = flatten(emb, "b", "vec_b", id_col, vec_col)
     pairs = a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
@@ -239,7 +242,7 @@ def near_dup_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
-def near_dup_pairs_vectorized(
+def _baseline_near_dup_pairs_vectorized(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
@@ -247,7 +250,7 @@ def near_dup_pairs_vectorized(
     dim: int = DIM,
 ) -> DataFrame:
     """Brute-force all-pairs cosine, Arrow+numpy path: bit-identical to
-    :func:`near_dup_pairs` and ~10x faster on the quadratic stage.
+    :func:`_baseline_near_dup_pairs` and ~10x faster on the quadratic stage.
 
     One side is broadcast as a dense float64 matrix (same must-fit
     memory contract as the broadcast join); the streamed side crosses
@@ -320,7 +323,7 @@ def near_dup_pairs_blocked(
     max_tile_rows: int = 100_000,
 ) -> DataFrame:
     """Exact all-pairs cosine as a distributed block nested loop —
-    bit-identical to :func:`near_dup_pairs_vectorized` with NO driver
+    bit-identical to :func:`_baseline_near_dup_pairs_vectorized` with NO driver
     collect and NO full-corpus broadcast.
 
     Vectors are hash-tiled (``pmod(vec_id, T)``, T sized so a tile
@@ -777,7 +780,7 @@ def lsh_near_dup_pairs_vectorized(
     Stage 2 (``groupBy(bucket).applyInPandas``): ONE shuffle keyed by
     bucket; inside each bucket the n_b^2 cosine block is accumulated
     per-dimension (same in-order trick as
-    :func:`near_dup_pairs_vectorized`), pairs ``i < j`` above threshold
+    :func:`_baseline_near_dup_pairs_vectorized`), pairs ``i < j`` above threshold
     emitted. The pair space never exists JVM-side.
 
     Scale: at 100 TB, widen NUM_PLANES so 2^planes keeps each bucket's

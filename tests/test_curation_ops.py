@@ -406,7 +406,7 @@ def test_blocked_near_dup_matches_broadcast_baseline(spark):
     tile_rows = max(1, n // 4)  # force >= 4 tiles -> >= 10 groups
     base = {
         (r["vec_a"], r["vec_b"]): r["cosine"]
-        for r in similarity.near_dup_pairs_vectorized(emb, threshold=0.4).collect()
+        for r in similarity._baseline_near_dup_pairs_vectorized(emb, threshold=0.4).collect()
     }
     blocked = {
         (r["vec_a"], r["vec_b"]): r["cosine"]

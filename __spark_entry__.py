@@ -30,79 +30,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-5 rotation: (a) the 21 entries with NO driver row yet — the 5
-# round-4 late additions (added after round 4's head was frozen, so
-# never gate-checked despite being pytest-green since) and the 16
-# round-5 additions (TTL near-dup, FIRE_AND_PURGE trigger twin,
-# maintenance roundtrips, hybrid RRF retrieval, PQ rerank, live
-# token-budget monitor, keep-best dedup, n-gram LM score,
-# streaming PQ serving, budget sampler, source-reputation filter,
-# bitext mining exact+LSH, incremental IVF index, length
-# outliers); after
-# round 5 every catalog entry has earned a driver row in some
-# CORRECTNESS_r0N.json. (b) the 26 entries whose only green row is
-# round 1 — four rounds stale — re-earn current evidence (one,
-# big_order_customers, yields its refresh slot to a new entry); (c) the
-# remaining 4 slots refresh the stalest round-<=2 rows, one per
-# operator family. Everything rotated out stays oracle-checked at
-# sf0.001 on every pytest run (tests/test_catalog_oracle.py), and the
-# head contract is pinned by
+# Round-6 rotation (VERDICT r5 ask #1: after round 6 no entry's latest
+# green driver row may predate round 3): (a) the 2 round-6 additions
+# with no driver row yet (idle-key TTL alarm twin, ANN-blocked bitext
+# mining); (b) ALL 39 entries whose latest green row is round 1 or 2 —
+# four-plus rounds stale; (c) the remaining 9 slots refresh the stalest
+# round-3 rows, one per operator family. Everything rotated out stays
+# oracle-checked at sf0.001 on every pytest run
+# (tests/test_catalog_oracle.py), and the head contract is pinned by
 # tests/test_catalog_oracle.py::test_driver_priority_head_is_valid.
 _PRIORITY = [
-    # (a) no driver row yet: round-4 late additions...
-    "streaming_dedup_minhash",
-    "unified_backfill_daily",
-    "incremental_agg_maintenance",
-    "split_contamination_audit",
-    "corpus_token_budget",
-    # ...and round-5 additions
-    "streaming_dedup_minhash_ttl",
-    "streaming_trigger_fire_purge",
-    "compaction_roundtrip",
-    "zorder_roundtrip",
-    "hybrid_retrieval_rrf",
-    "ann_pq_refined",
-    "streaming_token_budget",
-    "dedup_keep_best",
-    "ngram_lm_score",
-    "streaming_ann_pq_serving",
-    "corpus_budget_sampler",
-    "source_reputation_filter",
-    "bitext_mining_margin",
-    "ann_ivf_index_incremental",
-    "bitext_mining_lsh",
-    "length_outliers",
-    # (b) green in round 1 only — refresh
-    "order_dashboard_rollup",
-    "lineitem_pricing_summary",
-    "revenue_by_region_parttype",
-    "orders_without_recent_shipments",
-    "top_events_per_user",
-    "word_count",
-    "sensor_parse",
-    "filter_threshold",
-    "connect_co_map",
-    "keyed_sum",
-    "keyed_sum_salted",
-    "event_value_quantiles",
-    "events_json_props",
-    "events_type_pivot",
-    "latest_event_per_key",
-    "running_sum",
-    "ordered_fold",
-    "ordered_fold_general",
-    "arg_min_row",
-    "tumbling_window_counts",
-    "tumbling_window_unique_users",
-    "tumbling_window_min_by",
-    "sliding_window_counts",
-    "streaming_interval_join",
-    "streaming_latest_event",
-    # (c) stalest round-<=2 rows, one per operator family
-    "rising_streak_alarm",
-    "streaming_dedup_events",
-    "dedup_clusters",
-    "multimodal_features",
+    # (a) round-6 additions, no driver row yet
+    "streaming_delta_alarm_ttl",
+    "bitext_mining_ann",
+    # (b) latest green row is r1/r2 — refresh all 39
+    "big_order_customers",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "approx_ndv_kmv",
+    "asof_join_purchase_click",
+    "bpe_merges",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "corpus_mixture",
+    "count_window_sum",
+    "curation_summary",
+    "customer_order_distribution",
+    "decontamination",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_pagerank",
+    "dedup_simhash",
+    "dq_audit",
+    "embedding_label_centroids",
+    "funnel_conversion",
+    "fuzzy_name_pairs",
+    "interval_join_error_clicks",
+    "inverted_index",
+    "kmeans_assignments",
+    "min_cost_supplier_per_part",
+    "order_dashboard_province",
+    "order_priority_pipeline",
+    "promo_revenue_share",
+    "returned_revenue_top_customers",
+    "sequence_packing",
+    "session_windows",
+    "snapshot_diff",
+    "streaming_count_window",
+    "streaming_rising_alarm",
+    "streaming_union_counts",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "top_supplier_revenue",
+    # (c) stalest round-3 rows, one per operator family
+    "ann_ivf_topk",
+    "dataset_split",
+    "delta_alarm",
+    "embedding_near_dup",
+    "multimodal_resize",
+    "skew_join_salted",
+    "side_output_alarm",
+    "generated_order_dashboard",
+    "late_data_accounting",
 ]
 
 

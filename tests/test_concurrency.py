@@ -72,3 +72,89 @@ def test_worker_package_import_from_foreign_cwd(tmp_path, sf_dir):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "WORKER_IMPORT_OK" in proc.stdout
+
+
+def test_stage_once_concurrent_racers_see_absent_or_complete(tmp_path):
+    """Two threads staging the same path with a deliberately SLOW
+    writer: the destination must only ever be observed absent or
+    complete (the write-temp-then-rename contract), both racers must
+    return the same path, and no .tmp-* sibling may survive."""
+    import os
+    import threading
+    import time
+
+    from flink_scala_spark.operators import maintenance
+
+    path = str(tmp_path / "store")
+    barrier = threading.Barrier(2)
+    observed = []
+
+    def slow_write(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-0"), "w") as f:
+            f.write("half")
+            f.flush()
+            time.sleep(0.3)  # a racer checking now must NOT see `path`
+            observed.append(os.path.isdir(path))
+            f.write("+rest")
+
+    def race():
+        barrier.wait()
+        maintenance.stage_once(path, slow_write)
+
+    threads = [threading.Thread(target=race) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert os.path.isdir(path)
+    with open(os.path.join(path, "part-0")) as f:
+        assert f.read() == "half+rest"  # complete, never half-staged
+    # mid-write observations from the loser's own slow write: the
+    # destination may already exist (winner renamed) but a half-written
+    # dir must never BE the destination — proven by the content check
+    assert not [
+        d for d in os.listdir(tmp_path) if d.startswith("store.tmp-")
+    ], "orphaned temp dirs must be cleaned when the rename loses"
+
+
+def test_concurrent_versioned_exporters_claim_distinct_versions(
+    spark, tmp_path
+):
+    """Two exporters appending to the same versioned export at once:
+    O_EXCL manifest claims must hand each a DISTINCT version, each
+    manifest must list only files under its own snap-* directory, and
+    both snapshots must read back exactly (no cross-claimed files)."""
+    import threading
+
+    from flink_scala_spark.pipeline import export
+
+    out = str(tmp_path / "exp")
+    corpora = {
+        "a": [(i, f"doc a {i}", "train") for i in range(30)],
+        "b": [(i, f"doc b {i}", "train") for i in range(100, 150)],
+    }
+    manifests = {}
+    barrier = threading.Barrier(2)
+
+    def run(tag):
+        df = spark.createDataFrame(
+            corpora[tag], "doc_id long, text string, split string"
+        )
+        barrier.wait()
+        manifests[tag] = export.export_versioned(spark, df, out)
+
+    threads = [threading.Thread(target=run, args=(t,)) for t in corpora]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    va, vb = manifests["a"]["version"], manifests["b"]["version"]
+    assert {va, vb} == {1, 2}
+    for tag, m in manifests.items():
+        assert m["files"], tag
+        assert all(f.startswith(m["base"] + "/") for f in m["files"]), m
+        rows = export.read_snapshot(spark, out, m["version"]).collect()
+        assert {r["doc_id"] for r in rows} == {
+            i for i, _, _ in corpora[tag]
+        }, tag

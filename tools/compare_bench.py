@@ -1,0 +1,84 @@
+"""Round-over-round bench comparison: the per-query regression check
+the verdicts perform by hand, automated.
+
+    python tools/compare_bench.py BENCH_r04.json BENCH_r05.json [ratio]
+
+Accepts either a raw bench JSON line (the output of bench.py /
+bench_streaming.py) or a driver-recorded BENCH_r{N}.json wrapper whose
+``parsed`` field may be null and whose ``tail`` may hold a TRUNCATED
+copy of the line — the per-query timings are recovered with a regex
+over the tail in that case. Prints shared-query totals, the ratio, and
+every query slower than ``ratio`` (default 1.3x, the threshold past
+rounds' verdicts used), exiting 1 if any regressed so CI-style use
+fails loudly.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load_timings(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:  # raw bench output line
+        q = doc["queries"]
+    elif doc.get("parsed"):
+        q = doc["parsed"]["queries"]
+    else:  # driver wrapper with truncated tail: regex the pairs out
+        tail = doc.get("tail", "")
+        m = re.search(r'"queries":\s*\{(.*)', tail, re.S)
+        if not m:
+            raise SystemExit(f"{path}: no queries payload found")
+        q = {}
+        # the truncated tail has no reliable closing brace, so the
+        # regex also sweeps up the JSON keys AFTER the queries map —
+        # drop the known metadata keys
+        meta = {"sf", "runs_per_query", "value"}
+        for name, sec in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)):
+            if name not in meta:
+                q[name] = float(sec)
+    # bench_streaming nests {"sec": ...}; bench.py is a flat float
+    return {
+        n: (v["sec"] if isinstance(v, dict) else float(v))
+        for n, v in q.items()
+    }
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load_timings(sys.argv[1]), load_timings(sys.argv[2])
+    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    shared = sorted(set(old) & set(new))
+    t_old = sum(old[n] for n in shared)
+    t_new = sum(new[n] for n in shared)
+    print(
+        f"{len(shared)} shared queries: {t_old:.1f}s -> {t_new:.1f}s "
+        f"({t_new / t_old:.2f}x)" if shared else "no shared queries"
+    )
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"dropped ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        print(f"added ({len(only_new)}): {', '.join(only_new)}")
+    regressed = [
+        (n, old[n], new[n])
+        for n in shared
+        # floor the base at 0.15s: ratios on sub-noise timings are
+        # machine jitter, not regressions
+        if old[n] >= 0.15 and new[n] > ratio * old[n]
+    ]
+    for n, a, b in sorted(regressed, key=lambda t: -t[2] / t[1]):
+        print(f"REGRESSED {n}: {a:.2f}s -> {b:.2f}s ({b / a:.2f}x)")
+    if not regressed:
+        print(f"zero queries regressed >{ratio}x")
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

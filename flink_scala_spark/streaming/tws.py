@@ -609,3 +609,130 @@ def rising_alarm_tws(events_stream, horizon_seconds: int = 600):
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def build_rising_alarm_ptime_tws(hold_seconds: int):
+    """Return (processor, output_schema) for the rising alarm on
+    PROCESSING-TIME timers — the reference's literal wall-clock form
+    (``ProcessAlarmTest.scala:90-100`` registers
+    ``currentProcessingTime() + 10s``, stores the expiry in keyed
+    state, deletes it on a fall, emits from ``onTimer``). The
+    event-time twin (:func:`build_rising_alarm_tws`) is the
+    deterministic gate path; this processor proves the wall-clock
+    TimeMode end-to-end. Output rows carry only event-time-derived
+    fields (streak_start event ts, n_rising), so a test can assert
+    exact OUTPUT determinism — only the fire INSTANT is wall-clock.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("streak_start", LongType()),
+            StructField("n_rising", LongType()),
+        ]
+    )
+    # the registered wall-clock expiry must be stored to be deletable
+    # on a fall — exactly the reference's currentTimerState pattern
+    state_schema = StructType(
+        [
+            StructField("last_value", DoubleType()),
+            StructField("streak_start", LongType()),
+            StructField("n_rising", LongType()),
+            StructField("timer_ms", LongType()),
+        ]
+    )
+
+    class RisingPtimeProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState("rise_pt", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            if self.state.exists():
+                last_value, streak_start, n_rising, timer_ms = self.state.get()
+                if streak_start == -1:
+                    streak_start = None
+            else:
+                last_value, streak_start, n_rising, timer_ms = None, None, 0, -1
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_l", "event_id"])
+            for val, ts_l in zip(pdf["value"], pdf["ts_l"]):
+                val = float(val)
+                ts_l = int(ts_l)
+                rising = last_value is not None and val > last_value
+                if rising:
+                    if streak_start is None:
+                        streak_start = ts_l
+                        # ProcessAlarmTest.scala:90-94: wall clock + hold
+                        timer_ms = (
+                            timerValues.getCurrentProcessingTimeInMs()
+                            + hold_seconds * 1000
+                        )
+                        self.handle.registerTimer(timer_ms)
+                    n_rising += 1
+                else:
+                    if streak_start is not None:
+                        # ProcessAlarmTest.scala:95-100
+                        self.handle.deleteTimer(timer_ms)
+                    streak_start, n_rising, timer_ms = None, 0, -1
+                last_value = val
+            self.state.update(
+                (
+                    last_value,
+                    -1 if streak_start is None else streak_start,
+                    n_rising,
+                    timer_ms,
+                )
+            )
+            return iter(())
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            last_value, streak_start, n_rising, _ = self.state.get()
+            # fire-once: keep the value fold but clear the streak so a
+            # later rise starts a fresh streak/timer
+            self.state.update((last_value, -1, 0, -1))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "streak_start": [int(streak_start)],
+                    "n_rising": [int(n_rising)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RisingPtimeProcessor(), out_schema
+
+
+def rising_alarm_ptime_tws(events_stream, hold_seconds: int = 10):
+    """Streaming DataFrame -> wall-clock rising alarm stream
+    (processing-time TimeMode; no watermark involved). Input carries
+    (user_id, event_id, ts TIMESTAMP, value)."""
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    proc, out_schema = build_rising_alarm_ptime_tws(hold_seconds)
+    withts = events_stream.select(
+        "user_id", "event_id", epoch_seconds("ts").alias("ts_l"), "value"
+    )
+    return withts.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

@@ -468,3 +468,113 @@ def test_fire_purge_state_survives_checkpoint_restart():
     r1, r2 = json.loads(line[0][len("RESULT:"):])
     assert [tuple(r) for r in r1] == [(1, 0, 0, 3, 300, "count")]
     assert [tuple(r) for r in r2] == [(1, 0, 1, 3, 300, "count")]
+
+
+_PTIME_SCRIPT = r"""
+import json, sys, tempfile, time
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+sys.path.insert(0, sys.argv[1])
+from flink_scala_spark.streaming.tws import (ROCKSDB_PROVIDER,
+                                             rising_alarm_ptime_tws)
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# ONE microbatch (single file), so every key's pending-timer decision
+# is its in-batch fold's FINAL state — wall-clock only picks the fire
+# INSTANT, never the output content:
+#  - user 1 rises monotonically -> timer registered at first rise,
+#    never deleted -> must fire exactly once (streak from ts=110,
+#    n_rising=3 at registration batch end).
+#  - user 2 rises (timer) then FALLS in the same batch -> deleteTimer
+#    -> must NEVER fire.
+#  - user 3 falls then rises at the end -> pending timer from the
+#    final streak (start ts=140, n_rising=1) -> fires once.
+ROWS = [  # ts, user, value
+    (100, 1, 1.0), (110, 1, 2.0), (120, 1, 3.0), (130, 1, 4.0),
+    (100, 2, 5.0), (110, 2, 6.0), (140, 2, 1.0),
+    (100, 3, 9.0), (120, 3, 3.0), (140, 3, 7.0),
+]
+d = tempfile.mkdtemp()
+pd.DataFrame(
+    [{"event_id": j, "ts": ts, "user_id": u, "value": v}
+     for j, (ts, u, v) in enumerate(ROWS)]
+).to_json(f"{d}/b0.json", orient="records", lines=True)
+
+schema = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("user_id", LongType()),
+    StructField("value", DoubleType()),
+])
+src = (
+    spark.readStream.schema(schema)
+    .json(d)
+    .withColumn("ts", F.timestamp_seconds("ts"))
+)
+alarms = rising_alarm_ptime_tws(src, hold_seconds=2)
+# default ASAP trigger: Spark keeps running (empty) microbatches while
+# processing-time timers are pending, which is exactly what lets the
+# +2s wall-clock expiries fire after the single data batch drains.
+q = (
+    alarms.writeStream.format("memory").queryName("ptime_alarms")
+    .outputMode("append").start()
+)
+# NOTE: processAllAvailable would NEVER return here — with pending
+# processing-time timers the engine always has another batch scheduled
+# (measured: the first draft of this test hung in it) — so the sink is
+# purely POLLED until the expected alarms land.
+expected = {(1, 110, 3), (3, 140, 1)}
+deadline = time.time() + 300
+got = set()
+while time.time() < deadline:
+    time.sleep(1)
+    got = {tuple(r) for r in spark.table("ptime_alarms").collect()}
+    if got >= expected:
+        break
+# grace window: user 2's deleted timer must stay silent, and no timer
+# may fire twice
+time.sleep(4)
+final = sorted(tuple(r) for r in spark.table("ptime_alarms").collect())
+q.stop()
+print("RESULT:" + json.dumps(final))
+"""
+
+
+@pytest.mark.skipif(
+    protobuf_pythonpath() is None,
+    reason="no protobuf runtime available for the TWS worker",
+)
+def test_rising_alarm_processing_time_timers():
+    """The reference's LITERAL wall-clock timer form
+    (ProcessAlarmTest.scala:90-100: +10s processing-time timer,
+    delete-on-fall, emit from onTimer) on TimeMode=ProcessingTime —
+    deterministic in OUTPUT (only the fire instant is wall-clock):
+    always-rising keys fire exactly once with event-time-derived
+    payloads, a delete-on-fall key never fires."""
+    env = dict(os.environ)
+    env.update(tws_env(protobuf_pythonpath()))
+    proc = subprocess.run(
+        [sys.executable, "-c", _PTIME_SCRIPT, REPO],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    got = [tuple(r) for r in json.loads(line[0][len("RESULT:"):])]
+    assert got == [(1, 110, 3), (3, 140, 1)]

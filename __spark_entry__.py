@@ -43,6 +43,9 @@ _PRIORITY = [
     # (a) round-6 additions, no driver row yet
     "streaming_delta_alarm_ttl",
     "bitext_mining_ann",
+    "hard_negative_mining",
+    "hard_negative_mining_ivf",
+    "contrastive_triplets",
     # (b) latest green row is r1/r2 — refresh all 39
     "big_order_customers",
     "ann_cosine_topk",
@@ -83,7 +86,10 @@ _PRIORITY = [
     "text_repetition",
     "text_tfidf_top_terms",
     "top_supplier_revenue",
-    # (c) stalest round-3 rows, one per operator family
+    # (c) stalest round-3 rows, one per operator family (three demoted
+    # below slot 50 to make room for the contrastive-mining additions —
+    # their families stay represented in (b) and they keep their r3
+    # green rows plus the per-pytest sf0.001 oracle check)
     "ann_ivf_topk",
     "dataset_split",
     "delta_alarm",

@@ -84,6 +84,8 @@ HEADLINE = [
     "corpus_budget_sampler",
     "source_reputation_filter",
     "length_outliers",
+    "hard_negative_mining_ivf",
+    "contrastive_triplets",
 ]
 
 

@@ -144,6 +144,8 @@ def cosine_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
+    label_col: str | None = None,
+    label_match: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, Arrow+numpy path — bit-identical
     to :func:`cosine_topk`.
@@ -155,29 +157,47 @@ def cosine_topk_vectorized(
     (query, batch), not the full candidate set. The global top-k over
     local winners equals the global top-k over all pairs, with the
     same ``(cosine DESC, neighbor_id ASC)`` tie-break.
+
+    With ``label_col``/``label_match`` the candidate set is restricted
+    by label relative to the query row: ``"diff"`` keeps only
+    different-label candidates (hard-negative mining for contrastive
+    training), ``"same"`` keeps only same-label ones (positive
+    mining). The filter is a per-batch numpy mask — no extra shuffle,
+    no change to the scan shape.
     """
     import numpy as np
 
-    q_pdf = emb.where(query_pred).select(id_col, vec_col).toPandas()
+    if label_match not in (None, "same", "diff"):
+        raise ValueError(f"label_match must be None/'same'/'diff', got {label_match!r}")
+    use_labels = label_col is not None and label_match is not None
+    q_cols = [id_col, vec_col] + ([label_col] if use_labels else [])
+    q_pdf = emb.where(query_pred).select(*q_cols).toPandas()
     q_ids = q_pdf[id_col].to_numpy(dtype="int64")
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    q_labels = (
+        q_pdf[label_col].to_numpy(dtype="int64") if use_labels else None
+    )
     d = int(dim)
     q_nsq = np.zeros(len(Q))
     for kk in range(d):
         q_nsq += Q[:, kk] * Q[:, kk]
     sc = emb.sparkSession.sparkContext
-    bc = sc.broadcast((q_ids, Q, q_nsq))
+    bc = sc.broadcast((q_ids, Q, q_nsq, q_labels))
     k_ = int(k)
+    want_same = label_match == "same"
 
     def local_topk(batches):
         import numpy as _np
         import pandas as _pd
 
-        ids_q, mat_q, nsq_q = bc.value
+        ids_q, mat_q, nsq_q, lab_q = bc.value
         for block in batches:
             if len(block) == 0:
                 continue
             c_ids = block[id_col].to_numpy(dtype="int64")
+            c_lab = (
+                block[label_col].to_numpy(dtype="int64") if use_labels else None
+            )
             A = _np.stack(
                 [_np.asarray(v, dtype=_np.float64) for v in block[vec_col]]
             )
@@ -190,6 +210,10 @@ def cosine_topk_vectorized(
             out_q, out_n, out_c = [], [], []
             for j in range(len(ids_q)):
                 valid = c_ids != ids_q[j]
+                if use_labels:
+                    valid &= (
+                        (c_lab == lab_q[j]) if want_same else (c_lab != lab_q[j])
+                    )
                 cj, nj = cos[valid, j], c_ids[valid]
                 order = _np.lexsort((nj, -cj))[:k_]
                 out_q.extend([ids_q[j]] * len(order))
@@ -215,7 +239,7 @@ def cosine_topk_vectorized(
             }
         )
 
-    src = _spread(emb.select(id_col, vec_col))
+    src = _spread(emb.select(*q_cols))
     partial = src.mapInPandas(
         local_topk, "query_id long, neighbor_id long, cosine double"
     )
@@ -596,9 +620,17 @@ def ivf_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = DIM,
+    label_col: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN, Arrow+numpy path: bit-identical to
     :func:`ivf_topk` without flat-column codegen.
+
+    With ``label_col`` set, candidates sharing the query row's label
+    are excluded inside the list-local scoring stage (hard-negative
+    mining at IVF cost): the label rides the assignment pass as one
+    extra int column and the filter is a numpy mask per query group —
+    the index build, probe selection, and candidate join are
+    unchanged.
 
     The trained index (:func:`centroid_rows` — FIXED ``num_centroids``
     rows, O(k·dim) driver memory independent of corpus size) is tiny
@@ -627,9 +659,14 @@ def ivf_topk_vectorized(
     c_nsq = np.zeros(len(C))
     for kk in range(d):
         c_nsq += C[:, kk] * C[:, kk]
-    q_pdf = emb.where(query_pred).select(id_col, vec_col).toPandas()
+    use_labels = label_col is not None
+    q_sel = [id_col, vec_col] + ([label_col] if use_labels else [])
+    q_pdf = emb.where(query_pred).select(*q_sel).toPandas()
     q_map = {
-        int(r[id_col]): np.asarray(r[vec_col], dtype=np.float64)
+        int(r[id_col]): (
+            np.asarray(r[vec_col], dtype=np.float64),
+            int(r[label_col]) if use_labels else None,
+        )
         for _, r in q_pdf.iterrows()
     }
     sc = emb.sparkSession.sparkContext
@@ -657,13 +694,14 @@ def ivf_topk_vectorized(
             if len(block) == 0:
                 continue
             sim = _sims(block[vec_col], ids_c, mat_c, nsq_c)
-            yield _pd.DataFrame(
-                {
-                    "neighbor_id": block[id_col].to_numpy(dtype="int64"),
-                    vec_col: block[vec_col],
-                    "centroid_id": ids_c[_np.argmax(sim, axis=1)],
-                }
-            )
+            out = {
+                "neighbor_id": block[id_col].to_numpy(dtype="int64"),
+                vec_col: block[vec_col],
+                "centroid_id": ids_c[_np.argmax(sim, axis=1)],
+            }
+            if use_labels:
+                out[label_col] = block[label_col].to_numpy(dtype="int64")
+            yield _pd.DataFrame(out)
 
     def probe(batches):
         import numpy as _np
@@ -699,9 +737,14 @@ def ivf_topk_vectorized(
         if len(pdf) == 0:
             return empty
         qid = int(pdf["query_id"].iloc[0])
-        qv = bq.value.get(qid)
-        if qv is None:
+        hit = bq.value.get(qid)
+        if hit is None:
             return empty
+        qv, qlab = hit
+        if use_labels:
+            pdf = pdf[pdf[label_col].to_numpy(dtype="int64") != qlab]
+            if len(pdf) == 0:
+                return empty
         ids = pdf["neighbor_id"].to_numpy(dtype="int64")
         A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf[vec_col]])
         dot = _np.zeros(len(A))
@@ -722,10 +765,11 @@ def ivf_topk_vectorized(
             }
         )
 
-    src = _spread(emb.select(id_col, vec_col))
-    assigned = src.mapInPandas(
-        assign, f"neighbor_id long, {vec_col} array<float>, centroid_id long"
-    )
+    src = _spread(emb.select(*q_sel))
+    assign_schema = f"neighbor_id long, {vec_col} array<float>, centroid_id long"
+    if use_labels:
+        assign_schema += f", {label_col} long"
+    assigned = src.mapInPandas(assign, assign_schema)
     probes = (
         emb.where(query_pred)
         .select(id_col, vec_col)

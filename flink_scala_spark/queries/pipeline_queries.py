@@ -379,6 +379,126 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.label_centroids(_emb(spark, sf_dir))
 
 
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, label, {_NSQ} AS nsq FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {duck_dot('q.embedding', 'c.embedding')} / sqrt(q.nsq * c.nsq) AS cosine
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label <> q.label
+          WHERE q.vec_id % 50 = 0)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM p
+    ) t WHERE rank <= 10
+    """,
+    "similarity", "contrastive",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-10 most-similar vectors with a DIFFERENT label — the
+    near-misses a contrastive loss learns the most from. Exact
+    baseline: the label mask rides the brute-force local-top-k numpy
+    pass (one shuffle, <= k rows per query x batch); the IVF-cost
+    scale twin is `hard_negative_mining_ivf`."""
+    return similarity.cosine_topk_vectorized(
+        _emb(spark, sf_dir),
+        F.col("vec_id") % 50 == 0,
+        k=10,
+        label_col="label",
+        label_match="diff",
+    )
+
+
+@register(
+    "hard_negative_mining_ivf",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, label, {_NSQ} AS nsq FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, embedding AS cemb, nsq AS cnsq
+             FROM n WHERE vec_id IN (
+                 SELECT vec_id FROM embeddings
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                 LIMIT {similarity.NUM_CENTROIDS})),
+    asg AS (SELECT neighbor_id, centroid_id FROM (
+        SELECT v.vec_id AS neighbor_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {duck_dot('v.embedding', 'c.cemb')} / sqrt(v.nsq * c.cnsq) DESC,
+                            c.centroid_id) AS r
+        FROM n v CROSS JOIN cent c) t WHERE r = 1),
+    probes AS (SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {duck_dot('q.embedding', 'c.cemb')} / sqrt(q.nsq * c.cnsq) DESC,
+                            c.centroid_id) AS r
+        FROM n q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) t WHERE r <= 4),
+    scored AS (SELECT p.query_id, a.neighbor_id,
+                      {duck_dot('q.embedding', 'v.embedding')} / sqrt(q.nsq * v.nsq) AS cosine
+               FROM probes p
+               JOIN asg a ON a.centroid_id = p.centroid_id AND a.neighbor_id <> p.query_id
+               JOIN n q ON q.vec_id = p.query_id
+               JOIN n v ON v.vec_id = a.neighbor_id AND v.label <> q.label)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored) t WHERE rank <= 10
+    """,
+    "similarity", "contrastive", "ivf",
+)
+def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining at IVF cost (the 100 TB path): probe the 4
+    nearest inverted lists, exclude same-label candidates inside the
+    list-local scoring mask. Index build + probing identical to
+    `ann_ivf_topk`; the label is one extra int column on the
+    assignment pass — no extra shuffle, ~nprobe/C of the pair
+    space."""
+    return similarity.ivf_topk_vectorized(
+        _emb(spark, sf_dir),
+        F.col("vec_id") % 50 == 0,
+        k=10,
+        nprobe=4,
+        label_col="label",
+    )
+
+
+@register(
+    "contrastive_triplets",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, label, {_NSQ} AS nsq FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 c.label = q.label AS same,
+                 {duck_dot('q.embedding', 'c.embedding')} / sqrt(q.nsq * c.nsq) AS cosine
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id % 50 = 0),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM p)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank, 'pos' AS role
+    FROM r WHERE same AND rank <= 1
+    UNION ALL
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank, 'neg' AS role
+    FROM r WHERE NOT same AND rank <= 4
+    """,
+    "similarity", "contrastive",
+)
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet construction: per anchor, the single most-
+    similar SAME-label vector (the mined positive) plus the 4 most-
+    similar different-label vectors (hard negatives). Two passes of
+    the label-masked exact top-k (each one scan + one query-keyed
+    shuffle) unioned with a role tag — the (anchor, positive,
+    negatives) rows a contrastive trainer consumes directly."""
+    emb = _emb(spark, sf_dir)
+    pred = F.col("vec_id") % 50 == 0
+    pos = similarity.cosine_topk_vectorized(
+        emb, pred, k=1, label_col="label", label_match="same"
+    ).withColumn("role", F.lit("pos"))
+    neg = similarity.cosine_topk_vectorized(
+        emb, pred, k=4, label_col="label", label_match="diff"
+    ).withColumn("role", F.lit("neg"))
+    return pos.unionByName(neg)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

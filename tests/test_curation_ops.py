@@ -462,6 +462,52 @@ def test_ivf_centroids_fixed_size_and_paths_agree(spark):
     assert a == b
 
 
+def test_label_masked_topk_respects_label_relation(spark):
+    """The contrastive-mining kernels must honor the label mask: every
+    mined hard negative carries a DIFFERENT label than its query,
+    every mined positive the SAME one — on both the exact and the IVF
+    path — and the mask must only ever REMOVE candidates (a diff-mode
+    top-1 can never beat the unmasked top-1)."""
+    from flink_scala_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    pred = F.col("vec_id") % 100 == 0
+
+    neg = similarity.cosine_topk_vectorized(
+        emb, pred, k=5, label_col="label", label_match="diff"
+    ).collect()
+    assert neg
+    for r in neg:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+
+    pos = similarity.cosine_topk_vectorized(
+        emb, pred, k=5, label_col="label", label_match="same"
+    ).collect()
+    assert pos
+    for r in pos:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+
+    ivf_neg = similarity.ivf_topk_vectorized(
+        emb, pred, k=5, nprobe=2, label_col="label"
+    ).collect()
+    assert ivf_neg
+    for r in ivf_neg:
+        assert labels[r["neighbor_id"]] != labels[r["query_id"]]
+
+    # masking only removes candidates: per query, best masked cosine
+    # <= best unmasked cosine
+    best_all = {
+        r["query_id"]: r["cosine"]
+        for r in similarity.cosine_topk_vectorized(emb, pred, k=1).collect()
+    }
+    for mined in (neg, pos):
+        for r in mined:
+            if r["rank"] == 1:
+                assert r["cosine"] <= best_all[r["query_id"]] + 1e-12
+
+
 def test_containment_blocking_catches_small_excerpt_in_large_doc(spark):
     """A 30-shingle excerpt inside a ~600-word doc has Jaccard ~0.05 —
     Jaccard-tuned LSH bands would almost surely miss it (collision

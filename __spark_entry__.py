@@ -46,6 +46,7 @@ _PRIORITY = [
     "hard_negative_mining",
     "hard_negative_mining_ivf",
     "contrastive_triplets",
+    "streaming_approx_ndv_hll",
     # (b) latest green row is r1/r2 — refresh all 39
     "big_order_customers",
     "ann_cosine_topk",

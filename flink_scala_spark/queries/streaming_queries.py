@@ -945,6 +945,66 @@ def q_streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_approx_ndv_hll",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    ),
+    d AS (SELECT DISTINCT user_id, event_type,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start
+          FROM events)
+    SELECT day_start, event_type,
+           count(*) AS exact_users,
+           TRUE AS estimate_within_5pct
+    FROM d, wm
+    GROUP BY 1, 2, wm.w
+    HAVING day_start + 86400 <= wm.w
+    """,
+    "sketch", "hll", "streaming",
+)
+def q_streaming_approx_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_ndv_hll`'s live twin: per-day per-type distinct users
+    over a stream, counted TWO ways in one query — exactly (watermark-
+    bounded dedup on (user, type, day) chained into a windowed count)
+    and approximately (Datasketches `hll_sketch_agg` riding the same
+    windowed agg as a fixed-size mergeable sketch). The projection
+    emits the exact count plus the 5% accuracy certificate the oracle
+    pins as literal TRUE — same contract as the batch twin.
+
+    100 TB shape: the exact branch's dedup state is O(distinct keys
+    per watermark horizon) — the part that hurts at scale and exists
+    here only to *audit* the sketch; the HLL branch alone is the
+    production path, O(1) state per (day, type) group no matter how
+    many users stream by. Windows close under the inclusive rule
+    (X115); the last open day is withheld by the watermark on both
+    engines."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "day_start",
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long"),
+    )
+    deduped = ev.withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "day_start"]
+    )
+    daily = deduped.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count("*").alias("exact_users"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+        .cast("long")
+        .alias("approx_users"),
+    )
+    out = run_bounded(daily, "append")
+    return out.select(
+        F.col("window.start").cast("long").alias("day_start"),
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("estimate_within_5pct"),
+    )
+
+
+@register(
     "streaming_join_then_window",
     """
     WITH wm AS (

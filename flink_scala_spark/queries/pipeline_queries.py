@@ -154,7 +154,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup", "jaccard",
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    """Quadratic-by-design ground truth for the MinHash path (SURVEY
+    X4): candidate pairs come from a raw shared-shingle self-join, so
+    worst-case cost is O(n²). Guarded — past the exact-pair bound it
+    refuses and points at `dedup_minhash_lsh`."""
+    from flink_scala_spark.pipeline import guards
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    guards.guard_exact_pairs(n * n, "dedup_ngram_jaccard", "dedup_minhash_lsh")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
 
 @register(
@@ -3110,7 +3119,14 @@ def q_bitext_mining_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are in-order folds, so both engines agree bit-for-bit."""
     from pyspark.sql import Window as W
 
+    from flink_scala_spark.pipeline import guards
+
     emb = _emb(spark, sf_dir)
+    n_a = emb.where(F.col("label") == 0).count()
+    n_b = emb.where(F.col("label") == 1).count()
+    guards.guard_exact_pairs(
+        n_a * n_b, "bitext_mining_margin", "bitext_mining_ann"
+    )
     A = similarity.flatten(emb.where(F.col("label") == 0), "a", "vec_a")
     B = similarity.flatten(emb.where(F.col("label") == 1), "b", "vec_b")
     dot = F.lit(0.0)

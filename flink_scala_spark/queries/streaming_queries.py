@@ -1618,10 +1618,18 @@ def q_streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees. Retention is UNBOUNDED by design (dedup against
     everything ever seen); the production form for unbounded ingest is
     `streaming_dedup_minhash_ttl`, which expires bucket state at the
-    watermark horizon."""
+    watermark horizon. Guarded — past the state-row bound this
+    baseline refuses and points at the TTL twin."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import guards
     from flink_scala_spark.streaming.runner import run_bounded
     from flink_scala_spark.streaming.stateful import near_dup_flags
 
+    guards.guard_unbounded_state(
+        tables.load(spark, sf_dir, "documents").count(),
+        "streaming_dedup_minhash",
+        "streaming_dedup_minhash_ttl",
+    )
     stream = sources.file_replay_id_buckets(
         spark, sf_dir, "documents", "doc_id", 8
     )

@@ -47,6 +47,7 @@ _PRIORITY = [
     "hard_negative_mining_ivf",
     "contrastive_triplets",
     "streaming_approx_ndv_hll",
+    "streaming_value_quantiles",
     # (b) latest green row is r1/r2 — refresh all 39
     "big_order_customers",
     "ann_cosine_topk",

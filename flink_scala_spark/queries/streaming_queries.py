@@ -1005,6 +1005,110 @@ def q_streaming_approx_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_value_quantiles",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    ),
+    ranked AS (
+        SELECT day_start, event_type, value,
+               row_number() OVER (PARTITION BY day_start, event_type
+                                  ORDER BY value ASC, event_id ASC) AS rn,
+               count(*) OVER (PARTITION BY day_start, event_type) AS n
+        FROM (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS day_start,
+                     event_type, value, event_id
+              FROM events) t)
+    SELECT day_start, event_type, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
+           max(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,
+           max(CASE WHEN rn = ceil(0.99 * n) THEN value END) AS p99,
+           TRUE AS within_gk_bound
+    FROM ranked, wm GROUP BY day_start, event_type, wm.w
+    HAVING day_start + 86400 <= wm.w
+    """,
+    "sketch", "quantile", "streaming",
+)
+def q_streaming_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_quantiles_certified`'s live twin, completing the live
+    sketch family (CMS: X129, HLL: X158): per-day per-type GK
+    quantile sketches (`percentile_approx`) maintained IN the
+    streaming windowed aggregation — fixed-size mergeable summaries
+    merged across microbatches, the 100 TB quantile path — then
+    audited after the run by a batch exact-rank join: each sketch
+    value must land between the exact order statistics at target ∓
+    (n/accuracy + 1) ranks (the GK guarantee, which survives the
+    incremental merge order), and the streamed per-window count must
+    equal the exact one. The oracle pins the exact quantiles and the
+    literal TRUE; the last open day is withheld by the watermark on
+    both engines.
+
+    100 TB shape: streaming state is one O(accuracy) summary per
+    (day, type) group regardless of row count; the exact branch is
+    post-hoc audit machinery, not part of the streaming plan (pin:
+    exactly one StateStoreSave)."""
+    from pyspark.sql import Window as W
+
+    from flink_scala_spark import tables
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    agg = (
+        ev.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.9, 0.99], 1000).alias("apx"),
+            F.count("*").alias("n_stream"),
+        )
+    )
+    out = run_bounded(agg, "append").select(
+        F.col("window.start").cast("long").alias("day_start"),
+        "event_type",
+        "apx",
+        "n_stream",
+    )
+
+    ev_b = tables.load(spark, sf_dir, "events").select(
+        (F.floor(epoch_seconds("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("day_start"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    wo = W.partitionBy("day_start", "event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    wn = W.partitionBy("day_start", "event_type")
+    ranked = ev_b.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    slack = F.ceil(F.col("n") / F.lit(1000)) + F.lit(1)
+    aggs = [F.max("n").alias("n")]
+    for q, p in ((0.5, 50), (0.9, 90), (0.99, 99)):
+        target = F.ceil(F.lit(q) * F.col("n"))
+        lo_r = F.greatest(F.lit(1).cast("long"), target - slack)
+        hi_r = F.least(F.col("n").cast("long"), target + slack)
+        aggs += [
+            F.max(F.when(F.col("rn") == target, F.col("value"))).alias(f"p{p}"),
+            F.max(F.when(F.col("rn") == lo_r, F.col("value"))).alias(f"_lo{p}"),
+            F.max(F.when(F.col("rn") == hi_r, F.col("value"))).alias(f"_hi{p}"),
+        ]
+    audit = ranked.groupBy("day_start", "event_type").agg(*aggs)
+    cert = F.col("n_stream") == F.col("n")
+    for i, p in enumerate((50, 90, 99)):
+        apx_p = F.element_at("apx", i + 1)
+        cert = cert & (apx_p >= F.col(f"_lo{p}")) & (apx_p <= F.col(f"_hi{p}"))
+    return out.join(audit, ["day_start", "event_type"]).select(
+        "day_start",
+        "event_type",
+        "n",
+        "p50",
+        "p90",
+        "p99",
+        cert.alias("within_gk_bound"),
+    )
+
+
+@register(
     "streaming_join_then_window",
     """
     WITH wm AS (

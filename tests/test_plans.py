@@ -447,6 +447,7 @@ STREAMING_PLAN_PINS = {
     "streaming_interval_join_full_outer": {"SYM": 1},
     "streaming_dedup_then_window": {"DEDUP": 1, "SSS": 1},
     "streaming_approx_ndv_hll": {"DEDUP": 1, "SSS": 1},
+    "streaming_value_quantiles": {"SSS": 1},
     "streaming_join_then_window": {"SYM": 1, "SSS": 1},
     "streaming_rising_alarm_tws": {"TWS": 1},
     "streaming_session_summary_tws": {"TWS": 1},

@@ -48,6 +48,7 @@ _PRIORITY = [
     "contrastive_triplets",
     "streaming_approx_ndv_hll",
     "streaming_value_quantiles",
+    "ann_recall_report",
     # (b) latest green row is r1/r2 — refresh all 39
     "big_order_customers",
     "ann_cosine_topk",

@@ -508,6 +508,86 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.unionByName(neg)
 
 
+# The ann_ivf_topk oracle with the probe budget widened 4 -> 8; the
+# "WHERE r <= 4" fragment appears exactly once (the probes CTE), so
+# the substitution is unambiguous.
+_IVF_ORACLE_P8 = QUERIES["ann_ivf_topk"].oracle.replace(
+    "t WHERE r <= 4", "t WHERE r <= 8"
+)
+assert _IVF_ORACLE_P8 != QUERIES["ann_ivf_topk"].oracle
+
+
+@register(
+    "ann_recall_report",
+    """
+    WITH ex AS ({exact}),
+    iv4 AS ({ivf4}),
+    iv8 AS ({ivf8}),
+    ec AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+    h4 AS (SELECT iv4.query_id, count(*) AS n_hit
+           FROM iv4 JOIN ex ON ex.query_id = iv4.query_id
+                           AND ex.neighbor_id = iv4.neighbor_id
+           GROUP BY 1),
+    h8 AS (SELECT iv8.query_id, count(*) AS n_hit
+           FROM iv8 JOIN ex ON ex.query_id = iv8.query_id
+                           AND ex.neighbor_id = iv8.neighbor_id
+           GROUP BY 1)
+    SELECT ec.query_id,
+           CAST(ec.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(h4.n_hit, 0) AS BIGINT) AS n_hit_p4,
+           CAST(coalesce(h4.n_hit, 0) AS DOUBLE)
+               / CAST(ec.n_exact AS DOUBLE) AS recall_p4,
+           CAST(coalesce(h8.n_hit, 0) AS BIGINT) AS n_hit_p8,
+           CAST(coalesce(h8.n_hit, 0) AS DOUBLE)
+               / CAST(ec.n_exact AS DOUBLE) AS recall_p8
+    FROM ec LEFT JOIN h4 ON h4.query_id = ec.query_id
+            LEFT JOIN h8 ON h8.query_id = ec.query_id
+    """.format(
+        exact=QUERIES["ann_cosine_topk"].oracle,
+        ivf4=QUERIES["ann_ivf_topk"].oracle,
+        ivf8=_IVF_ORACLE_P8,
+    ),
+    "similarity", "ann", "evaluation",
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality monitoring: per-query recall@5 of the IVF index
+    against the exact top-5 (`ann_cosine_topk`), at BOTH the serving
+    probe budget (nprobe=4, `ann_ivf_topk`'s setting) and the doubled
+    one (nprobe=8) — the recall/nprobe tradeoff curve every production
+    ANN deployment measures before trusting an index or after
+    maintenance (X150). All three inputs are deterministic, so the
+    recall values themselves hash-match (no certificate needed); the
+    oracle nests the ANN oracles verbatim. Scale shape: every top-k
+    frame is queries x k rows — the comparison joins constant-size
+    artifacts, never the corpus."""
+    emb = _emb(spark, sf_dir)
+    pred = F.col("vec_id") % 50 == 0
+    exact = similarity.cosine_topk_vectorized(emb, pred, k=5)
+    ex_cnt = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    out = ex_cnt
+    for nprobe in (4, 8):
+        ivf = similarity.ivf_topk_vectorized(emb, pred, k=5, nprobe=nprobe)
+        hits = (
+            ivf.join(
+                exact.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count("*").alias(f"n_hit_p{nprobe}"))
+        )
+        out = out.join(F.broadcast(hits), "query_id", "left").na.fill(
+            {f"n_hit_p{nprobe}": 0}
+        )
+    return out.select(
+        "query_id",
+        "n_exact",
+        "n_hit_p4",
+        (F.col("n_hit_p4") / F.col("n_exact")).alias("recall_p4"),
+        "n_hit_p8",
+        (F.col("n_hit_p8") / F.col("n_exact")).alias("recall_p8"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -31,12 +31,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
 # Round-6 rotation (VERDICT r5 ask #1: after round 6 no entry's latest
-# green driver row may predate round 3): (a) the 2 round-6 additions
-# with no driver row yet (idle-key TTL alarm twin, ANN-blocked bitext
-# mining); (b) ALL 39 entries whose latest green row is round 1 or 2 —
-# four-plus rounds stale; (c) the remaining 9 slots refresh the stalest
-# round-3 rows, one per operator family. Everything rotated out stays
-# oracle-checked at sf0.001 on every pytest run
+# green driver row may predate round 3): (a) the 11 round-6 additions
+# with no driver row yet; (b) ALL 39 entries whose latest green row is
+# round 1 or 2 — four-plus rounds stale. That fills the head exactly;
+# the round-3-era refreshes listed below slot 50 keep their r3 green
+# rows (still within the "nothing predates r3" bar). Everything below
+# slot 50 stays oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # tests/test_catalog_oracle.py::test_driver_priority_head_is_valid.
 _PRIORITY = [
@@ -49,6 +49,9 @@ _PRIORITY = [
     "streaming_approx_ndv_hll",
     "streaming_value_quantiles",
     "ann_recall_report",
+    "boilerplate_shingle_flags",
+    "vocab_oov_rate",
+    "temperature_mixture",
     # (b) latest green row is r1/r2 — refresh all 39
     "big_order_customers",
     "ann_cosine_topk",
@@ -89,19 +92,19 @@ _PRIORITY = [
     "text_repetition",
     "text_tfidf_top_terms",
     "top_supplier_revenue",
-    # (c) stalest round-3 rows, one per operator family (three demoted
-    # below slot 50 to make room for the contrastive-mining additions —
-    # their families stay represented in (b) and they keep their r3
-    # green rows plus the per-pytest sf0.001 oracle check)
+    # round-3-era rows, now all below slot 50 (the round-6 additions
+    # filled the head) — their families stay represented in (b) and
+    # they keep their r3 green rows plus the per-pytest sf0.001 check
     "ann_ivf_topk",
     "dataset_split",
     "delta_alarm",
     "embedding_near_dup",
-    "multimodal_resize",
     "skew_join_salted",
     "side_output_alarm",
-    "generated_order_dashboard",
-    "late_data_accounting",
+    # (three more r3 rows demoted below slot 50 for the late round-6
+    # text/sampling additions — generated_order_dashboard,
+    # late_data_accounting, multimodal_resize keep their r3 green rows
+    # plus the per-pytest sf0.001 oracle check)
 ]
 
 

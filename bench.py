@@ -86,6 +86,9 @@ HEADLINE = [
     "length_outliers",
     "hard_negative_mining_ivf",
     "contrastive_triplets",
+    "boilerplate_shingle_flags",
+    "vocab_oov_rate",
+    "temperature_mixture",
 ]
 
 

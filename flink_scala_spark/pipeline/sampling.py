@@ -285,3 +285,58 @@ def cms_oracle_sql() -> str:
     SELECT e.word, e.exact_cnt, est.cms_cnt
     FROM exact e JOIN est ON est.word = e.word
     """
+
+
+def temperature_mixture(docs, id_col: str = "doc_id", budget_div: int = 2):
+    """Temperature-scaled source rebalancing (the mT5/XLM-R multilingual
+    mix): per-source sampling weight ∝ n_source^alpha with alpha=1/2,
+    so over-represented sources are down-weighted and the tail is
+    up-weighted, under a total budget of total/``budget_div`` docs.
+
+    alpha is FIXED at 1/2 because IEEE-754 requires ``sqrt`` to be
+    correctly rounded — ``floor(sqrt(n))`` is bit-identical in Spark
+    and DuckDB, while a general ``pow(n, alpha)`` is not guaranteed
+    correctly rounded and could flip a floor at the boundary between
+    engines. Everything else is BIGINT floor arithmetic and the
+    content-hash admission rule of ``corpus_mixture``, so the mix is
+    reproducible under any partitioning/retry.
+
+    Shape at scale: one tiny per-source agg, a 1-row total broadcast,
+    rates broadcast back, the corpus filtered in one scan pass — the
+    big table is never shuffled."""
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark.functions import h60
+
+    base = docs.select(F.col(id_col).alias("doc_id"), "source")
+    per_src = base.groupBy("source").agg(F.count("*").alias("n_docs"))
+    weighted = per_src.select(
+        "source", "n_docs", F.floor(F.sqrt(F.col("n_docs"))).alias("w")
+    )
+    totals = weighted.agg(
+        F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w")
+    )
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(f"(total div {budget_div}) * w div sum_w").alias("target_n"),
+        F.expr(
+            f"least(CAST(1000000 AS BIGINT),"
+            f" ((total div {budget_div}) * w div sum_w) * 1000000 div n_docs)"
+        ).alias("keep_ppm"),
+    )
+    kept = (
+        base.join(F.broadcast(rates.select("source", "keep_ppm")), "source")
+        .where((h60(F.col("doc_id").cast("string")) % 1_000_000) < F.col("keep_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "w",
+        "target_n",
+        "keep_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -859,3 +859,119 @@ def bm25_scores(
     return scored.select(
         "doc_id", "dl", F.round(score, 6).alias("bm25")
     )
+
+
+def boilerplate_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_w: int = 5,
+    min_docs: int = 3,
+    flag_frac: float = 0.3,
+) -> DataFrame:
+    """Template/boilerplate detection, the C4/CCNet "frequent line"
+    filter adapted to whole-word shingles: a shingle (``shingle_w``
+    consecutive words) is boilerplate within a source if it appears in
+    >= ``min_docs`` DISTINCT documents of that source; a document is
+    flagged when >= ``flag_frac`` of its distinct shingles are
+    boilerplate (navigation chrome, cookie banners, footer templates).
+
+    Scale shape: explode to distinct (doc, source, shingle), ONE
+    hash-partitioned count on (source, shingle), join back on the same
+    key (co-partitioned, no extra exchange), then one doc-keyed agg —
+    linear in corpus shingles, never pairwise. At 100 TB the shuffle
+    key would be ``xxhash64(source, shingle)`` instead of the raw
+    string (64-bit collisions ~n^2/2^65 — negligible but nonzero, so
+    the test-scale path keeps the exact string key the oracle can
+    mirror).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_sh = F.size(toks) - shingle_w + 1
+    # Spark's sequence(1, 0) yields [1, 0] (it infers step -1 when
+    # start > stop), so a doc shorter than the shingle width must get
+    # an explicit empty position list, not sequence(1, greatest(..)).
+    positions = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_w)),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    counts = shingles.groupBy("source", "shingle").agg(
+        F.count("*").alias("n_docs_with")
+    )
+    per_doc = (
+        shingles.join(counts, ["source", "shingle"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("n_docs_with") >= min_docs, 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0, F.col("n_boiler") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.coalesce(frac, F.lit(0.0)).alias("boiler_frac"),
+            (F.coalesce(frac, F.lit(0.0)) >= flag_frac).alias("is_boilerplate"),
+        )
+    )
+
+
+def vocab_oov_rate(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = 100
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build the top-``vocab_size``
+    corpus vocabulary (by total occurrences, ties broken by token
+    text), then score every document's out-of-vocabulary token rate —
+    the pre-training check that a fixed tokenizer vocabulary actually
+    covers a new data source (high OOV => the source degrades into
+    byte-fallback soup).
+
+    Scale shape: one map-combinable token count, a distributed top-V
+    cut (V rows), vocabulary BROADCAST back over the exploded tokens
+    (no corpus shuffle for membership), one doc-keyed agg. The corpus
+    is scanned twice but never joined to itself.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        # orderBy+limit plans as TakeOrderedAndProject: per-partition
+        # top-V then a V-row driver merge — never the single-partition
+        # sort a global row_number() window would force.
+        .orderBy(F.col("n").desc(), "word")
+        .limit(vocab_size)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+        )
+    )

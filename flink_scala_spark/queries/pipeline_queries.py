@@ -3731,3 +3731,112 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_n3 = n_d * (n_d * q_d - s_d * s_d)
     flag = (n_d * dev * dev > F.lit(_OUT_K * _OUT_K).cast(dec) * var_n3).cast("int")
     return j.select("doc_id", "lang", "source", "toks", flag.alias("is_outlier"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 late additions: boilerplate detection, vocabulary coverage,
+# temperature-scaled mixing (X161-X163)
+# ---------------------------------------------------------------------------
+
+@register(
+    "boilerplate_shingle_flags",
+    """
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source,
+                  array_to_string(w[i:i+4], ' ') AS shingle
+           FROM toks, unnest(generate_series(1, greatest(len(w) - 4, 0))) AS g(i)),
+    cnt AS (SELECT source, shingle, count(*) AS n_docs_with
+            FROM sh GROUP BY 1, 2),
+    per AS (SELECT s.doc_id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN c.n_docs_with >= 3 THEN 1 ELSE 0 END) AS n_boiler
+            FROM sh s JOIN cnt c ON s.source = c.source AND s.shingle = c.shingle
+            GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           CASE WHEN coalesce(p.n_shingles, 0) > 0
+                THEN CAST(p.n_boiler AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+                ELSE 0.0 END AS boiler_frac,
+           (CASE WHEN coalesce(p.n_shingles, 0) > 0
+                 THEN CAST(p.n_boiler AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+                 ELSE 0.0 END) >= 0.3 AS is_boilerplate
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+    "text", "quality", "boilerplate",
+)
+def q_boilerplate_shingle_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style boilerplate detection at word-shingle granularity
+    (X161): a 5-word shingle repeated across >= 3 distinct docs of the
+    same source is template chrome; docs whose distinct-shingle set is
+    >= 30% boilerplate get flagged. One (source, shingle) count + a
+    co-partitioned join back + one doc agg — linear, never pairwise
+    (see text.boilerplate_flags for the 100 TB key-hashing note)."""
+    return text.boilerplate_flags(_docs(spark, sf_dir))
+
+
+@register(
+    "vocab_oov_rate",
+    """
+    WITH tok AS (SELECT doc_id, w AS word
+                 FROM documents, unnest(string_split(text, ' ')) AS t(w)
+                 WHERE w <> ''),
+    vocab AS (SELECT word FROM (SELECT word, count(*) AS n FROM tok GROUP BY 1)
+              ORDER BY n DESC, word LIMIT 100)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON v.word = t.word
+    GROUP BY 1
+    """,
+    "text", "tokenizer", "audit",
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit (X162): top-100 corpus
+    vocabulary by occurrence count (ties by token), then each doc's
+    out-of-vocabulary token rate — the check that a fixed vocab covers
+    a new source before training on it. Top-V is a distributed
+    TakeOrdered (V rows to the driver), membership a broadcast join —
+    the corpus is scanned, never self-joined."""
+    return text.vocab_oov_rate(_docs(spark, sf_dir))
+
+
+@register(
+    "temperature_mixture",
+    f"""
+    WITH base AS (SELECT doc_id, source FROM documents),
+    per_src AS (SELECT source, count(*) AS n_docs FROM base GROUP BY 1),
+    wsrc AS (SELECT source, n_docs,
+                    CAST(floor(sqrt(n_docs)) AS BIGINT) AS w FROM per_src),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                   CAST(sum(w) AS BIGINT) AS sum_w FROM wsrc),
+    rates AS (SELECT source, n_docs, w,
+                     (tot.total // 2) * w // tot.sum_w AS target_n,
+                     least(CAST(1000000 AS BIGINT),
+                           ((tot.total // 2) * w // tot.sum_w) * 1000000 // n_docs)
+                         AS keep_ppm
+              FROM wsrc CROSS JOIN tot),
+    kept AS (SELECT b.source, count(*) AS n_kept
+             FROM base b JOIN rates r ON b.source = r.source
+             WHERE {duck_h60("CAST(doc_id AS VARCHAR)")} % 1000000 < r.keep_ppm
+             GROUP BY 1)
+    SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.w, r.target_n,
+           r.keep_ppm, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+    "sampling", "mixture", "temperature",
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source rebalancing (X163), the mT5/XLM-R
+    multilingual mix with alpha=1/2: weight ∝ sqrt(n_source) under a
+    total/2 budget, admission by content hash. alpha is pinned to 1/2
+    because IEEE sqrt is correctly rounded (bit-identical across
+    engines) where general pow is not — see
+    sampling.temperature_mixture. One tiny per-source agg + a 1-row
+    broadcast; the corpus is filtered in-scan, never shuffled."""
+    from flink_scala_spark.pipeline import sampling
+
+    return sampling.temperature_mixture(_docs(spark, sf_dir))

@@ -566,3 +566,64 @@ def test_classify_late_rejects_non_integral_order_col(spark):
     ).withColumn("ts", F.current_timestamp())
     with _pytest.raises(TypeError, match="integral order_col"):
         windows.classify_late(df, "ts", "arrival", 10, 50)
+
+
+def test_boilerplate_flags_template_docs_and_short_doc_guard(spark):
+    """Docs sharing a 5-word template across >=3 docs of one source get
+    flagged; a doc SHORTER than the shingle width yields zero shingles
+    (Spark's sequence(1,0) = [1,0] pitfall) and is never flagged; the
+    same template in a DIFFERENT source does not count toward the
+    threshold (per-source scoping)."""
+    tpl = "all rights reserved cookie banner"
+    rows = [
+        (1, f"{tpl}", "srcA"),
+        (2, f"{tpl}", "srcA"),
+        (3, f"{tpl}", "srcA"),
+        (4, "completely original words here nothing shared", "srcA"),
+        (5, "tiny doc", "srcA"),  # < 5 words -> 0 shingles
+        (6, f"{tpl}", "srcB"),  # same template, other source: alone
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in text.boilerplate_flags(docs).collect()
+    }
+    assert out[1]["is_boilerplate"] and out[2]["is_boilerplate"] and out[3]["is_boilerplate"]
+    assert out[1]["n_shingles"] == 1 and out[1]["n_boiler"] == 1
+    assert not out[4]["is_boilerplate"] and out[4]["n_boiler"] == 0
+    assert out[5]["n_shingles"] == 0 and out[5]["boiler_frac"] == 0.0
+    assert not out[5]["is_boilerplate"]
+    # srcB has only one doc with the template -> below min_docs
+    assert not out[6]["is_boilerplate"]
+
+
+def test_vocab_oov_rate_top_v_cut_and_tie_break(spark):
+    """With vocab_size=2 the two most frequent tokens (ties broken by
+    token text) form the vocab; every other token counts as OOV."""
+    rows = [
+        (1, "aa aa bb bb cc"),  # aa:2 bb:2 cc:1 -> vocab {aa, bb}
+        (2, "aa cc dd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.vocab_oov_rate(docs, vocab_size=2).collect()}
+    assert out[1]["n_tokens"] == 5 and out[1]["n_oov"] == 1
+    assert abs(out[1]["oov_rate"] - 0.2) < 1e-12
+    assert out[2]["n_tokens"] == 3 and out[2]["n_oov"] == 2
+
+
+def test_temperature_mixture_rebalances_toward_small_sources(spark):
+    """alpha=1/2 rebalancing: the keep RATE of a small source must be
+    >= that of a large one (sqrt compresses the head), w = floor(sqrt(n)),
+    and no source is sampled above availability (keep_ppm <= 1e6)."""
+    from flink_scala_spark.pipeline.sampling import temperature_mixture
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(16)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in temperature_mixture(docs).collect()}
+    assert out["big"]["w"] == 20 and out["small"]["w"] == 4
+    assert out["big"]["keep_ppm"] <= 1_000_000
+    assert out["small"]["keep_ppm"] >= out["big"]["keep_ppm"]
+    # budget: total target <= total/2
+    assert out["big"]["target_n"] + out["small"]["target_n"] <= 208
+    # kept counts actually follow the admission rule (non-trivial sample)
+    assert 0 < out["big"]["n_kept"] <= 400

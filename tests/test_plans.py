@@ -270,6 +270,7 @@ BNLJ_OK = {
     "source_reputation_filter",
     "text_rare_token_novelty",
     "corpus_mixture",
+    "temperature_mixture",
     "bm25_search",           # query-constant + corpus-stats broadcasts
     "hybrid_retrieval_rrf",  # constant-size top-100 fusion inputs
     "bpe_merges",            # per-round 1-row best-pair broadcast

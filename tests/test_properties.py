@@ -877,3 +877,96 @@ def test_morton_interleave_reference(ba, bb):
     ra = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
     rb = sum(((z >> (2 * i)) & 1) << i for i in range(8))
     assert (ra, rb) == (ba, bb)
+
+
+@settings(**SETTINGS)
+@given(docs_strategy, st.integers(1, 4))
+def test_boilerplate_flags_match_python_reference(spark, texts_, npart):
+    """boilerplate_flags against a plain-Python recount, and invariant
+    to input partitioning (the counts are content-derived, never
+    partition-derived). Single-word-alphabet docs make shingle
+    collisions common — the interesting regime."""
+    from collections import defaultdict
+
+    from flink_scala_spark.pipeline.text import boilerplate_flags
+
+    rows = [(i, t, f"src{i % 2}") for i, t in enumerate(texts_)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).repartition(npart)
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"], r["is_boilerplate"])
+        for r in boilerplate_flags(docs, shingle_w=3, min_docs=2).collect()
+    }
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    counts = defaultdict(int)
+    for i, t, s in rows:
+        for sh in shingles(t):
+            counts[(s, sh)] += 1
+    for i, t, s in rows:
+        shs = shingles(t)
+        nb = sum(1 for sh in shs if counts[(s, sh)] >= 2)
+        flag = len(shs) > 0 and nb / len(shs) >= 0.3
+        assert got[i] == (len(shs), nb, flag), (i, t)
+
+
+@settings(**SETTINGS)
+@given(docs_strategy, st.integers(1, 3))
+def test_vocab_oov_rate_matches_python_reference(spark, texts_, v):
+    """vocab_oov_rate against a plain-Python top-V + recount, including
+    the (count desc, token asc) tie-break at the vocabulary boundary."""
+    from collections import Counter
+
+    from flink_scala_spark.pipeline.text import vocab_oov_rate
+
+    rows = [(i, t) for i, t in enumerate(texts_)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"])
+        for r in vocab_oov_rate(docs, vocab_size=v).collect()
+    }
+    c = Counter(w for _, t in rows for w in t.split(" ") if w)
+    vocab = {w for w, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:v]}
+    for i, t in rows:
+        toks = [w for w in t.split(" ") if w]
+        if not toks:
+            assert i not in got
+            continue
+        assert got[i] == (len(toks), sum(1 for w in toks if w not in vocab))
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 3)),
+             min_size=4, max_size=60, unique_by=lambda r: r[0]),
+    st.integers(1, 4),
+)
+def test_temperature_mixture_stable_under_repartitioning(spark, rows, npart):
+    """The admission set is content-hash derived, so the audit row
+    (including n_kept) must be identical under any partitioning, and
+    every target obeys the sqrt-weight formula exactly."""
+    import math
+
+    from flink_scala_spark.pipeline.sampling import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [(i, f"src{s}") for i, s in rows], "doc_id long, source string"
+    )
+    a = sorted(map(tuple, temperature_mixture(docs).collect()))
+    b = sorted(map(tuple, temperature_mixture(docs.repartition(npart)).collect()))
+    assert a == b
+    n_by_src = {}
+    for i, s in rows:
+        n_by_src[f"src{s}"] = n_by_src.get(f"src{s}", 0) + 1
+    total = sum(n_by_src.values())
+    sum_w = sum(math.isqrt(n) for n in n_by_src.values())
+    for src, n_docs, w, target_n, keep_ppm, n_kept in a:
+        assert n_docs == n_by_src[src]
+        assert w == math.isqrt(n_docs)
+        assert target_n == (total // 2) * w // sum_w
+        assert keep_ppm == min(10**6, target_n * 10**6 // n_docs)
+        assert 0 <= n_kept <= n_docs

@@ -89,6 +89,7 @@ HEADLINE = [
     "boilerplate_shingle_flags",
     "vocab_oov_rate",
     "temperature_mixture",
+    "bpe_encode",
 ]
 
 

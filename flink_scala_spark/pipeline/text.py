@@ -592,13 +592,32 @@ def bpe_merges(docs: DataFrame, text_col: str = "text", iters: int = 3) -> DataF
     Exactness: pure integer counts, lexicographic tie-breaks, and a
     deterministic merge fold — the DuckDB oracle unrolls the same
     iterations and matches exactly."""
-    words = (
+    wf, merge_rows = _bpe_train_loop(
+        _word_freqs(docs, text_col).select(
+            "freq", F.split("word", "").alias("syms")
+        ),
+        iters,
+        carry=("freq",),
+    )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
-    wf = words.select("freq", F.split("word", "").alias("syms"))
+
+
+def _bpe_train_loop(wf, iters: int, carry: tuple[str, ...]):
+    """The shared BPE training loop: ``wf`` must have ``freq`` and
+    ``syms`` plus any ``carry`` columns passed through untouched.
+    Returns the final symbol table and the per-iteration merge rows."""
     merge_rows = []
     for it in range(1, iters + 1):
         # sequence(1, 0) DESCENDS in Spark (same trap as fingerprint):
@@ -624,13 +643,50 @@ def bpe_merges(docs: DataFrame, text_col: str = "text", iters: int = 3) -> DataF
         )
         merge_rows.append(best.select(F.lit(it).alias("iteration"), "*"))
         wf = wf.crossJoin(F.broadcast(best)).select(
-            "freq",
+            *carry,
             _bpe_merge_fold(F.col("syms"), F.col("pair_a"), F.col("pair_b")).alias("syms"),
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+    return wf, merge_rows
+
+
+def bpe_encode(docs: DataFrame, text_col: str = "text", iters: int = 3) -> DataFrame:
+    """Tokenizer fertility report: learn ``iters`` BPE merges over the
+    corpus (exactly :func:`bpe_merges`), APPLY them to the vocabulary,
+    and score every document's tokens-per-word fertility — the metric
+    that decides whether a tokenizer is economical on a corpus before
+    a training run prices it in GPU-hours.
+
+    Scale shape: the merge loop runs over the vocabulary table (orders
+    of magnitude smaller than the corpus); encoded symbol counts join
+    back to the exploded token stream on ``word`` (AQE broadcasts the
+    vocabulary at test scale; at 100 TB vocabulary this becomes the
+    standard shuffle hash join — either way the corpus is scanned
+    twice and never self-joined), then one doc-keyed agg."""
+    wf, _ = _bpe_train_loop(
+        _word_freqs(docs, text_col).select(
+            "word", "freq", F.split("word", "").alias("syms")
+        ),
+        iters,
+        carry=("word", "freq"),
+    )
+    wlen = wf.select("word", F.size("syms").cast("long").alias("n_syms"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).where(F.col("word") != "")
+    return (
+        tok.join(wlen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
+        )
+    )
 
 
 def fuzzy_string_pairs(values: DataFrame, col: str = "word") -> DataFrame:

@@ -3840,3 +3840,68 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_scala_spark.pipeline import sampling
 
     return sampling.temperature_mixture(_docs(spark, sf_dir))
+
+
+# bpe_encode needs the word string carried through the merge
+# iterations (bpe_merges' template drops it after w0).
+_BPE_ITER_W = (
+    """
+    pc{it} AS (SELECT s.syms[i] AS a, s.syms[i + 1] AS b,
+                      CAST(sum(freq) AS BIGINT) AS pf
+               FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
+                     FROM w{prev}) s
+               GROUP BY 1, 2),
+    b{it} AS (SELECT a, b, pf FROM (
+              SELECT a, b, pf, row_number() OVER (ORDER BY pf DESC, a, b) AS rn
+              FROM pc{it}) t WHERE rn = 1),
+    w{it} AS (SELECT word, freq, """
+    + _BPE_UNENC
+    + """ AS syms FROM (
+              SELECT word, freq, """
+    + _BPE_FOLD
+    + """ AS enc
+              FROM w{prev} CROSS JOIN b{it} bb) t2)
+"""
+)
+
+
+def _bpe_iter_w(it: int) -> str:
+    return _BPE_ITER_W.format(it=it, prev=it - 1, a="bb.a", b="bb.b")
+
+
+@register(
+    "bpe_encode",
+    f"""
+    WITH wordfreq AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        WHERE word <> '' GROUP BY 1),
+    w0 AS (SELECT word, freq,
+                  list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, CAST(i AS INT), 1)) AS syms
+           FROM wordfreq),
+    {_bpe_iter_w(1)},
+    {_bpe_iter_w(2)},
+    {_bpe_iter_w(3)},
+    wlen AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM w3),
+    tok AS (SELECT doc_id, w AS word
+            FROM documents, unnest(string_split(text, ' ')) AS t(w)
+            WHERE w <> '')
+    SELECT tok.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(wl.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(wl.n_syms) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+    FROM tok JOIN wlen wl ON wl.word = tok.word
+    GROUP BY 1
+    """,
+    "text", "tokenizer", "iterative",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report (X164): learn 3 BPE merges over the
+    corpus (identical to `bpe_merges`), apply them to the vocabulary,
+    and score every doc's tokens-per-word fertility — the tokenizer
+    ENCODE step `bpe_merges` trains but never applied. Merge loop runs
+    on the vocabulary table; symbol counts join back to the token
+    stream on word (broadcast at test scale, shuffle hash join at
+    100 TB vocabularies); see text.bpe_encode."""
+    return text.bpe_encode(_docs(spark, sf_dir), iters=3)

@@ -627,3 +627,45 @@ def test_temperature_mixture_rebalances_toward_small_sources(spark):
     assert out["big"]["target_n"] + out["small"]["target_n"] <= 208
     # kept counts actually follow the admission rule (non-trivial sample)
     assert 0 < out["big"]["n_kept"] <= 400
+
+
+def test_bpe_encode_fertility_matches_python_reference(spark):
+    """bpe_encode against a pure-Python train+apply: the learned
+    merges compress the vocabulary, and each doc's token count is the
+    sum of its words' post-merge symbol counts."""
+    from collections import Counter
+
+    corpus = ["low low low lower lowest", "new newer newest", "low new"]
+    docs = _docs(spark, list(enumerate(corpus)))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"], r["fertility"])
+        for r in text.bpe_encode(docs, iters=3).collect()
+    }
+    vocab = Counter(w for t in corpus for w in t.split())
+    words = {w: list(w) for w in vocab}
+    for _ in range(3):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += vocab[w]
+        (a, b), _f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in words.items():
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            words[w] = out
+    for i, t in enumerate(corpus):
+        toks = t.split()
+        nb = sum(len(words[w]) for w in toks)
+        assert got[i] == (len(toks), nb, nb / len(toks)), (i, got[i])
+    # the merges actually compressed something
+    assert any(got[i][1] < sum(len(w) for w in corpus[i].split()) for i in got)

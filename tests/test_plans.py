@@ -274,6 +274,7 @@ BNLJ_OK = {
     "bm25_search",           # query-constant + corpus-stats broadcasts
     "hybrid_retrieval_rrf",  # constant-size top-100 fusion inputs
     "bpe_merges",            # per-round 1-row best-pair broadcast
+    "bpe_encode",            # same training loop, same per-round cross
     "skew_join_salted",      # the salt-array explode cross, by design
     # documented exact all-pairs BASELINE (scale path: bitext_mining_lsh
     # / bitext_mining_ann)

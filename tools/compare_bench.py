@@ -81,4 +81,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    import signal
+
+    # die silently on a closed pipe (`compare_bench ... | head`)
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
     sys.exit(main())

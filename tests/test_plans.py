@@ -527,3 +527,15 @@ def test_ngram_lm_score_broadcasts_count_tables(spark, sf_dir):
     plan = _plan(QUERIES["ngram_lm_score"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_plan_allowlists_contain_only_live_catalog_entries():
+    """A typo'd or since-renamed name in the BNLJ / single-partition-
+    window allowlists would silently allow nothing — every allowlist
+    entry must name a live catalog query."""
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    assert BNLJ_OK <= set(QUERIES), sorted(BNLJ_OK - set(QUERIES))
+    assert SINGLE_PARTITION_WINDOW_OK <= set(QUERIES), sorted(
+        SINGLE_PARTITION_WINDOW_OK - set(QUERIES)
+    )

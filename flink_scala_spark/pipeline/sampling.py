@@ -198,16 +198,35 @@ def corpus_mixture(
 
     w = F.expr(weight_expr).cast("long")
     base = docs.select(F.col(id_col).alias("doc_id"), "source", w.alias("w"))
-    per_src = base.groupBy("source", "w").agg(F.count("*").alias("n_docs"))
-    totals = per_src.agg(
+    weighted = base.groupBy("source", "w").agg(F.count("*").alias("n_docs"))
+    return _weighted_admission_audit(base, weighted, budget_sql="total").select(
+        "source", "n_docs", "target_n", "keep_ppm", "n_kept"
+    )
+
+
+def _weighted_admission_audit(base, weighted, budget_sql: str):
+    """The mixture machinery shared by :func:`corpus_mixture` and
+    :func:`temperature_mixture`: given the corpus as ``base``
+    (doc_id, source) and per-source weights as ``weighted``
+    (source, n_docs, w), derive target_n = budget * w / Σw, the
+    availability-capped keep_ppm, and the content-hash-admitted kept
+    count. ``budget_sql`` is a SQL expression over ``total`` (e.g.
+    ``"total"`` or ``"total div 2"``). All BIGINT floor arithmetic."""
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark.functions import h60
+
+    totals = weighted.agg(
         F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w")
     )
-    rates = per_src.crossJoin(F.broadcast(totals)).select(
+    rates = weighted.crossJoin(F.broadcast(totals)).select(
         "source",
         "n_docs",
-        F.expr("(total * w) div sum_w").alias("target_n"),
+        "w",
+        F.expr(f"(({budget_sql}) * w) div sum_w").alias("target_n"),
         F.expr(
-            "least(CAST(1000000 AS BIGINT), ((total * w) div sum_w) * 1000000 div n_docs)"
+            f"least(CAST(1000000 AS BIGINT),"
+            f" (({budget_sql}) * w) div sum_w * 1000000 div n_docs)"
         ).alias("keep_ppm"),
     )
     kept = (
@@ -216,15 +235,13 @@ def corpus_mixture(
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
-    return (
-        rates.join(kept, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            "target_n",
-            "keep_ppm",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "w",
+        "target_n",
+        "keep_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
 
 
@@ -306,37 +323,10 @@ def temperature_mixture(docs, id_col: str = "doc_id", budget_div: int = 2):
     big table is never shuffled."""
     from pyspark.sql import functions as F
 
-    from flink_scala_spark.functions import h60
-
     base = docs.select(F.col(id_col).alias("doc_id"), "source")
-    per_src = base.groupBy("source").agg(F.count("*").alias("n_docs"))
-    weighted = per_src.select(
+    weighted = base.groupBy("source").agg(F.count("*").alias("n_docs")).select(
         "source", "n_docs", F.floor(F.sqrt(F.col("n_docs"))).alias("w")
     )
-    totals = weighted.agg(
-        F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w")
-    )
-    rates = weighted.crossJoin(F.broadcast(totals)).select(
-        "source",
-        "n_docs",
-        "w",
-        F.expr(f"(total div {budget_div}) * w div sum_w").alias("target_n"),
-        F.expr(
-            f"least(CAST(1000000 AS BIGINT),"
-            f" ((total div {budget_div}) * w div sum_w) * 1000000 div n_docs)"
-        ).alias("keep_ppm"),
-    )
-    kept = (
-        base.join(F.broadcast(rates.select("source", "keep_ppm")), "source")
-        .where((h60(F.col("doc_id").cast("string")) % 1_000_000) < F.col("keep_ppm"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_kept"))
-    )
-    return rates.join(kept, "source", "left").select(
-        "source",
-        "n_docs",
-        "w",
-        "target_n",
-        "keep_ppm",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    return _weighted_admission_audit(
+        base, weighted, budget_sql=f"total div {budget_div}"
     )

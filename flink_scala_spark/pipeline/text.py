@@ -641,7 +641,16 @@ def _bpe_train_loop(wf, iters: int, carry: tuple[str, ...]):
             F.col("m.b").alias("pair_b"),
             (-F.col("m.nf")).cast("long").alias("pair_freq"),
         )
-        merge_rows.append(best.select(F.lit(it).alias("iteration"), "*"))
+        # If the pair table is exhausted (every word fully merged),
+        # agg-of-empty yields one all-NULL best row: the fold merges
+        # nothing (NULL comparisons are never true) and the iteration
+        # must emit NO merge row — matching the oracle, whose empty
+        # b{it} contributes zero rows to the final UNION.
+        merge_rows.append(
+            best.where(F.col("pair_a").isNotNull()).select(
+                F.lit(it).alias("iteration"), "*"
+            )
+        )
         wf = wf.crossJoin(F.broadcast(best)).select(
             *carry,
             _bpe_merge_fold(F.col("syms"), F.col("pair_a"), F.col("pair_b")).alias("syms"),
@@ -971,6 +980,9 @@ def boilerplate_flags(
             ).alias("n_boiler"),
         )
     )
+    # A doc absent from per_doc (no shingles) left-joins to NULL
+    # counts; the when() guard then falls through to 0.0, so frac is
+    # never NULL and needs no further coalescing.
     frac = F.when(
         F.col("n_shingles") > 0, F.col("n_boiler") / F.col("n_shingles")
     ).otherwise(F.lit(0.0))
@@ -981,8 +993,8 @@ def boilerplate_flags(
             "doc_id",
             F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
             F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
-            F.coalesce(frac, F.lit(0.0)).alias("boiler_frac"),
-            (F.coalesce(frac, F.lit(0.0)) >= flag_frac).alias("is_boilerplate"),
+            frac.alias("boiler_frac"),
+            (frac >= flag_frac).alias("is_boilerplate"),
         )
     )
 

@@ -1468,13 +1468,25 @@ _BPE_ITER = (
               SELECT freq, """
     + _BPE_FOLD
     + """ AS enc
-              FROM w{prev} CROSS JOIN b{it} bb) t2)
+              FROM w{prev} LEFT JOIN b{it} bb ON TRUE) t2)
 """
 )
 
 
 def _bpe_iter(it: int) -> str:
-    return _BPE_ITER.format(it=it, prev=it - 1, a="bb.a", b="bb.b")
+    # LEFT JOIN + a chr(1) sentinel keep the vocabulary intact when the
+    # pair table is EXHAUSTED before the last iteration (every word
+    # fully merged): a CROSS JOIN against the empty b{it} would
+    # annihilate w{it} and the oracle would return zero rows while
+    # Spark (whose agg-of-empty best row is all-NULL, merging nothing)
+    # returns the full result. chr(1) can never equal a symbol — the
+    # fold's state encoding already requires symbols to be chr(1)-free.
+    return _BPE_ITER.format(
+        it=it,
+        prev=it - 1,
+        a="coalesce(bb.a, chr(1))",
+        b="coalesce(bb.b, chr(1))",
+    )
 
 
 @register(
@@ -3843,30 +3855,20 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # bpe_encode needs the word string carried through the merge
-# iterations (bpe_merges' template drops it after w0).
-_BPE_ITER_W = (
-    """
-    pc{it} AS (SELECT s.syms[i] AS a, s.syms[i + 1] AS b,
-                      CAST(sum(freq) AS BIGINT) AS pf
-               FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i
-                     FROM w{prev}) s
-               GROUP BY 1, 2),
-    b{it} AS (SELECT a, b, pf FROM (
-              SELECT a, b, pf, row_number() OVER (ORDER BY pf DESC, a, b) AS rn
-              FROM pc{it}) t WHERE rn = 1),
-    w{it} AS (SELECT word, freq, """
-    + _BPE_UNENC
-    + """ AS syms FROM (
-              SELECT word, freq, """
-    + _BPE_FOLD
-    + """ AS enc
-              FROM w{prev} CROSS JOIN b{it} bb) t2)
-"""
-)
+# iterations (bpe_merges' template drops it after w0) — derived from
+# _BPE_ITER rather than duplicated, so a fix to the fold/tie-break SQL
+# can never diverge between the two.
+_BPE_ITER_W = _BPE_ITER.replace("SELECT freq,", "SELECT word, freq,")
+assert _BPE_ITER_W.count("SELECT word, freq,") == 2
 
 
 def _bpe_iter_w(it: int) -> str:
-    return _BPE_ITER_W.format(it=it, prev=it - 1, a="bb.a", b="bb.b")
+    return _BPE_ITER_W.format(
+        it=it,
+        prev=it - 1,
+        a="coalesce(bb.a, chr(1))",
+        b="coalesce(bb.b, chr(1))",
+    )
 
 
 @register(

@@ -669,3 +669,35 @@ def test_bpe_encode_fertility_matches_python_reference(spark):
         assert got[i] == (len(toks), nb, nb / len(toks)), (i, got[i])
     # the merges actually compressed something
     assert any(got[i][1] < sum(len(w) for w in corpus[i].split()) for i in got)
+
+
+def test_bpe_engines_agree_when_pairs_exhaust_early(spark):
+    """When every word is fully merged before the last iteration, the
+    pair table is EMPTY: Spark's agg-of-empty yields an all-NULL best
+    row (merging nothing, emitting no merge row) and the oracle's
+    LEFT JOIN + chr(1) sentinel keeps the vocabulary intact — both
+    engines must return identical rows (the round-6 review caught the
+    CROSS JOIN form annihilating the oracle's vocabulary here)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    rows = [(1, "ab ab ab"), (2, "ab")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # iteration 1 merges (a, b); afterwards every word is the single
+    # symbol "ab" and no pairs remain for iterations 2-3
+    merges = text.bpe_merges(docs, iters=3).collect()
+    assert [(r["iteration"], r["pair_a"], r["pair_b"], r["pair_freq"]) for r in merges] == [
+        (1, "a", "b", 4)
+    ]
+    enc = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in
+           text.bpe_encode(docs, iters=3).collect()}
+    assert enc == {1: (3, 3), 2: (1, 1)}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    o_merges = con.execute(QUERIES["bpe_merges"].oracle).fetchall()
+    assert sorted(o_merges) == [(1, "a", "b", 4)]
+    o_enc = {r[0]: (r[1], r[2]) for r in
+             con.execute(QUERIES["bpe_encode"].oracle).fetchall()}
+    assert o_enc == enc

@@ -539,3 +539,10 @@ def test_plan_allowlists_contain_only_live_catalog_entries():
     assert SINGLE_PARTITION_WINDOW_OK <= set(QUERIES), sorted(
         SINGLE_PARTITION_WINDOW_OK - set(QUERIES)
     )
+    # bench.py has the same silent-filter failure mode: a typo'd
+    # HEADLINE name would just drop that query from the benchmark
+    import bench
+
+    assert set(bench.HEADLINE) <= set(QUERIES), sorted(
+        set(bench.HEADLINE) - set(QUERIES)
+    )

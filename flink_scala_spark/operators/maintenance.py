@@ -70,6 +70,10 @@ def stage_once(path: str, write_fn) -> str:
             try:
                 os.rename(tmp, path)
             except OSError:
+                if not os.path.isdir(path):
+                    # NOT a racer (permissions, I/O, path-is-a-file):
+                    # keep the staged copy and surface the real error
+                    raise
                 # A cross-process racer renamed first; ours is a
                 # byte-equivalent duplicate — drop it.
                 shutil.rmtree(tmp, ignore_errors=True)

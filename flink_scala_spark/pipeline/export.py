@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -146,7 +147,9 @@ def export_versioned(
     a concurrent exporter's files or stray leftovers from a crashed
     write can never be claimed by this manifest; a crash before the
     manifest write strands an unreferenced ``snap-*`` directory that
-    the next vacuum collects. Readers pin a manifest and read only its
+    vacuum collects once it ages past the orphan grace window (the
+    window is what keeps vacuum from destroying an export that is
+    merely IN FLIGHT here). Readers pin a manifest and read only its
     file list, so a snapshot stays byte-stable no matter how many
     newer snapshots (or vacuums of OLDER ones) happen after it — the
     same manifest-as-source-of-truth contract Iceberg/Delta snapshots
@@ -154,8 +157,6 @@ def export_versioned(
     """
     data_dir = os.path.join(out_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
-    import uuid
-
     snap_rel = f"snap-{uuid.uuid4().hex}"
     snap_dir = os.path.join(data_dir, snap_rel)
     (
@@ -192,7 +193,8 @@ def export_versioned(
     # publish: claim the next free version number with O_EXCL (the
     # manifest file IS the commit record, so exclusive creation makes
     # version assignment race-free across processes)
-    version = (max(existing_versions(out_dir)) + 1) if existing_versions(out_dir) else 1
+    seen_versions = existing_versions(out_dir)
+    version = (max(seen_versions) + 1) if seen_versions else 1
     while True:
         manifest = {
             "version": version,
@@ -234,28 +236,84 @@ def read_snapshot(spark: SparkSession, out_dir: str, version: int) -> DataFrame:
     )
 
 
-def vacuum_exports(out_dir: str, keep_versions: int = 1) -> dict:
+def vacuum_exports(
+    out_dir: str, keep_versions: int = 1, orphan_grace_s: float = 86400.0
+) -> dict:
     """Retention: drop all but the newest ``keep_versions`` snapshots.
 
     Safety order mirrors a production vacuum: (1) compute the KEEP set
-    from the retained manifests; (2) delete unreferenced data files;
-    (3) delete the expired manifests LAST — so a crash mid-vacuum can
-    strand garbage files (re-vacuum collects them) but can never leave
-    a live manifest pointing at deleted data. Files referenced by ANY
-    retained manifest are never touched. Returns a summary dict."""
+    from the retained manifests; (2) delete the EXPIRED manifests'
+    files (plus their snapshot directories' write markers — _SUCCESS,
+    .crc — so vacuumed ``snap-*`` dirs leave no skeleton); (3) delete
+    the expired manifests LAST — so a crash mid-vacuum can strand
+    garbage files (re-vacuum collects them) but can never leave a live
+    manifest pointing at deleted data. Files referenced by ANY retained
+    manifest are never touched.
+
+    Files referenced by NO manifest at all are collected only once
+    older than ``orphan_grace_s`` (mtime) — a CONCURRENT exporter's
+    snapshot is exactly such a file set between its parquet write and
+    its O_EXCL manifest publish, and an eager delete would destroy a
+    healthy in-flight export or, worse, land between its digest pass
+    and its manifest write and publish a version whose files are gone.
+    The grace window is the same retention compromise Delta/Iceberg
+    vacuums make; crashed exports are collected by any vacuum run
+    after the window. Returns a summary dict."""
+    import time
+
     versions = existing_versions(out_dir)
     keep = set(versions[-keep_versions:]) if keep_versions > 0 else set()
     data_dir = os.path.join(out_dir, "data")
-    referenced: set[str] = set()
-    for v in keep:
+
+    def _manifest(v: int) -> dict:
         with open(os.path.join(out_dir, f"MANIFEST-v{v}.json")) as f:
-            referenced.update(json.load(f)["files"])
+            return json.load(f)
+
+    referenced: set[str] = set()
+    keep_bases: set[str] = set()
+    for v in keep:
+        m = _manifest(v)
+        referenced.update(m["files"])
+        if "base" in m:
+            keep_bases.add(m["base"])
+    expired_files: set[str] = set()
+    expired_bases: set[str] = set()
+    for v in versions:
+        if v in keep:
+            continue
+        m = _manifest(v)
+        expired_files.update(m["files"])
+        if "base" in m:
+            expired_bases.add(m["base"])
+    expired_bases -= keep_bases
+
     removed_files = []
-    for rel in sorted(_list_data_files(data_dir)):
-        if rel not in referenced:
-            os.remove(os.path.join(data_dir, rel))
+    for rel in sorted(expired_files - referenced):
+        p = os.path.join(data_dir, rel)
+        if os.path.exists(p):
+            os.remove(p)
             removed_files.append(rel)
-    # prune now-empty split directories
+    # expired snapshots' non-data residue (write markers) + true
+    # orphans past the grace window
+    cutoff = time.time() - orphan_grace_s
+    known = referenced | expired_files
+    if os.path.isdir(data_dir):
+        for root, _dirs, files in os.walk(data_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, data_dir)
+                if rel in known:
+                    continue
+                top = rel.split(os.sep)[0]
+                if top in keep_bases:
+                    continue  # a live snapshot's own markers
+                try:
+                    if top in expired_bases or os.path.getmtime(p) <= cutoff:
+                        os.remove(p)
+                        removed_files.append(rel)
+                except FileNotFoundError:
+                    pass  # a concurrent vacuum got it first
+    # prune now-empty split/snapshot directories
     for root, dirs, files in os.walk(data_dir, topdown=False):
         if root != data_dir and not os.listdir(root):
             os.rmdir(root)

@@ -45,6 +45,14 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
+def _current_entry_or(fallback: str) -> str:
+    """Name the executing catalog entry in guard errors when available
+    (import deferred: queries.catalog imports this module's callers)."""
+    from flink_scala_spark.queries import catalog
+
+    return catalog.current_query() or fallback
+
+
 def _default_parts(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
@@ -146,6 +154,7 @@ def cosine_topk_vectorized(
     dim: int = DIM,
     label_col: str | None = None,
     label_match: str | None = None,
+    guard_twin: str = "ann_ivf_topk",
 ) -> DataFrame:
     """Exact top-k cosine neighbors, Arrow+numpy path — bit-identical
     to :func:`cosine_topk`.
@@ -164,14 +173,34 @@ def cosine_topk_vectorized(
     training), ``"same"`` keeps only same-label ones (positive
     mining). The filter is a per-batch numpy mask — no extra shuffle,
     no change to the scan shape.
+
+    This is the EXACT brute-force path (corpus x queries pair space);
+    past ``guards.MAX_EXACT_PAIRS`` it refuses, naming ``guard_twin``
+    (the ANN-family entry a caller should use instead).
     """
     import numpy as np
 
+    from flink_scala_spark.pipeline import guards
+
     if label_match not in (None, "same", "diff"):
         raise ValueError(f"label_match must be None/'same'/'diff', got {label_match!r}")
+    if label_col is not None and label_match is None:
+        # the IVF sibling activates masking on label_col alone; here a
+        # silently ignored label_col would return unmasked neighbors
+        raise ValueError(
+            "label_col given without label_match — pass label_match="
+            "'same' or 'diff' (the IVF path's label_col-only form is "
+            "equivalent to label_match='diff')"
+        )
     use_labels = label_col is not None and label_match is not None
     q_cols = [id_col, vec_col] + ([label_col] if use_labels else [])
-    q_pdf = emb.where(query_pred).select(*q_cols).toPandas()
+    q_df = emb.where(query_pred).select(*q_cols)
+    guards.guard_exact_pairs(
+        emb.count() * q_df.count(),
+        _current_entry_or("cosine_topk_vectorized"),
+        guard_twin,
+    )
+    q_pdf = q_df.toPandas()
     q_ids = q_pdf[id_col].to_numpy(dtype="int64")
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     q_labels = (

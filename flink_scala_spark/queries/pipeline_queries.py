@@ -417,6 +417,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         label_col="label",
         label_match="diff",
+        guard_twin="hard_negative_mining_ivf",
     )
 
 
@@ -500,10 +501,12 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     pred = F.col("vec_id") % 50 == 0
     pos = similarity.cosine_topk_vectorized(
-        emb, pred, k=1, label_col="label", label_match="same"
+        emb, pred, k=1, label_col="label", label_match="same",
+        guard_twin="hard_negative_mining_ivf",
     ).withColumn("role", F.lit("pos"))
     neg = similarity.cosine_topk_vectorized(
-        emb, pred, k=4, label_col="label", label_match="diff"
+        emb, pred, k=4, label_col="label", label_match="diff",
+        guard_twin="hard_negative_mining_ivf",
     ).withColumn("role", F.lit("neg"))
     return pos.unionByName(neg)
 

@@ -158,3 +158,62 @@ def test_concurrent_versioned_exporters_claim_distinct_versions(
         assert {r["doc_id"] for r in rows} == {
             i for i, _, _ in corpora[tag]
         }, tag
+
+
+def test_stage_once_reraises_non_racer_rename_failures(tmp_path):
+    """A rename that fails for a reason OTHER than a racer having
+    staged the directory (here: the destination exists as a regular
+    FILE) must re-raise instead of silently discarding the staged copy
+    and returning a path that is not a directory."""
+    import os
+
+    import pytest
+
+    from flink_scala_spark.operators import maintenance
+
+    path = str(tmp_path / "store")
+    with open(path, "w") as f:
+        f.write("not a directory")
+
+    def write(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-0"), "w") as f:
+            f.write("data")
+
+    with pytest.raises(OSError):
+        maintenance.stage_once(path, write)
+
+
+def test_compare_bench_recovers_streaming_wrapper_tails(tmp_path):
+    """The driver wrapper fallback must recover name->sec from a
+    TRUNCATED bench_streaming-format tail (nested per-query dicts)
+    instead of harvesting the inner metric keys as query names, and
+    still parse flat bench.py-format tails."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from compare_bench import load_timings
+    finally:
+        sys.path.pop(0)
+
+    stream_tail = (
+        '{"metric": "streaming_replay_total_time", "value": 39.5, '
+        '"queries": {"streaming_word_count": {"sec": 1.25, '
+        '"input_rows": 6005, "rows_per_sec": 4804.0, "batches": 3, '
+        '"out_rows": 31}, "streaming_keyed_sum": {"sec": 2.5, '
+        '"input_rows": 6005, "rows_per'  # truncated mid-key
+    )
+    p = tmp_path / "stream.json"
+    p.write_text(json.dumps({"parsed": None, "tail": stream_tail}))
+    got = load_timings(str(p))
+    assert got == {"streaming_word_count": 1.25, "streaming_keyed_sum": 2.5}
+
+    flat_tail = (
+        '{"metric": "headline_queries_total_time", "value": 44.0, '
+        '"queries": {"word_count": 0.3, "keyed_sum": 0.22, "runn'
+    )
+    p2 = tmp_path / "flat.json"
+    p2.write_text(json.dumps({"parsed": None, "tail": flat_tail}))
+    assert load_timings(str(p2)) == {"word_count": 0.3, "keyed_sum": 0.22}

@@ -184,3 +184,55 @@ def test_vacuum_under_concurrent_pinned_reader(spark, tmp_path):
         pinned.collect()
     # the survivor is untouched
     assert len(export.read_snapshot(spark, out, 2).collect()) == 60
+
+
+def test_vacuum_spares_in_flight_export_until_grace(spark, tmp_path):
+    """An unreferenced snap-* directory (exactly what a CONCURRENT
+    exporter looks like between its parquet write and its manifest
+    publish) must SURVIVE vacuum inside the orphan grace window and be
+    collected — skeleton included — once past it (grace=0)."""
+    import os
+
+    from flink_scala_spark.pipeline import export
+
+    out = str(tmp_path / "exp")
+    export.export_versioned(spark, _mini_corpus(spark, 40, "a"), out)
+    # simulate an in-flight exporter: snapshot written, manifest not yet
+    data_dir = os.path.join(out, "data")
+    inflight = os.path.join(data_dir, "snap-inflight")
+    _mini_corpus(spark, 20, "b").write.partitionBy("split").parquet(inflight)
+    n_files = sum(len(fs) for _, _, fs in os.walk(inflight))
+    assert n_files > 0
+
+    summary = export.vacuum_exports(out, keep_versions=1)  # default grace
+    assert summary["removed_versions"] == []
+    assert os.path.isdir(inflight)
+    assert sum(len(fs) for _, _, fs in os.walk(inflight)) == n_files
+
+    # the exporter crashed; past the grace window the orphan goes
+    summary = export.vacuum_exports(out, keep_versions=1, orphan_grace_s=0)
+    assert not os.path.exists(inflight)  # no skeleton left either
+    assert any(r.startswith("snap-inflight") for r in summary["removed_files"])
+
+
+def test_vacuum_leaves_no_snapshot_skeleton(spark, tmp_path):
+    """Vacuuming an expired snapshot must also remove its _SUCCESS /
+    .crc write markers and the snap-* directory itself — not just the
+    parquet files."""
+    import os
+
+    from flink_scala_spark.pipeline import export
+
+    out = str(tmp_path / "exp")
+    m1 = export.export_versioned(spark, _mini_corpus(spark, 40, "a"), out)
+    m2 = export.export_versioned(spark, _mini_corpus(spark, 60, "b"), out)
+    data_dir = os.path.join(out, "data")
+    dead = os.path.join(data_dir, m1["base"])
+    assert os.path.isdir(dead)
+
+    export.vacuum_exports(out, keep_versions=1)
+    assert not os.path.exists(dead), os.listdir(dead)
+    # the kept snapshot (markers and all) is untouched and still reads
+    live = os.path.join(data_dir, m2["base"])
+    assert os.path.isdir(live)
+    assert export.read_snapshot(spark, out, m2["version"]).count() == m2["rows"]

@@ -33,13 +33,24 @@ def load_timings(path: str) -> dict[str, float]:
         if not m:
             raise SystemExit(f"{path}: no queries payload found")
         q = {}
-        # the truncated tail has no reliable closing brace, so the
-        # regex also sweeps up the JSON keys AFTER the queries map —
-        # drop the known metadata keys
-        meta = {"sf", "runs_per_query", "value"}
-        for name, sec in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)):
-            if name not in meta:
-                q[name] = float(sec)
+        # bench_streaming-format tails nest per-query dicts
+        # ({"name": {"sec": ...}}): recover name->sec from the nested
+        # shape FIRST — the flat scan below would otherwise harvest
+        # sec/input_rows/... as "query names" and compare junk
+        for name, sec in re.findall(
+            r'"([a-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.]+)', m.group(1)
+        ):
+            q[name] = float(sec)
+        if not q:
+            # flat bench.py format; the truncated tail has no reliable
+            # closing brace, so the regex also sweeps up the JSON keys
+            # AFTER the queries map — drop the known metadata keys
+            meta = {"sf", "runs_per_query", "value"}
+            for name, sec in re.findall(
+                r'"([a-z0-9_]+)":\s*([0-9.]+)', m.group(1)
+            ):
+                if name not in meta:
+                    q[name] = float(sec)
     # bench_streaming nests {"sec": ...}; bench.py is a flat float
     return {
         n: (v["sec"] if isinstance(v, dict) else float(v))

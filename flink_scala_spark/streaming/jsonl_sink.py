@@ -62,18 +62,47 @@ def make_datasource():
             "files": [m.file for m in messages if m is not None],
             "rows": sum(m.rows for m in messages if m is not None),
         }
-        with open(os.path.join(path, f"_committed-{tag}"), "w") as f:
+        # temp + atomic rename: a crash mid-dump must never leave a
+        # truncated _committed-* file that poisons every later
+        # read_committed with a JSONDecodeError
+        final = os.path.join(path, f"_committed-{tag}")
+        # the tmp name must NOT carry the _committed- prefix readers
+        # scan for, or a partial tmp would be parsed as a manifest
+        tmp = os.path.join(path, f".manifest-tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
+        os.replace(tmp, final)
 
     class JsonlBatchWriter(DataSourceWriter):
-        def __init__(self, options):
+        def __init__(self, options, overwrite: bool):
             self.path = options["path"]
+            self.overwrite = overwrite
 
         def write(self, iterator):
             return write_partition(self.path, iterator)
 
         def commit(self, messages):
-            write_manifest(self.path, "batch", messages)
+            # unique tag per commit: read_committed unions manifests,
+            # so append-mode saves accumulate instead of a fixed
+            # "batch" tag silently superseding earlier commits
+            os.makedirs(self.path, exist_ok=True)
+            prior = [
+                e for e in os.listdir(self.path) if e.startswith("_committed-")
+            ]
+            write_manifest(self.path, f"batch-{uuid.uuid4().hex}", messages)
+            if self.overwrite:
+                # supersede: drop prior manifests (and their now-
+                # unreferenced data files) AFTER the new commit is
+                # visible — a crash mid-cleanup over-reads (old+new)
+                # rather than losing the committed write
+                for e in prior:
+                    with open(os.path.join(self.path, e)) as f:
+                        for rel in json.load(f)["files"]:
+                            try:
+                                os.remove(os.path.join(self.path, rel))
+                            except OSError:
+                                pass
+                    os.remove(os.path.join(self.path, e))
 
         def abort(self, messages):
             for m in messages:
@@ -107,7 +136,7 @@ def make_datasource():
             return "jsonl_sink"
 
         def writer(self, schema, overwrite):
-            return JsonlBatchWriter(self.options)
+            return JsonlBatchWriter(self.options, overwrite)
 
         def streamWriter(self, schema, overwrite):
             return JsonlStreamWriter(self.options)

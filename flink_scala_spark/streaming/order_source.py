@@ -103,18 +103,25 @@ def make_datasource():
 
     class OrderGenStreamReader(SimpleDataSourceStreamReader):
         """Offset = {"i": next row index}; each microbatch emits
-        ``rowsPerBatch`` consecutive orders."""
+        ``rowsPerBatch`` consecutive orders, EXHAUSTING at ``n`` like
+        the batch reader (the reference source emits a bounded order
+        book and terminates) — without the clamp, read() would report
+        fresh data forever and any processAllAvailable-based bounded
+        harness would hang."""
 
         def __init__(self, options):
             self.rows_per_batch = int(options.get("rowsPerBatch", 50))
+            self.n = int(options.get("n", 2000))
 
         def initialOffset(self):
             return {"i": 0}
 
         def read(self, start):
             i = start["i"]
-            end = i + self.rows_per_batch
-            return ([row(k) for k in range(i, end)], {"i": end})
+            end = min(i + self.rows_per_batch, self.n)
+            # Spark consumes the exhausted (no-progress) read through a
+            # path that requires a true iterator, not a list
+            return (iter([row(k) for k in range(i, end)]), {"i": max(end, i)})
 
         def readBetweenOffsets(self, start, end):
             # deterministic regeneration == exactly-once replay

@@ -63,12 +63,28 @@ def _capture_plan(q, name: str) -> None:
     del _LAST[:-1]
 
 
+def _widen_progress_buffer(spark) -> None:
+    """REPLAY_STATS sums over q.recentProgress, which Spark caps at
+    spark.sql.streaming.numRecentProgressUpdates entries (default 100)
+    — a replay longer than 100 microbatches would silently undercount
+    input_rows/batches and inflate bench_streaming's rows/s. Widen the
+    buffer far past any shipped replay (sf0.1 time-bucket replays run
+    well under 1k batches)."""
+    try:
+        cur = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates"))
+    except Exception:
+        cur = 100
+    if cur < 10_000:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+
+
 def run_bounded(
     stream_df: DataFrame, output_mode: str = "complete", query_name: str | None = None
 ) -> DataFrame:
     """Execute a bounded streaming plan to completion; return the final
     memory-sink table as a batch DataFrame."""
     spark = stream_df.sparkSession
+    _widen_progress_buffer(spark)
     name = query_name or f"fss_q{next(_counter)}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -101,6 +117,7 @@ def run_bounded_now(
     timer-driven operators must run through this helper.
     """
     spark = stream_df.sparkSession
+    _widen_progress_buffer(spark)
     name = query_name or f"fss_q{next(_counter)}"
     q = (
         stream_df.writeStream.outputMode(output_mode)

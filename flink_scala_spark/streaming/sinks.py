@@ -63,10 +63,18 @@ class DuckDBUpsertWriter:
     Each microbatch: (1) skip if this (table, batch_id) already
     committed — Spark replays batches on failure, the reference gets
     the same idempotency from upsert keys; (2) stage the batch rows;
-    (3) one INSERT .. ON CONFLICT DO UPDATE accumulating ``add_cols``
-    into the target, mirroring ``update .. totalNum = totalNum + ?``
+    (3) one INSERT .. ON CONFLICT DO UPDATE folding ``add_cols`` into
+    the target, mirroring ``update .. totalNum = totalNum + ?``
     (OrderAnalysy.scala:190-205). Commit of rows + batch marker is one
     transaction.
+
+    ``mode`` must match what the upstream emits per key:
+    ``"accumulate"`` (col += excluded.col) is for DELTA-producing
+    upstreams — the reference's per-event invoke() path; ``"replace"``
+    (col = excluded.col) is for Spark update-mode AGGREGATES, which
+    re-emit a key's full running total every microbatch — accumulating
+    those double-counts (the engine's state already carries the
+    running sum, so last write wins).
     """
 
     def __init__(
@@ -76,12 +84,16 @@ class DuckDBUpsertWriter:
         key_cols: Sequence[str],
         add_cols: Sequence[str],
         ddl: str,
+        mode: str = "accumulate",
     ):
+        if mode not in ("accumulate", "replace"):
+            raise ValueError(f"mode must be 'accumulate' or 'replace', got {mode!r}")
         self.db_path = db_path
         self.table = table
         self.key_cols = list(key_cols)
         self.add_cols = list(add_cols)
         self.ddl = ddl
+        self.mode = mode
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import duckdb
@@ -104,9 +116,12 @@ class DuckDBUpsertWriter:
             con.register("_batch", pdf)
             cols = self.key_cols + self.add_cols
             col_list = ", ".join(cols)
-            updates = ", ".join(
-                f"{c} = {self.table}.{c} + excluded.{c}" for c in self.add_cols
-            )
+            if self.mode == "accumulate":
+                updates = ", ".join(
+                    f"{c} = {self.table}.{c} + excluded.{c}" for c in self.add_cols
+                )
+            else:
+                updates = ", ".join(f"{c} = excluded.{c}" for c in self.add_cols)
             keys = ", ".join(self.key_cols)
             con.execute(
                 f"INSERT INTO {self.table} ({col_list}) "

@@ -23,6 +23,7 @@ import atexit
 import os
 import shutil
 import tempfile
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,12 @@ from pyspark.sql import functions as F
 #: repeatability test alone replays the same table twice); dirs are
 #: removed at interpreter exit instead of accumulating per call.
 _REPLAY_CACHE: dict[tuple, str] = {}
+#: Serializes get-or-build per process: without it, two concurrent
+#: first calls for the same key both materialize replay dirs and the
+#: loser's tmpdir is orphaned forever (atexit only removes dirs still
+#: referenced by the cache). Builds are rare and test-data-sized, so
+#: one coarse lock is fine.
+_REPLAY_LOCK = threading.Lock()
 
 
 def _replay_cache_cleanup() -> None:
@@ -123,6 +130,19 @@ def file_replay_time_buckets(
     from flink_scala_spark import tables
 
     cache_key = ("time", sf_dir, table, bucket_seconds)
+    with _REPLAY_LOCK:
+        replay = _build_time_replay(spark, cache_key, sf_dir, table, bucket_seconds)
+    schema = spark.read.parquet(replay).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+
+
+def _build_time_replay(spark, cache_key, sf_dir, table, bucket_seconds):
+    from flink_scala_spark import tables
+
     replay = _REPLAY_CACHE.get(cache_key)
     if replay is None or not os.path.isdir(replay):
         batch = tables.load(spark, sf_dir, table)
@@ -144,12 +164,7 @@ def file_replay_time_buckets(
         replay = _layout_replay_dir(staged, out)
         shutil.rmtree(staged, ignore_errors=True)
         _REPLAY_CACHE[cache_key] = replay
-    schema = spark.read.parquet(replay).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(replay)
-    )
+    return replay
 
 
 def file_replay_id_buckets(
@@ -166,6 +181,19 @@ def file_replay_id_buckets(
     from flink_scala_spark import tables
 
     cache_key = ("id", sf_dir, table, id_col, n_buckets)
+    with _REPLAY_LOCK:
+        replay = _build_id_replay(spark, cache_key, sf_dir, table, id_col, n_buckets)
+    schema = spark.read.parquet(replay).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+
+
+def _build_id_replay(spark, cache_key, sf_dir, table, id_col, n_buckets):
+    from flink_scala_spark import tables
+
     replay = _REPLAY_CACHE.get(cache_key)
     if replay is None or not os.path.isdir(replay):
         batch = tables.load(spark, sf_dir, table)
@@ -183,12 +211,7 @@ def file_replay_id_buckets(
         replay = _layout_replay_dir(staged, out)
         shutil.rmtree(staged, ignore_errors=True)
         _REPLAY_CACHE[cache_key] = replay
-    schema = spark.read.parquet(replay).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(replay)
-    )
+    return replay
 
 
 def socket_lines(spark: SparkSession, host: str = "localhost", port: int = 7777) -> DataFrame:

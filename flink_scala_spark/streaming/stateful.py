@@ -148,10 +148,17 @@ def _delta_alarm_ttl_fn(threshold: float, horizon_seconds: int):
                 out["curr_value"].append(round(val, 2))
             last, last_ts = val, int(ts_l)
         state.update((last, last_ts))
-        # Timeout strictly above the watermark (batch rows postdate it,
-        # so last_ts >= wm); +1 s makes expiry at exactly wm - horizon
-        # match the lazy cutoff's strict '<'.
-        state.setTimeoutTimestamp((last_ts + horizon_seconds + 1) * 1000)
+        # Timeout at last_ts + horizon + 1 s (expiry at exactly
+        # wm - horizon matches the lazy cutoff's strict '<'), CLAMPED
+        # strictly above the watermark: this Spark build does NOT
+        # pre-filter late rows from stateful processors (measured,
+        # tests/test_late_data.py), so a row more than `horizon` late
+        # would otherwise set a timeout <= wm and crash the query.
+        # Such state is already past-horizon — the clamp just schedules
+        # its purge at the earliest legal instant.
+        state.setTimeoutTimestamp(
+            max(last_ts + horizon_seconds + 1, wm_sec + 1) * 1000
+        )
         yield pd.DataFrame(out)
 
     return fn
@@ -452,9 +459,14 @@ def _near_dup_ttl_fn(horizon_seconds: int):
         )
         state.update((seen,))
         # timeout strictly above the current watermark (Spark requires
-        # it): the newest signature's expiry, +1 s for the boundary.
+        # it): the newest signature's expiry, +1 s for the boundary —
+        # CLAMPED above wm, since late rows are NOT pre-filtered from
+        # stateful processors (measured) and a batch whose newest doc
+        # is already past-horizon would otherwise crash the query.
         newest = max(s[1] for s in seen)
-        state.setTimeoutTimestamp((newest + horizon_seconds + 1) * 1000)
+        state.setTimeoutTimestamp(
+            max(newest + horizon_seconds + 1, wm_sec + 1) * 1000
+        )
         yield pd.DataFrame(
             {"doc_id": pd.array(out_doc, dtype="int64"), "src": pd.array(out_src, dtype="int64")}
         )

@@ -32,6 +32,7 @@ from __future__ import annotations
 import os
 import sys
 import tempfile
+import threading
 
 #: Known locations of a vendored public protobuf runtime (checked in
 #: order). The Google Cloud SDK ships one under its appengine platform.
@@ -74,7 +75,13 @@ def tws_env(path: str) -> dict[str, str]:
     return env
 
 
-_RUNTIME_READY = False
+#: applicationIds whose SparkContext.environment already carries the
+#: unlock — keyed per context, NOT a process-global bool: a restarted
+#: session in the same Python process gets a fresh SparkContext whose
+#: environment must be populated again. Guarded by a lock so two
+#: threads racing the first unlock don't double-symlink/double-prepend.
+_READY_APP_IDS: set[str] = set()
+_READY_LOCK = threading.Lock()
 
 
 def ensure_tws_runtime(spark) -> None:
@@ -101,12 +108,18 @@ def ensure_tws_runtime(spark) -> None:
     exposing ONLY a symlink to its ``google/`` package — nothing else
     can be shadowed. Raises RuntimeError when no runtime exists.
     """
-    global _RUNTIME_READY
-    if _RUNTIME_READY:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-        )
-        return
+    app_id = spark.sparkContext.applicationId
+    with _READY_LOCK:
+        if app_id in _READY_APP_IDS:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+            )
+            return
+        _ensure_tws_runtime_locked(spark)
+        _READY_APP_IDS.add(app_id)
+
+
+def _ensure_tws_runtime_locked(spark) -> None:
     path = protobuf_pythonpath()
     if path is None:
         # Probe BEFORE touching session conf: on this error path nothing
@@ -126,7 +139,6 @@ def ensure_tws_runtime(spark) -> None:
         sc.environment["PYTHONPATH"] = (
             f"{link_dir}:{prev}" if prev else link_dir
         )
-    _RUNTIME_READY = True
 
 
 def build_rising_alarm_tws(horizon_seconds: int = 600):
@@ -393,9 +405,15 @@ def build_session_gap_tws(gap_seconds: int):
             pdf = pdf.sort_values(["ts_l", "event_id"])
             for ts_l, v in zip(pdf["ts_l"], pdf["value"]):
                 ts_l = int(ts_l)
-                if start is None:
+                # min/max, not first/latest: a batch arriving out of
+                # order (within the watermark delay) must WIDEN the
+                # session, never regress session_end below an already-
+                # seen timestamp (which would also re-arm the gap
+                # timer early and close the session prematurely)
+                if start is None or ts_l < start:
                     start = ts_l
-                last = ts_l
+                if last is None or ts_l > last:
+                    last = ts_l
                 n += 1
                 cents += int(math.floor(float(v) * 100.0))
             self.state.update((start, last, n, cents))

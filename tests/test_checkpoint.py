@@ -85,39 +85,9 @@ def test_restart_resumes_state_and_offsets(spark, sf_dir, tmp_path, split_input)
         add_cols=["cnt", "total"],
         ddl="CREATE TABLE IF NOT EXISTS totals("
         "user_id BIGINT PRIMARY KEY, cnt BIGINT, total DOUBLE)",
+        mode="replace",
     )
-    # Replace semantics: override the accumulate update with assignment.
-    def replace_call(self, batch_df, batch_id):
-        import duckdb as _dd
-
-        pdf = batch_df.toPandas()
-        con = _dd.connect(self.db_path)
-        try:
-            con.execute(self.ddl)
-            con.execute(
-                "CREATE TABLE IF NOT EXISTS _committed_batches("
-                "sink VARCHAR, batch_id BIGINT, PRIMARY KEY (sink, batch_id))"
-            )
-            if con.execute(
-                "SELECT 1 FROM _committed_batches WHERE sink = ? AND batch_id = ?",
-                [self.table, batch_id],
-            ).fetchone():
-                return
-            con.execute("BEGIN")
-            con.register("_batch", pdf)
-            con.execute(
-                "INSERT INTO totals SELECT user_id, cnt, total FROM _batch "
-                "ON CONFLICT (user_id) DO UPDATE SET cnt = excluded.cnt, "
-                "total = excluded.total"
-            )
-            con.execute(
-                "INSERT INTO _committed_batches VALUES (?, ?)", [self.table, batch_id]
-            )
-            con.execute("COMMIT")
-        finally:
-            con.close()
-
-    writer_fn = lambda bdf, bid: replace_call(writer, bdf, bid)  # noqa: E731
+    writer_fn = writer
 
     q = _start(spark, in_dir, schema, ckpt, writer_fn)
     try:

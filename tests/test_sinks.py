@@ -267,3 +267,42 @@ def test_multimodal_real_decode_when_pillow_present(spark):
     assert (row["width"], row["height"]) == (17, 9)
     assert row["n_bytes"] == len(png)
     assert row["header_hex"] == png[:4].hex().upper()
+
+
+def test_jsonl_batch_appends_accumulate_and_overwrite_supersedes(spark, tmp_path):
+    """Two append-mode saves must BOTH stay visible to the manifest-
+    honoring reader (a fixed manifest tag used to silently supersede
+    the first save); mode('overwrite') must supersede prior commits
+    AND remove their now-unreferenced data files."""
+    import os
+
+    from flink_scala_spark.streaming import jsonl_sink
+
+    jsonl_sink.register(spark)
+    out = str(tmp_path / "out")
+    spark.range(10).write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    spark.range(10, 30).write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    back = jsonl_sink.read_committed(spark, out)
+    assert sorted(r["id"] for r in back.collect()) == list(range(30))
+
+    spark.range(100, 105).write.format("jsonl_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back = jsonl_sink.read_committed(spark, out)
+    assert sorted(r["id"] for r in back.collect()) == list(range(100, 105))
+    # superseded data files are gone, no tmp manifests linger
+    leftover = [
+        f for f in os.listdir(out)
+        if f.endswith(".jsonl") or f.startswith(".manifest-tmp")
+    ]
+    committed = [f for f in os.listdir(out) if f.startswith("_committed-")]
+    assert len(committed) == 1
+    total_listed = sum(
+        len(__import__("json").load(open(os.path.join(out, m)))["files"])
+        for m in committed
+    )
+    assert len(leftover) == total_listed  # only referenced part files remain

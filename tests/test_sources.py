@@ -161,3 +161,23 @@ def test_order_gen_python_datasource_stream(spark):
     assert len(got) >= 40
     expect = [order_source.order_row(k) for k in range(len(got))]
     assert [tuple(r) for r in got] == expect
+
+
+def test_order_gen_stream_exhausts_at_n(spark):
+    """The stream reader must honor the same ``n`` bound as the batch
+    reader (the reference source emits a bounded order book and
+    terminates): processAllAvailable returns once offsets reach n,
+    with exactly n distinct orders emitted."""
+    from flink_scala_spark.streaming import order_source
+    from flink_scala_spark.streaming.runner import run_bounded
+
+    order_source.register(spark)
+    sdf = (
+        spark.readStream.format("order_gen")
+        .option("n", 130)
+        .option("rowsPerBatch", 50)
+        .load()
+    )
+    got = run_bounded(sdf, "append")
+    assert got.count() == 130
+    assert got.select("order_id").distinct().count() == 130

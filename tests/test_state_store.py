@@ -134,3 +134,52 @@ def test_ttl_delta_alarm_expires_idle_keys(spark, sf_dir):
     assert all(base[e] > _DELTA_TTL_HORIZON_S for e in dropped)
     within = {e for e, gap in base.items() if gap <= _DELTA_TTL_HORIZON_S}
     assert within <= ttl
+
+
+def test_ttl_alarm_survives_rows_later_than_horizon(spark, tmp_path):
+    """This Spark build does NOT pre-filter late rows from stateful
+    processors (measured in test_late_data.py), so a key whose batch
+    rows sit more than `horizon` behind the watermark used to compute
+    an event-time timeout <= watermark — an IllegalArgumentException
+    that killed the whole query. The timeout is now clamped strictly
+    above the watermark; the pathologically-late key just gets purged
+    at the earliest legal instant."""
+    import time
+
+    from flink_scala_spark.streaming import stateful
+
+    # batch 1 drives the watermark to t=200000; batch 2's only row
+    # (key 2) is 100000 s older — far past the 600 s horizon
+    rows1 = [(1, 10, 100000, 5.0), (1, 11, 200000, 50.0)]
+    rows2 = [(2, 20, 100000, 7.0)]
+    schema = "user_id long, event_id long, ts long, value double"
+
+    def towrite(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "user_id", "event_id", F.timestamp_seconds("ts").alias("ts"), "value"
+        )
+
+    in_dir = str(tmp_path / "in")
+    towrite(rows1).coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)  # file-source ordering is by modification time
+    towrite(rows2).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(in_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    out = stateful.delta_alarm_ttl(stream, 10.0, horizon_seconds=600)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_late_clamp")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # crashed with unclamped timeouts
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    got = spark.table("ttl_late_clamp").collect()
+    # key 1's 5.0 -> 50.0 jump alarms; key 2's lone late row cannot
+    assert [(r["user_id"], r["event_id"]) for r in got] == [(1, 11)]

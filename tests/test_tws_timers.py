@@ -578,3 +578,92 @@ def test_rising_alarm_processing_time_timers():
     assert line, proc.stdout[-2000:]
     got = [tuple(r) for r in json.loads(line[0][len("RESULT:"):])]
     assert got == [(1, 110, 3), (3, 140, 1)]
+
+
+_OOO_SESSION_SCRIPT = r"""
+import json, sys, tempfile
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
+
+sys.path.insert(0, sys.argv[1])
+from flink_scala_spark.streaming.tws import ROCKSDB_PROVIDER, session_gap_tws
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# Out-of-order arrival WITHIN the 1 s watermark delay: batch 1 ends at
+# ts=101.2 (wm -> 100.2); batch 2's row at ts=100.5 is ADMITTED (ts >
+# wm) but truncates to ts_l=100 < the stored last=101 — the session
+# fold must treat it as min/max widening, never regress session_end
+# (or re-arm the gap timer a second early). Batch 3 flushes the timer.
+B1 = [(100.0, 1, 1.0), (101.2, 1, 2.0)]
+B2 = [(100.5, 1, 3.0)]
+B3 = [(1000.0, 2, 0.0)]
+
+d = tempfile.mkdtemp()
+import os as _os
+import time as _time
+_now = _time.time()
+for i, batch in enumerate((B1, B2, B3)):
+    rows = [
+        {"event_id": j, "ts": ts, "user_id": u, "value": v}
+        for j, (ts, u, v) in enumerate(batch)
+    ]
+    pd.DataFrame(rows).to_json(f"{d}/b{i}.json", orient="records", lines=True)
+    _os.utime(f"{d}/b{i}.json", (_now + i, _now + i))
+
+schema = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", DoubleType()),
+    StructField("user_id", LongType()),
+    StructField("value", DoubleType()),
+])
+src = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", "1")
+    .json(d)
+    .withColumn("ts", F.timestamp_seconds("ts"))
+)
+sessions = session_gap_tws(src, gap_seconds=60)
+q = (
+    sessions.writeStream.format("memory").queryName("tws_ooo_sess")
+    .outputMode("append").trigger(availableNow=True).start()
+)
+assert q.awaitTermination(540), "streaming query did not finish in 540s"
+out = sorted(tuple(r) for r in spark.table("tws_ooo_sess").collect())
+print("RESULT:" + json.dumps(out))
+"""
+
+
+def test_session_gap_out_of_order_batch_widens_not_regresses():
+    """A second microbatch arriving out of order (inside the 1 s
+    watermark delay) must WIDEN the session: session_end stays at the
+    max timestamp already seen, not the late row's older one (which
+    would also have re-armed the gap timer a second early)."""
+    env = dict(os.environ)
+    env.update(tws_env(protobuf_pythonpath()))
+    proc = subprocess.run(
+        [sys.executable, "-c", _OOO_SESSION_SCRIPT, REPO],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    got = [tuple(r) for r in json.loads(line[0][len("RESULT:"):])]
+    # user 1: start=100 (min), end=101 (max, NOT regressed to 100),
+    # 3 events; user 2's lone far-future row never closes (timer past
+    # the final watermark).
+    assert got == [[1, 100, 101, 3, 600]] or got == [(1, 100, 101, 3, 600)], got

@@ -190,28 +190,42 @@ def export_versioned(
         .agg(F.count("*").alias("rows"), F.expr("bit_xor(h)").alias("digest"))
         .collect()[0]
     )
-    # publish: claim the next free version number with O_EXCL (the
-    # manifest file IS the commit record, so exclusive creation makes
-    # version assignment race-free across processes)
+    # publish: claim the next free version number exclusively. The
+    # manifest file IS the commit record, so the publish must be BOTH
+    # exclusive (race-free version assignment across processes) and
+    # atomic (a crash or ENOSPC mid-dump must never leave a truncated
+    # MANIFEST-vN.json that existing_versions() counts but every later
+    # read_snapshot/vacuum chokes on). Write + fsync a tmp file once,
+    # then os.link(tmp, final) — link fails with EEXIST exactly like
+    # O_EXCL but publishes fully-written bytes or nothing.
     seen_versions = existing_versions(out_dir)
     version = (max(seen_versions) + 1) if seen_versions else 1
-    while True:
-        manifest = {
-            "version": version,
-            "base": snap_rel,
-            "files": new_files,
-            "rows": stats["rows"],
-            "digest": str(stats["digest"]),
-        }
-        path = os.path.join(out_dir, f"MANIFEST-v{version}.json")
+    tmp = os.path.join(out_dir, f".manifest-tmp-{uuid.uuid4().hex}")
+    try:
+        while True:
+            manifest = {
+                "version": version,
+                "base": snap_rel,
+                "files": new_files,
+                "rows": stats["rows"],
+                "digest": str(stats["digest"]),
+            }
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=2, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            path = os.path.join(out_dir, f"MANIFEST-v{version}.json")
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                version += 1
+                continue
+            return manifest
+    finally:
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            version += 1
-            continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f, indent=2, sort_keys=True)
-        return manifest
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def existing_versions(out_dir: str) -> list[int]:
@@ -281,7 +295,10 @@ def vacuum_exports(
     for v in versions:
         if v in keep:
             continue
-        m = _manifest(v)
+        try:
+            m = _manifest(v)
+        except FileNotFoundError:
+            continue  # a concurrent vacuum already collected it
         expired_files.update(m["files"])
         if "base" in m:
             expired_bases.add(m["base"])
@@ -313,13 +330,23 @@ def vacuum_exports(
                         removed_files.append(rel)
                 except FileNotFoundError:
                     pass  # a concurrent vacuum got it first
-    # prune now-empty split/snapshot directories
+    # prune now-empty split/snapshot directories; a concurrent exporter
+    # may be creating its snap-* dir (ENOTEMPTY) or a concurrent vacuum
+    # may have pruned it first (ENOENT) — both are benign races, same
+    # tolerance the data-file path above applies
     for root, dirs, files in os.walk(data_dir, topdown=False):
-        if root != data_dir and not os.listdir(root):
-            os.rmdir(root)
+        if root != data_dir:
+            try:
+                if not os.listdir(root):
+                    os.rmdir(root)
+            except OSError:
+                pass
     removed_versions = [v for v in versions if v not in keep]
     for v in removed_versions:
-        os.remove(os.path.join(out_dir, f"MANIFEST-v{v}.json"))
+        try:
+            os.remove(os.path.join(out_dir, f"MANIFEST-v{v}.json"))
+        except FileNotFoundError:
+            pass  # a concurrent vacuum removed it first
     return {
         "kept_versions": sorted(keep),
         "removed_versions": removed_versions,

@@ -155,6 +155,7 @@ def cosine_topk_vectorized(
     label_col: str | None = None,
     label_match: str | None = None,
     guard_twin: str = "ann_ivf_topk",
+    n_emb: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors, Arrow+numpy path — bit-identical
     to :func:`cosine_topk`.
@@ -176,7 +177,11 @@ def cosine_topk_vectorized(
 
     This is the EXACT brute-force path (corpus x queries pair space);
     past ``guards.MAX_EXACT_PAIRS`` it refuses, naming ``guard_twin``
-    (the ANN-family entry a caller should use instead).
+    (the ANN-family entry a caller should use instead). The query
+    count comes free from the query collect the kernel does anyway;
+    the corpus count is one COUNT job — pass ``n_emb`` to amortize it
+    when one entry invokes the kernel more than once (the bound is
+    constant per (corpus, predicate)).
     """
     import numpy as np
 
@@ -195,12 +200,14 @@ def cosine_topk_vectorized(
     use_labels = label_col is not None and label_match is not None
     q_cols = [id_col, vec_col] + ([label_col] if use_labels else [])
     q_df = emb.where(query_pred).select(*q_cols)
+    # the query collect below is needed anyway (queries are small by
+    # construction), so len(q_pdf) replaces a second COUNT job
+    q_pdf = q_df.toPandas()
     guards.guard_exact_pairs(
-        emb.count() * q_df.count(),
+        (emb.count() if n_emb is None else int(n_emb)) * len(q_pdf),
         _current_entry_or("cosine_topk_vectorized"),
         guard_twin,
     )
-    q_pdf = q_df.toPandas()
     q_ids = q_pdf[id_col].to_numpy(dtype="int64")
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     q_labels = (
@@ -513,6 +520,17 @@ def with_bucket(
 #: index is O(NUM_CENTROIDS * DIM) regardless of corpus size.
 NUM_CENTROIDS = 64
 
+#: The SERVING quantizer geometry — chosen from the measured
+#: recall/nprobe curve (`ann_recall_report`): at the nprobe=4 serving
+#: budget, the trained C=16 index clears recall@5 >= 0.5 at both test
+#: scales (0.56 @ sf0.01, 0.515 @ sf0.1; C=64 untrained measured 0.30)
+#: — on weakly-clustered data recall is governed by the probed
+#: fraction nprobe/C, so the budget fixes C, and training buys the
+#: rest (see BASELINE.md r7). Retune via the same report when the
+#: corpus has real cluster structure.
+IVF_SERVING_CENTROIDS = 16
+IVF_TRAIN_ITERS = 2
+
 
 def centroid_rows(
     emb: DataFrame,
@@ -534,6 +552,150 @@ def centroid_rows(
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(int(num_centroids))
     )
+
+
+#: Process-level cache for trained quantizers: the result is a pure
+#: function of the input FILES (deterministic seeds, folds, and
+#: updates), and one gate/bench run invokes the same training from
+#: several entries (ann_ivf_topk, the mining twins, the recall
+#: report's two probe budgets). Keyed by the scan's file list; a
+#: non-file source (empty inputFiles) is never cached.
+_TRAINED_CACHE: dict[tuple, tuple] = {}
+_TRAINED_LOCK = __import__("threading").Lock()
+
+
+def trained_centroids(
+    emb: DataFrame,
+    num_centroids: int = IVF_SERVING_CENTROIDS,
+    iters: int = IVF_TRAIN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+):
+    """Lloyd's-trained coarse quantizer with exact cross-engine
+    semantics — returns ``(cent_ids, C)``: ascending int64 centroid
+    ids (the seed rows' vec_ids, stable across iterations) and the
+    (k x dim) float64 centroid matrix.
+
+    Determinism contract (the DuckDB oracle replays every step):
+    - seeds: the ``num_centroids`` md5-first rows (:func:`centroid_rows`);
+    - assignment: max cosine, ties -> lowest centroid id. Cosines are
+      per-dimension in-order accumulations from 0.0 == the oracle's
+      ``list_reduce`` fold, so sign/compare decisions agree bit-for-bit;
+      ``np.argmax`` takes the FIRST max and the centroid columns are
+      sorted by ascending id, so the tie-break matches the SQL
+      ``row_number() ORDER BY cos DESC, centroid_id``;
+    - update: the fixed-point ``floor(v * 1e6)`` BIGINT accumulation of
+      :func:`label_centroids` — associative, bit-stable under any
+      partitioning/retry; empty clusters keep their previous vector
+      (the oracle's ``coalesce`` on a left join).
+
+    Scale shape: each iteration is one corpus scan (``mapInPandas``
+    emitting per-batch PARTIAL fixed-point sums — k x dim rows per
+    batch) plus one k x dim-row hash agg; only the k x dim aggregate
+    ever reaches the driver. The corpus is never collected and never
+    shuffled."""
+    import numpy as np
+
+    try:
+        files = tuple(sorted(emb.inputFiles()))
+        # the file list identifies the SCAN but not a filter/projection
+        # layered on it — fold in the analyzed plan (with per-session
+        # expression ids normalized away, or identical frames from two
+        # entries would never share a slot) so two DIFFERENT frames
+        # over the same files never alias one
+        import hashlib
+        import re
+
+        plan_s = re.sub(
+            r"#\d+", "#", emb._jdf.queryExecution().analyzed().toString()
+        )
+        plan = hashlib.md5(plan_s.encode()).hexdigest()
+    except Exception:
+        files, plan = (), ""
+    cache_key = (
+        files, plan, int(num_centroids), int(iters), id_col, vec_col, int(dim)
+    )
+    if files:
+        with _TRAINED_LOCK:
+            hit = _TRAINED_CACHE.get(cache_key)
+        if hit is not None:
+            return hit[0].copy(), hit[1].copy()
+
+    seed_pdf = (
+        centroid_rows(emb, num_centroids, id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    cent_ids = seed_pdf[id_col].to_numpy(dtype="int64")
+    C = np.stack([np.asarray(v, dtype=np.float64) for v in seed_pdf[vec_col]])
+    d = int(dim)
+    sc = emb.sparkSession.sparkContext
+    src = _spread(emb.select(id_col, vec_col))
+    for _ in range(int(iters)):
+        c_nsq = np.zeros(len(C))
+        for kk in range(d):
+            c_nsq += C[:, kk] * C[:, kk]
+        bc = sc.broadcast((cent_ids, C, c_nsq))
+
+        def partial_sums(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            ids_c, mat_c, nsq_c = bc.value
+            for block in batches:
+                if len(block) == 0:
+                    continue
+                A = _np.stack(
+                    [_np.asarray(v, dtype=_np.float64) for v in block[vec_col]]
+                )
+                acc = _np.zeros((len(A), len(mat_c)))
+                nsq = _np.zeros(len(A))
+                for kk in range(d):
+                    acc += _np.outer(A[:, kk], mat_c[:, kk])
+                    nsq += A[:, kk] * A[:, kk]
+                asg = _np.argmax(acc / _np.sqrt(_np.outer(nsq, nsq_c)), axis=1)
+                Qz = _np.floor(A * CENTROID_SCALE).astype("int64")
+                out_c, out_p, out_s, out_n = [], [], [], []
+                for j in range(len(ids_c)):
+                    m = asg == j
+                    cnt = int(m.sum())
+                    if cnt == 0:
+                        continue
+                    s = Qz[m].sum(axis=0)
+                    out_c.extend([ids_c[j]] * d)
+                    out_p.extend(range(d))
+                    out_s.extend(s.tolist())
+                    out_n.extend([cnt] * d)
+                yield _pd.DataFrame(
+                    {
+                        "centroid_id": out_c,
+                        "pos": out_p,
+                        "qs": out_s,
+                        "cnt": out_n,
+                    }
+                )
+
+        agg = (
+            src.mapInPandas(
+                partial_sums, "centroid_id long, pos int, qs long, cnt long"
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("qs").alias("s"), F.sum("cnt").alias("n"))
+            .collect()
+        )
+        bc.unpersist()
+        newC = C.copy()
+        idx = {int(cid): r for r, cid in enumerate(cent_ids)}
+        for row in agg:
+            newC[idx[int(row["centroid_id"])], int(row["pos"])] = float(
+                row["s"]
+            ) / (CENTROID_SCALE * float(row["n"]))
+        C = newC
+    if files:
+        with _TRAINED_LOCK:
+            _TRAINED_CACHE[cache_key] = (cent_ids.copy(), C.copy())
+    return cent_ids, C
 
 
 def ivf_assign(
@@ -650,16 +812,28 @@ def ivf_topk_vectorized(
     vec_col: str = "embedding",
     dim: int = DIM,
     label_col: str | None = None,
+    label_match: str | None = None,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN, Arrow+numpy path: bit-identical to
     :func:`ivf_topk` without flat-column codegen.
 
-    With ``label_col`` set, candidates sharing the query row's label
-    are excluded inside the list-local scoring stage (hard-negative
-    mining at IVF cost): the label rides the assignment pass as one
+    With ``label_col`` set, candidates are filtered by label relative
+    to the query row inside the list-local scoring stage:
+    ``label_match="diff"`` (the default when only ``label_col`` is
+    given) keeps different-label candidates (hard-negative mining at
+    IVF cost), ``"same"`` keeps same-label ones (positive mining for
+    contrastive triplets). The label rides the assignment pass as one
     extra int column and the filter is a numpy mask per query group —
     the index build, probe selection, and candidate join are
     unchanged.
+
+    ``train_iters > 0`` replaces the raw md5-first quantizer with the
+    Lloyd's-trained one (:func:`trained_centroids`, same seeds, same
+    fixed-size broadcast) — measured at the nprobe=4 serving budget
+    this lifts recall@5 from 0.30 to >= 0.5 with C=16 (see
+    `ann_recall_report`). Everything downstream is unchanged: the
+    centroid matrix stays O(C x dim) and broadcast.
 
     The trained index (:func:`centroid_rows` — FIXED ``num_centroids``
     rows, O(k·dim) driver memory independent of corpus size) is tiny
@@ -677,18 +851,28 @@ def ivf_topk_vectorized(
     """
     import numpy as np
 
-    cent_pdf = (
-        centroid_rows(emb, num_centroids, id_col, vec_col)
-        .toPandas()
-        .sort_values(id_col)
-    )
-    cent_ids = cent_pdf[id_col].to_numpy(dtype="int64")
-    C = np.stack([np.asarray(v, dtype=np.float64) for v in cent_pdf[vec_col]])
+    if label_match not in (None, "same", "diff"):
+        raise ValueError(f"label_match must be None/'same'/'diff', got {label_match!r}")
+    if train_iters > 0:
+        cent_ids, C = trained_centroids(
+            emb, num_centroids, train_iters, id_col, vec_col, dim
+        )
+    else:
+        cent_pdf = (
+            centroid_rows(emb, num_centroids, id_col, vec_col)
+            .toPandas()
+            .sort_values(id_col)
+        )
+        cent_ids = cent_pdf[id_col].to_numpy(dtype="int64")
+        C = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in cent_pdf[vec_col]]
+        )
     d = int(dim)
     c_nsq = np.zeros(len(C))
     for kk in range(d):
         c_nsq += C[:, kk] * C[:, kk]
     use_labels = label_col is not None
+    want_same = label_match == "same"
     q_sel = [id_col, vec_col] + ([label_col] if use_labels else [])
     q_pdf = emb.where(query_pred).select(*q_sel).toPandas()
     q_map = {
@@ -771,7 +955,8 @@ def ivf_topk_vectorized(
             return empty
         qv, qlab = hit
         if use_labels:
-            pdf = pdf[pdf[label_col].to_numpy(dtype="int64") != qlab]
+            lab = pdf[label_col].to_numpy(dtype="int64")
+            pdf = pdf[(lab == qlab) if want_same else (lab != qlab)]
             if len(pdf) == 0:
                 return empty
         ids = pdf["neighbor_id"].to_numpy(dtype="int64")

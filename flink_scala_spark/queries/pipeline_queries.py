@@ -285,15 +285,59 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_vectorized(emb, F.col("vec_id") % 50 == 0, k=5)
 
 
-@register(
-    "ann_ivf_topk",
-    f"""
-    WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
-    cent AS (SELECT vec_id AS centroid_id, embedding AS cemb, nsq AS cnsq
-             FROM n WHERE vec_id IN (
-                 SELECT vec_id FROM embeddings
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                 LIMIT {similarity.NUM_CENTROIDS})),
+def _ivf_trained_ctes(
+    num: int = similarity.IVF_SERVING_CENTROIDS,
+    iters: int = similarity.IVF_TRAIN_ITERS,
+) -> str:
+    """CTE chain replaying :func:`similarity.trained_centroids` in
+    DuckDB — Lloyd's with cosine assignment (ties -> lowest centroid
+    id), fixed-point floor(v*1e6) BIGINT means, empty clusters keeping
+    their previous vector via the left-join coalesce. Ends in
+    ``cent(centroid_id, cemb, cnsq)``."""
+    parts = [
+        f"""tv AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   {_NSQ} AS vnsq FROM embeddings),
+    tc0 AS (SELECT vec_id AS centroid_id, v AS c, {duck_dot('v', 'v')} AS cnsq
+            FROM tv WHERE vec_id IN (
+                SELECT vec_id FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {num}))"""
+    ]
+    for it in range(1, iters + 1):
+        cos = f"{duck_dot('tv.v', 'c.c')} / sqrt(tv.vnsq * c.cnsq)"
+        newc = "coalesce(m.c, p.c)"
+        parts.append(
+            f"""ta{it} AS (SELECT vec_id, v, centroid_id FROM (
+        SELECT tv.vec_id, tv.v, c.centroid_id,
+               row_number() OVER (PARTITION BY tv.vec_id
+                   ORDER BY {cos} DESC, c.centroid_id) AS rn
+        FROM tv CROSS JOIN tc{it - 1} c) t WHERE rn = 1),
+    te{it} AS (SELECT centroid_id, CAST(i - 1 AS INT) AS pos,
+                      CAST(floor(v[i] * 1000000.0) AS BIGINT) AS qv
+               FROM (SELECT centroid_id, v, unnest(range(1, len(v) + 1)) AS i
+                     FROM ta{it}) t),
+    tu{it} AS (SELECT centroid_id, pos,
+                      CAST(sum(qv) AS DOUBLE) / (1000000.0 * count(*)) AS cv
+               FROM te{it} GROUP BY 1, 2),
+    tm{it} AS (SELECT centroid_id, list(cv ORDER BY pos) AS c
+               FROM tu{it} GROUP BY 1),
+    tc{it} AS (SELECT p.centroid_id, {newc} AS c,
+                      {duck_dot(newc, newc)} AS cnsq
+               FROM tc{it - 1} p LEFT JOIN tm{it} m USING (centroid_id))"""
+        )
+    parts.append(
+        f"cent AS (SELECT centroid_id, c AS cemb, cnsq FROM tc{iters})"
+    )
+    return ",\n    ".join(parts)
+
+
+# Shared trained-IVF serving skeleton: index build (asg), probe
+# selection at nprobe=4 (the literal `t WHERE r <= 4` appears exactly
+# once so the recall report can widen it by substitution), and the
+# list-local exact scoring join. {label_cond} restricts candidates by
+# label relative to the query ('' / same / diff).
+_IVF_SERVING_CTES = f"""n AS (SELECT vec_id, embedding, label, {_NSQ} AS nsq FROM embeddings),
+    {_ivf_trained_ctes()},
     asg AS (SELECT neighbor_id, centroid_id FROM (
         SELECT v.vec_id AS neighbor_id, c.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
@@ -306,12 +350,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY {duck_dot('q.embedding', 'c.cemb')} / sqrt(q.nsq * c.cnsq) DESC,
                             c.centroid_id) AS r
         FROM n q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) t WHERE r <= 4),
-    scored AS (SELECT p.query_id, a.neighbor_id,
+    scored AS (SELECT p.query_id, a.neighbor_id, v.label = q.label AS same,
                       {duck_dot('q.embedding', 'v.embedding')} / sqrt(q.nsq * v.nsq) AS cosine
                FROM probes p
                JOIN asg a ON a.centroid_id = p.centroid_id AND a.neighbor_id <> p.query_id
                JOIN n q ON q.vec_id = p.query_id
-               JOIN n v ON v.vec_id = a.neighbor_id)
+               JOIN n v ON v.vec_id = a.neighbor_id{{label_cond}})"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_IVF_SERVING_CTES.format(label_cond="")}
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rank
@@ -320,12 +370,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "similarity", "ann", "ivf",
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: fixed-size deterministic coarse quantizer (the
-    NUM_CENTROIDS hash-first rows — index memory independent of corpus
-    size), nprobe=4 probed lists, exact scoring inside lists."""
+    """IVF ANN with a Lloyd's-TRAINED fixed-size coarse quantizer
+    (similarity.trained_centroids: md5-first seeds, cosine assignment,
+    fixed-point updates — index memory independent of corpus size),
+    nprobe=4 probed lists, exact scoring inside lists. C=16 is sized
+    from the measured recall curve at the serving budget
+    (`ann_recall_report`: recall@5 0.56/0.515 at sf0.01/sf0.1 vs 0.30
+    for the untrained C=64 index)."""
     emb = _emb(spark, sf_dir)
     return similarity.ivf_topk_vectorized(
-        emb, F.col("vec_id") % 50 == 0, k=5, nprobe=4
+        emb,
+        F.col("vec_id") % 50 == 0,
+        k=5,
+        nprobe=4,
+        num_centroids=similarity.IVF_SERVING_CENTROIDS,
+        train_iters=similarity.IVF_TRAIN_ITERS,
     )
 
 
@@ -424,30 +483,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "hard_negative_mining_ivf",
     f"""
-    WITH n AS (SELECT vec_id, embedding, label, {_NSQ} AS nsq FROM embeddings),
-    cent AS (SELECT vec_id AS centroid_id, embedding AS cemb, nsq AS cnsq
-             FROM n WHERE vec_id IN (
-                 SELECT vec_id FROM embeddings
-                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                 LIMIT {similarity.NUM_CENTROIDS})),
-    asg AS (SELECT neighbor_id, centroid_id FROM (
-        SELECT v.vec_id AS neighbor_id, c.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                   ORDER BY {duck_dot('v.embedding', 'c.cemb')} / sqrt(v.nsq * c.cnsq) DESC,
-                            c.centroid_id) AS r
-        FROM n v CROSS JOIN cent c) t WHERE r = 1),
-    probes AS (SELECT query_id, centroid_id FROM (
-        SELECT q.vec_id AS query_id, c.centroid_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY {duck_dot('q.embedding', 'c.cemb')} / sqrt(q.nsq * c.cnsq) DESC,
-                            c.centroid_id) AS r
-        FROM n q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) t WHERE r <= 4),
-    scored AS (SELECT p.query_id, a.neighbor_id,
-                      {duck_dot('q.embedding', 'v.embedding')} / sqrt(q.nsq * v.nsq) AS cosine
-               FROM probes p
-               JOIN asg a ON a.centroid_id = p.centroid_id AND a.neighbor_id <> p.query_id
-               JOIN n q ON q.vec_id = p.query_id
-               JOIN n v ON v.vec_id = a.neighbor_id AND v.label <> q.label)
+    WITH {_IVF_SERVING_CTES.format(label_cond=" AND v.label <> q.label")}
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id) AS rank
@@ -457,17 +493,20 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining at IVF cost (the 100 TB path): probe the 4
-    nearest inverted lists, exclude same-label candidates inside the
-    list-local scoring mask. Index build + probing identical to
-    `ann_ivf_topk`; the label is one extra int column on the
-    assignment pass — no extra shuffle, ~nprobe/C of the pair
-    space."""
+    nearest lists of the TRAINED quantizer, exclude same-label
+    candidates inside the list-local scoring mask. Index build +
+    probing identical to `ann_ivf_topk`; the label is one extra int
+    column on the assignment pass — no extra shuffle, ~nprobe/C of the
+    pair space."""
     return similarity.ivf_topk_vectorized(
         _emb(spark, sf_dir),
         F.col("vec_id") % 50 == 0,
         k=10,
         nprobe=4,
+        num_centroids=similarity.IVF_SERVING_CENTROIDS,
+        train_iters=similarity.IVF_TRAIN_ITERS,
         label_col="label",
+        label_match="diff",
     )
 
 
@@ -497,16 +536,61 @@ def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar different-label vectors (hard negatives). Two passes of
     the label-masked exact top-k (each one scan + one query-keyed
     shuffle) unioned with a role tag — the (anchor, positive,
-    negatives) rows a contrastive trainer consumes directly."""
+    negatives) rows a contrastive trainer consumes directly. EXACT
+    ground truth: past MAX_EXACT_PAIRS it refuses, naming the IVF-cost
+    twin `contrastive_triplets_ivf` (both roles at ~nprobe/C of the
+    pair space)."""
     emb = _emb(spark, sf_dir)
     pred = F.col("vec_id") % 50 == 0
+    n_emb = emb.count()  # one guard COUNT shared by both passes
     pos = similarity.cosine_topk_vectorized(
         emb, pred, k=1, label_col="label", label_match="same",
-        guard_twin="hard_negative_mining_ivf",
+        guard_twin="contrastive_triplets_ivf", n_emb=n_emb,
     ).withColumn("role", F.lit("pos"))
     neg = similarity.cosine_topk_vectorized(
         emb, pred, k=4, label_col="label", label_match="diff",
-        guard_twin="hard_negative_mining_ivf",
+        guard_twin="contrastive_triplets_ivf", n_emb=n_emb,
+    ).withColumn("role", F.lit("neg"))
+    return pos.unionByName(neg)
+
+
+@register(
+    "contrastive_triplets_ivf",
+    f"""
+    WITH {_IVF_SERVING_CTES.format(label_cond="")},
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id, same
+                                       ORDER BY cosine DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank, 'pos' AS role
+    FROM r WHERE same AND rank <= 1
+    UNION ALL
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank, 'neg' AS role
+    FROM r WHERE NOT same AND rank <= 4
+    """,
+    "similarity", "contrastive", "ivf",
+)
+def q_contrastive_triplets_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining at IVF cost — the 100 TB path the
+    exact `contrastive_triplets` refuses past MAX_EXACT_PAIRS: BOTH
+    roles (the same-label positive and the 4 different-label hard
+    negatives) come from the trained nprobe=4 index, so the pair space
+    is ~nprobe/C of brute force for the whole triplet build. The label
+    mask flips between the two passes inside the list-local scoring —
+    index build, probing, and candidate join are shared shape-for-
+    shape with `ann_ivf_topk`."""
+    emb = _emb(spark, sf_dir)
+    pred = F.col("vec_id") % 50 == 0
+    kw = dict(
+        nprobe=4,
+        num_centroids=similarity.IVF_SERVING_CENTROIDS,
+        train_iters=similarity.IVF_TRAIN_ITERS,
+        label_col="label",
+    )
+    pos = similarity.ivf_topk_vectorized(
+        emb, pred, k=1, label_match="same", **kw
+    ).withColumn("role", F.lit("pos"))
+    neg = similarity.ivf_topk_vectorized(
+        emb, pred, k=4, label_match="diff", **kw
     ).withColumn("role", F.lit("neg"))
     return pos.unionByName(neg)
 
@@ -569,7 +653,14 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex_cnt = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
     out = ex_cnt
     for nprobe in (4, 8):
-        ivf = similarity.ivf_topk_vectorized(emb, pred, k=5, nprobe=nprobe)
+        ivf = similarity.ivf_topk_vectorized(
+            emb,
+            pred,
+            k=5,
+            nprobe=nprobe,
+            num_centroids=similarity.IVF_SERVING_CENTROIDS,
+            train_iters=similarity.IVF_TRAIN_ITERS,
+        )
         hits = (
             ivf.join(
                 exact.select("query_id", "neighbor_id"),

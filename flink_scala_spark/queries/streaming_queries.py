@@ -13,6 +13,8 @@ for stateful flatMap-style emissions (alarms).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1884,12 +1886,15 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes/vector — the part that lives in memory at 100 TB), query
     vectors then arrive over ascending-id microbatches and each batch
     builds its ADC lookup tables and scores them against the broadcast
-    index inside foreachBatch. Per-query results are independent of
-    the batching, so the union over batches must equal the batch
-    operator's answer — the oracle is ann_pq_topk's, shared verbatim.
-    State: none (the index is static); per-batch work is |batch
-    queries| x corpus row-local lookups plus the query-keyed top-k."""
+    index inside foreachBatch, APPENDING its top-k to a parquet sink
+    table (the idiomatic serving shape — results never accumulate on
+    the driver; each batch's rows are bounded at |batch queries| x k
+    but the pattern holds at any query rate). Per-query results are
+    independent of the batching, so the sink's union over batches must
+    equal the batch operator's answer — the oracle is ann_pq_topk's,
+    shared verbatim. State: none (the index is static)."""
     from flink_scala_spark import tables
+    from flink_scala_spark.operators import maintenance
     from flink_scala_spark.pipeline import similarity
     from flink_scala_spark.streaming.runner import run_bounded_foreach
 
@@ -1904,7 +1909,9 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, "embeddings", "vec_id", 8
         ).where(F.col("vec_id") % 50 == 0)
 
-        collected: list = []
+        sink = maintenance.fresh_subdir(
+            maintenance.scratch_dir("ann_pq_serving", sf_dir), "sink"
+        )
 
         def serve(batch_df, _bid):
             if batch_df.isEmpty():
@@ -1912,12 +1919,14 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = similarity.flatten(batch_df, "e", "query_id")
             qdt = similarity.pq_query_tables(q, pq_cb)
             top = similarity.pq_adc_topk(enc, qdt, k=5)
-            collected.extend(top.collect())
+            top.write.mode("append").parquet(sink)
 
         run_bounded_foreach(stream, serve, "append")
-        return spark.createDataFrame(
-            collected,
-            "query_id long, neighbor_id long, approx_dist double, rank int",
+        out_schema = (
+            "query_id long, neighbor_id long, approx_dist double, rank int"
         )
+        if not any(f.endswith(".parquet") for f in os.listdir(sink)):
+            return spark.createDataFrame([], out_schema)
+        return spark.read.schema(out_schema).parquet(sink)
     finally:
         enc.unpersist()

@@ -93,16 +93,24 @@ def make_datasource():
             if self.overwrite:
                 # supersede: drop prior manifests (and their now-
                 # unreferenced data files) AFTER the new commit is
-                # visible — a crash mid-cleanup over-reads (old+new)
-                # rather than losing the committed write
+                # visible. Within each prior commit, the MANIFEST goes
+                # first: once it's gone its data files are invisible to
+                # the manifest-honoring reader, so a crash between the
+                # two merely strands orphan files. Deleting data first
+                # would leave a live manifest pointing at deleted files
+                # and break every later read_committed.
                 for e in prior:
-                    with open(os.path.join(self.path, e)) as f:
-                        for rel in json.load(f)["files"]:
-                            try:
-                                os.remove(os.path.join(self.path, rel))
-                            except OSError:
-                                pass
-                    os.remove(os.path.join(self.path, e))
+                    try:
+                        with open(os.path.join(self.path, e)) as f:
+                            rels = json.load(f)["files"]
+                        os.remove(os.path.join(self.path, e))
+                    except (OSError, ValueError):
+                        continue  # concurrent cleanup / unreadable
+                    for rel in rels:
+                        try:
+                            os.remove(os.path.join(self.path, rel))
+                        except OSError:
+                            pass
 
         def abort(self, messages):
             for m in messages:

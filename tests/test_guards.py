@@ -33,7 +33,7 @@ def test_guard_passes_under_bound_and_env_overrides(monkeypatch):
         # point (cosine_topk_vectorized), naming each entry's ANN twin
         ("ann_cosine_topk", "ann_ivf_topk"),
         ("hard_negative_mining", "hard_negative_mining_ivf"),
-        ("contrastive_triplets", "hard_negative_mining_ivf"),
+        ("contrastive_triplets", "contrastive_triplets_ivf"),
         ("ann_recall_report", "ann_ivf_topk"),
     ],
 )

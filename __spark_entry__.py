@@ -30,81 +30,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-6 rotation (VERDICT r5 ask #1: after round 6 no entry's latest
-# green driver row may predate round 3): (a) the 11 round-6 additions
-# with no driver row yet; (b) ALL 39 entries whose latest green row is
-# round 1 or 2 — four-plus rounds stale. That fills the head exactly;
-# the round-3-era refreshes listed below slot 50 keep their r3 green
-# rows (still within the "nothing predates r3" bar). Everything below
-# slot 50 stays oracle-checked at sf0.001 on every pytest run
-# (tests/test_catalog_oracle.py), and the head contract is pinned by
-# tests/test_catalog_oracle.py::test_driver_priority_head_is_valid.
+# Round-7 rotation: (a) the two entries with NO driver row ever
+# (bpe_encode — added after the r6 head froze, VERDICT r6 ask #1 —
+# and this round's contrastive_triplets_ivf); (b) the four entries
+# whose SEMANTICS or implementation changed this round (the IVF
+# family moved to the Lloyd's-trained C=16 quantizer;
+# streaming_ann_pq_serving now sinks via foreachBatch) — their older
+# green rows prove the OLD code, so they re-enter the gate; (c) ALL
+# 41 remaining entries whose latest green row is round 3 — the
+# stalest evidence left — plus the three oldest round-4 rows to fill
+# slot 50. After this round no entry's latest green row predates
+# round 4. Everything below slot 50 stays oracle-checked at sf0.001
+# on every pytest run (tests/test_catalog_oracle.py), and the head
+# contract is pinned by test_driver_priority_head_is_valid.
 _PRIORITY = [
-    # (a) round-6 additions, no driver row yet
-    "streaming_delta_alarm_ttl",
-    "bitext_mining_ann",
-    "hard_negative_mining",
-    "hard_negative_mining_ivf",
-    "contrastive_triplets",
-    "streaming_approx_ndv_hll",
-    "streaming_value_quantiles",
-    "ann_recall_report",
-    "boilerplate_shingle_flags",
-    "vocab_oov_rate",
-    "temperature_mixture",
-    # (b) latest green row is r1/r2 — refresh all 39
-    "big_order_customers",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "approx_ndv_kmv",
-    "asof_join_purchase_click",
-    "bpe_merges",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "corpus_mixture",
-    "count_window_sum",
-    "curation_summary",
-    "customer_order_distribution",
-    "decontamination",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_pagerank",
-    "dedup_simhash",
-    "dq_audit",
-    "embedding_label_centroids",
-    "funnel_conversion",
-    "fuzzy_name_pairs",
-    "interval_join_error_clicks",
-    "inverted_index",
-    "kmeans_assignments",
-    "min_cost_supplier_per_part",
-    "order_dashboard_province",
-    "order_priority_pipeline",
-    "promo_revenue_share",
-    "returned_revenue_top_customers",
-    "sequence_packing",
-    "session_windows",
-    "snapshot_diff",
-    "streaming_count_window",
-    "streaming_rising_alarm",
-    "streaming_union_counts",
-    "text_repetition",
-    "text_tfidf_top_terms",
-    "top_supplier_revenue",
-    # round-3-era rows, now all below slot 50 (the round-6 additions
-    # filled the head) — their families stay represented in (b) and
-    # they keep their r3 green rows plus the per-pytest sf0.001 check
+    # (a) no driver row yet
+    "bpe_encode",
+    "contrastive_triplets_ivf",
+    # (b) changed this round — re-prove under the new semantics
     "ann_ivf_topk",
-    "dataset_split",
-    "delta_alarm",
-    "embedding_near_dup",
-    "skew_join_salted",
+    "hard_negative_mining_ivf",
+    "ann_recall_report",
+    "streaming_ann_pq_serving",
+    # (c) latest green row is r3 — refresh all 41
+    "split_select_bands",
     "side_output_alarm",
-    # (three more r3 rows demoted below slot 50 for the late round-6
-    # text/sampling additions — generated_order_dashboard,
-    # late_data_accounting, multimodal_resize keep their r3 green rows
-    # plus the per-pytest sf0.001 oracle check)
+    "generated_order_dashboard",
+    "day_window_offset_utc8",
+    "window_all_minute",
+    "evictor_prefilter",
+    "trigger_per_element_fire",
+    "late_data_accounting",
+    "delta_alarm",
+    "count_window_sliding",
+    "skew_join_salted",
+    "value_histogram",
+    "windowed_topk_types",
+    "session_stats",
+    "rolling_window_avg",
+    "revenue_day_over_day",
+    "gap_fill_forward",
+    "streaming_tumbling_counts",
+    "streaming_keyed_sum",
+    "streaming_word_count",
+    "streaming_order_dashboard",
+    "streaming_session_windows",
+    "streaming_funnel",
+    "streaming_cohort_retention",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup",
+    "dataset_split",
+    "stratified_sample_events",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "embedding_quantize_int8",
+    "incremental_dedup",
+    "asof_join_cogrouped",
+    "dedup_containment",
+    "dedup_substring_spans",
+    "copurchase_pairs",
+    "value_outliers",
+    "small_quantity_part_revenue",
+    "idle_high_balance_customers",
+    "sole_late_supplier_waits",
+    "part_supplier_diversity",
+    # (c') the three oldest r4 rows, filling the head to exactly 50
+    "order_dashboard_total",
+    "shipping_priority_topk",
+    "scd2_history",
 ]
 
 

@@ -219,7 +219,7 @@ def q_streaming_delta_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded(stateful.delta_alarm(ev, 10.0), "append")
 
 
-_DELTA_TTL_BUCKET_S = 172_800  # 2-day replay buckets (~16 microbatches)
+_DELTA_TTL_BUCKET_S = 432_000  # 5-day replay buckets (~7 microbatches), shared with the TWS replay cache
 _DELTA_TTL_HORIZON_S = 43_200  # 12 h idle-state TTL
 
 # Oracle model for the TTL'd alarm: the replay delivers epoch-aligned
@@ -274,9 +274,10 @@ def q_streaming_delta_alarm_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     alarm (StateTest.scala:69-74): a key idle past the 12 h horizon
     loses its stored reading (EventTimeTimeout when idle, the same
     lazy cutoff when active), so an alarm only fires against a
-    predecessor still inside the horizon — at sf0.001 that drops 54 of
-    823 alarms, so the oracle genuinely distinguishes this from the
-    NoTimeout form. Replayed as ~16 time-ordered microbatches (shared
+    predecessor still inside the horizon — the drop vs the NoTimeout
+    form (14 of 823 alarms at sf0.001 with 5-day buckets) keeps the
+    oracle genuinely distinguishing the TTL semantics. Replayed as ~7
+    time-ordered microbatches (shared
     with the TWS queries' replay cache) so the watermark climbs
     deterministically and both eviction paths actually execute."""
     ev = sources.file_replay_time_buckets(
@@ -1187,11 +1188,17 @@ def q_streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ST4 first-class: transformWithStateInPandas timers in the driver gate
 # ---------------------------------------------------------------------------
 
-#: Replay/bucketing constants for the TWS rising alarm. 2-day buckets
-#: give ~16 deterministic microbatches over the 30-day events span; a
-#: 12-hour horizon yields a healthy alarm count at every sf (7 / 50 /
-#: 544 at sf 0.001 / 0.01 / 0.1).
-_TWS_BUCKET_S = 172_800
+#: Replay/bucketing constants for the TWS rising alarm. A 12-hour
+#: horizon yields a healthy alarm count at every sf.
+# 5-day replay buckets -> ~7 deterministic microbatches over the
+# 30-day events span.
+# Round 6 used 2-day buckets (~17 batches); each TWS microbatch pays a
+# fixed Python state-server roundtrip, so the four TWS entries spent
+# 190 s of the 399 s streaming bench on replay harness cost alone.
+# 7 batches keep every measured semantic live (timers still fire
+# MID-stream: 30 alarms at sf0.01; both TTL eviction paths execute)
+# while the oracles recompute from this constant in lockstep.
+_TWS_BUCKET_S = 432_000
 _TWS_HORIZON_S = 43_200
 
 # The oracle replays the MEASURED first-class timer semantics in pure
@@ -1278,7 +1285,7 @@ def q_streaming_rising_alarm_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:90-94), deleteTimer on a fall (:95-100), alarm emitted from the
     expired-timer callback (:103-107) — executed for real through
     ``transformWithStateInPandas`` + RocksDB on the events table,
-    replayed as ~16 time-ordered microbatches so the watermark
+    replayed as ~7 time-ordered microbatches so the watermark
     actually climbs and fires timers mid-stream. The protobuf runtime
     the TWS worker needs is unlocked in-session
     (streaming/tws.py:ensure_tws_runtime), so this runs on the
@@ -1358,7 +1365,7 @@ def q_streaming_session_summary_tws(spark: SparkSession, sf_dir: str) -> DataFra
     StatefulProcessor realization of the reference's keyed-state
     processors (ProcessFunctionTest.scala / ProcessAlarmTest.scala
     state handling), complementing the timer query
-    `streaming_rising_alarm_tws`. State must survive across the ~16
+    `streaming_rising_alarm_tws`. State must survive across the ~7
     time-bucketed microbatches for the end-state row (max_by n_events)
     to equal the whole-table aggregate the oracle computes."""
     from flink_scala_spark.streaming.runner import run_bounded_now
@@ -1919,7 +1926,9 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = similarity.flatten(batch_df, "e", "query_id")
             qdt = similarity.pq_query_tables(q, pq_cb)
             top = similarity.pq_adc_topk(enc, qdt, k=5)
-            top.write.mode("append").parquet(sink)
+            # a batch's top-k is bounded at |batch queries| x k rows —
+            # one file per batch, not one per shuffle partition
+            top.coalesce(1).write.mode("append").parquet(sink)
 
         run_bounded_foreach(stream, serve, "append")
         out_schema = (

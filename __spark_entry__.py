@@ -30,15 +30,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-7 rotation: (a) the two entries with NO driver row ever
+# Round-7 rotation: (a) the three entries with NO driver row ever
 # (bpe_encode — added after the r6 head froze, VERDICT r6 ask #1 —
-# and this round's contrastive_triplets_ivf); (b) the four entries
+# plus this round's contrastive_triplets_ivf and ann_ivf_pq_topk);
+# (b) the four entries
 # whose SEMANTICS or implementation changed this round (the IVF
 # family moved to the Lloyd's-trained C=16 quantizer;
 # streaming_ann_pq_serving now sinks via foreachBatch) — their older
 # green rows prove the OLD code, so they re-enter the gate; (c) ALL
 # 41 remaining entries whose latest green row is round 3 — the
-# stalest evidence left — plus the three oldest round-4 rows to fill
+# stalest evidence left — plus the two oldest round-4 rows to fill
 # slot 50. After this round no entry's latest green row predates
 # round 4. Everything below slot 50 stays oracle-checked at sf0.001
 # on every pytest run (tests/test_catalog_oracle.py), and the head
@@ -47,6 +48,7 @@ _PRIORITY = [
     # (a) no driver row yet
     "bpe_encode",
     "contrastive_triplets_ivf",
+    "ann_ivf_pq_topk",
     # (b) changed this round — re-prove under the new semantics
     "ann_ivf_topk",
     "hard_negative_mining_ivf",
@@ -94,10 +96,9 @@ _PRIORITY = [
     "idle_high_balance_customers",
     "sole_late_supplier_waits",
     "part_supplier_diversity",
-    # (c') the three oldest r4 rows, filling the head to exactly 50
+    # (c') the two oldest r4 rows, filling the head to exactly 50
     "order_dashboard_total",
     "shipping_priority_topk",
-    "scd2_history",
 ]
 
 

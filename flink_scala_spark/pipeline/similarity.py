@@ -1282,6 +1282,151 @@ def pq_refined_topk(
     )
 
 
+def ivf_pq_refined_topk(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    coarse_k: int = 20,
+    nprobe: int = 4,
+    num_centroids: int = IVF_SERVING_CENTROIDS,
+    train_iters: int = IVF_TRAIN_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """The composed production ANN serving shape (FAISS IVFPQ +
+    refine): the TRAINED coarse quantizer prunes the corpus to the
+    ``nprobe`` probed cells, PQ codes (8 bytes/vector) ADC-score ONLY
+    those candidates, the best ``coarse_k`` per query are re-scored
+    with exact cosine and re-ranked to the final ``k``.
+
+    This combines the two orthogonal 100 TB levers the standalone
+    entries prove separately: IVF cuts the CANDIDATE COUNT to
+    ~nprobe/C of the corpus (`ann_ivf_topk`), PQ cuts the PER-CANDIDATE
+    cost to M table lookups over 8-byte codes (`ann_pq_topk`), and the
+    refine stage restores exact ranking on queries x coarse_k rows
+    (`ann_pq_refined`). Scale shape: centroids + codebook + query
+    tables + probes are all fixed-size broadcasts; the corpus is
+    scanned for assignment/encoding but NEVER shuffled by cell or
+    collected; the only data-scale shuffles are id-keyed (assignment
+    max_by, code groupBy, candidate join) and the per-query top-k.
+
+    Determinism: cell assignment/probing reuse the trained-quantizer
+    folds; ADC distance is the strict in-order sum of the M lookups;
+    coarse ties break on (approx_dist, neighbor_id), final ties on
+    (cosine DESC, neighbor_id) — every stage replays exactly in SQL.
+    """
+    from pyspark.sql import Window
+
+    import numpy as np
+
+    cent_ids, C = trained_centroids(
+        emb, num_centroids, train_iters, id_col, vec_col, dim
+    )
+    d = int(dim)
+    c_nsq = np.zeros(len(C))
+    for kk in range(d):
+        c_nsq += C[:, kk] * C[:, kk]
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast((cent_ids, C, c_nsq))
+    np_ = int(nprobe)
+
+    def _sims(block_vecs, mat_c, nsq_c):
+        import numpy as _np
+
+        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in block_vecs])
+        acc = _np.zeros((len(A), len(mat_c)))
+        nsq = _np.zeros(len(A))
+        for kk in range(d):
+            acc += _np.outer(A[:, kk], mat_c[:, kk])
+            nsq += A[:, kk] * A[:, kk]
+        return acc / _np.sqrt(_np.outer(nsq, nsq_c))
+
+    def assign_cells(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_c, mat_c, nsq_c = bc.value
+        for block in batches:
+            if len(block) == 0:
+                continue
+            sim = _sims(block[vec_col], mat_c, nsq_c)
+            yield _pd.DataFrame(
+                {
+                    "nid": block[id_col].to_numpy(dtype="int64"),
+                    "centroid_id": ids_c[_np.argmax(sim, axis=1)],
+                }
+            )
+
+    def probe_cells(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_c, mat_c, nsq_c = bc.value
+        for block in batches:
+            if len(block) == 0:
+                continue
+            sim = _sims(block[vec_col], mat_c, nsq_c)
+            qids = block[id_col].to_numpy(dtype="int64")
+            out_q, out_c = [], []
+            for r in range(len(qids)):
+                order = _np.lexsort((ids_c, -sim[r]))[:np_]
+                out_q.extend([qids[r]] * len(order))
+                out_c.extend(ids_c[order])
+            yield _pd.DataFrame({"query_id": out_q, "centroid_id": out_c})
+
+    src = _spread(emb.select(id_col, vec_col))
+    asg = src.mapInPandas(assign_cells, "nid long, centroid_id long")
+    probes = (
+        emb.where(query_pred)
+        .select(id_col, vec_col)
+        .mapInPandas(probe_cells, "query_id long, centroid_id long")
+    )
+    # PQ index over the SAME corpus scan shape as ann_pq_topk
+    cbflat = pq_codebook(emb, id_col, vec_col)
+    enc = pq_encode(emb, cbflat, id_col, vec_col)
+    q = flatten(emb.where(query_pred), "e", "query_id", id_col, vec_col)
+    qdt = pq_query_tables(q, cbflat)
+    # candidates: probed cells only; ADC-score them row-locally
+    cand = (
+        enc.join(asg, "nid")
+        .join(F.broadcast(probes), "centroid_id")
+        .where(F.col("nid") != F.col("query_id"))
+    )
+    adist: Column = F.lit(0.0)
+    for m in range(PQ_M):
+        adist = adist + F.expr(f"element_at(dt{m}, code{m} + 1)")
+    scored = cand.join(F.broadcast(qdt), "query_id").select(
+        "query_id", F.col("nid").alias("neighbor_id"), adist.alias("approx_dist")
+    )
+    cw = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    coarse = (
+        scored.withColumn("crank", F.row_number().over(cw))
+        .where(F.col("crank") <= coarse_k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact refine on queries x coarse_k rows (the pq_refined pattern)
+    qf = flatten(emb.where(query_pred), "q", "qid", id_col, vec_col)
+    cq = coarse.join(F.broadcast(qf), F.col("query_id") == F.col("qid")).drop(
+        "qid"
+    )
+    c = _spread(flatten(emb, "c", "cid", id_col, vec_col))
+    pairs = c.join(F.broadcast(cq), F.col("cid") == F.col("neighbor_id"))
+    ref = pairs.select(
+        "query_id", "neighbor_id", _flat_cosine("q", "c").alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        ref.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 #: Fixed-point quantization scale for deterministic distributed sums.
 CENTROID_SCALE = 1_000_000.0
 

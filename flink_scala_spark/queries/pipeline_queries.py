@@ -1903,6 +1903,87 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_pq_topk",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
+    {_ivf_trained_ctes()},
+    iasg AS (SELECT neighbor_id, centroid_id FROM (
+        SELECT v.vec_id AS neighbor_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY {duck_dot('v.embedding', 'c.cemb')} / sqrt(v.nsq * c.cnsq) DESC,
+                            c.centroid_id) AS r
+        FROM n v CROSS JOIN cent c) t WHERE r = 1),
+    iprobes AS (SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {duck_dot('q.embedding', 'c.cemb')} / sqrt(q.nsq * c.cnsq) DESC,
+                            c.centroid_id) AS r
+        FROM n q CROSS JOIN cent c WHERE q.vec_id % 50 = 0) t WHERE r <= 4),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, v AS c
+           FROM tv WHERE vec_id IN (
+               SELECT vec_id FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               LIMIT {similarity.PQ_K})),
+    ed AS (SELECT t.vec_id, cb.code_id,
+           {_PQ_D_COLS}
+           FROM tv t CROSS JOIN cb),
+    edu AS (
+        {_PQ_EDU}),
+    encu AS (SELECT vec_id AS neighbor_id, m, code_id AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, code_id) AS rn
+        FROM edu) t WHERE rn = 1),
+    qdu AS (SELECT vec_id AS query_id, code_id, m, d FROM edu
+            WHERE vec_id % 50 = 0),
+    cnd AS (SELECT a.neighbor_id, p.query_id
+            FROM iasg a JOIN iprobes p
+              ON a.centroid_id = p.centroid_id AND a.neighbor_id <> p.query_id),
+    j AS (SELECT c.query_id, c.neighbor_id, q.d, q.m
+          FROM cnd c JOIN encu e ON e.neighbor_id = c.neighbor_id
+                     JOIN qdu q ON q.query_id = c.query_id
+                               AND q.m = e.m AND q.code_id = e.code),
+    s AS (SELECT query_id, neighbor_id,
+                 list_reduce(list(d ORDER BY m), (x, y) -> x + y) AS approx_dist
+          FROM j GROUP BY 1, 2),
+    coarse AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY approx_dist, neighbor_id) AS cr
+        FROM s) t WHERE cr <= 20),
+    ref AS (SELECT c.query_id, c.neighbor_id,
+                   {duck_dot('q.embedding', 'x.embedding')} / sqrt(q.nsq * x.nsq) AS cosine
+            FROM coarse c JOIN n q ON q.vec_id = c.query_id
+                          JOIN n x ON x.vec_id = c.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ref) t WHERE rank <= 5
+    """,
+    "similarity", "ann", "ivf", "pq", "serving",
+)
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED production serving shape (FAISS IVFPQ + refine,
+    X167): the trained coarse quantizer prunes candidates to nprobe=4
+    cells, PQ codes ADC-score only those candidates, the best 20 per
+    query re-rank exactly to the final top-5. Combines the two
+    orthogonal 100 TB levers proven separately by `ann_ivf_topk`
+    (candidate COUNT ~ nprobe/C) and `ann_pq_topk` (per-candidate cost
+    = 8 table lookups on 8-byte codes), with `ann_pq_refined`'s exact
+    rerank restoring float ranking on queries x 20 rows. All index
+    artifacts are fixed-size broadcasts; the corpus is scanned, never
+    shuffled by cell or collected."""
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_pq_refined_topk(
+        emb,
+        F.col("vec_id") % 50 == 0,
+        k=5,
+        coarse_k=20,
+        nprobe=4,
+        num_centroids=similarity.IVF_SERVING_CENTROIDS,
+        train_iters=similarity.IVF_TRAIN_ITERS,
+    )
+
+
+@register(
     "udtf_bigram_topk",
     """
     WITH d AS (SELECT string_split(text, ' ') AS w0 FROM documents),

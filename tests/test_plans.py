@@ -261,6 +261,7 @@ BNLJ_OK = {
     # fixed PQ_K=16 codebook / NUM_CENTROIDS=64 centroid crosses
     "ann_pq_topk",
     "ann_pq_refined",
+    "ann_ivf_pq_topk",
     "ann_ivf_index_incremental",
     "bitext_mining_ann",
     "kmeans_assignments",

@@ -33,17 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-7 rotation: (a) the three entries with NO driver row ever
 # (bpe_encode — added after the r6 head froze, VERDICT r6 ask #1 —
 # plus this round's contrastive_triplets_ivf and ann_ivf_pq_topk);
-# (b) the four entries
-# whose SEMANTICS or implementation changed this round (the IVF
-# family moved to the Lloyd's-trained C=16 quantizer;
-# streaming_ann_pq_serving now sinks via foreachBatch) — their older
-# green rows prove the OLD code, so they re-enter the gate; (c) ALL
-# 41 remaining entries whose latest green row is round 3 — the
-# stalest evidence left — plus the two oldest round-4 rows to fill
-# slot 50. After this round no entry's latest green row predates
-# round 4. Everything below slot 50 stays oracle-checked at sf0.001
-# on every pytest run (tests/test_catalog_oracle.py), and the head
-# contract is pinned by test_driver_priority_head_is_valid.
+# (b) the NINE entries whose semantics, outputs, or implementation
+# changed this round — the IVF family moved to the Lloyd's-trained
+# C=16 quantizer, streaming_ann_pq_serving now sinks via
+# foreachBatch, and the TWS/TTL replay re-bucketing (5-day buckets)
+# changed those five entries' watermark sequences and therefore their
+# outputs — their older green rows prove the OLD code, so they all
+# re-enter the gate; (c) the 38 stalest of the 41 remaining round-3
+# rows. After this round everything outside three r3-era relational
+# survivors (small_quantity_part_revenue, idle_high_balance_customers,
+# sole_late_supplier_waits — stable TPC-H shapes, next round's slot-1
+# candidates) has >= round-4 gate evidence, and every entry whose
+# behavior changed in round 7 has round-7 evidence. Everything below
+# slot 50 stays oracle-checked at sf0.001 on every pytest run
+# (tests/test_catalog_oracle.py), and the head contract is pinned by
+# test_driver_priority_head_is_valid.
 _PRIORITY = [
     # (a) no driver row yet
     "bpe_encode",
@@ -54,7 +58,12 @@ _PRIORITY = [
     "hard_negative_mining_ivf",
     "ann_recall_report",
     "streaming_ann_pq_serving",
-    # (c) latest green row is r3 — refresh all 41
+    "streaming_rising_alarm_tws",
+    "streaming_session_summary_tws",
+    "streaming_session_gap_tws",
+    "streaming_trigger_fire_purge",
+    "streaming_delta_alarm_ttl",
+    # (c) latest green row is r3 — the 38 stalest of 41
     "split_select_bands",
     "side_output_alarm",
     "generated_order_dashboard",
@@ -92,13 +101,7 @@ _PRIORITY = [
     "dedup_substring_spans",
     "copurchase_pairs",
     "value_outliers",
-    "small_quantity_part_revenue",
-    "idle_high_balance_customers",
-    "sole_late_supplier_waits",
     "part_supplier_diversity",
-    # (c') the two oldest r4 rows, filling the head to exactly 50
-    "order_dashboard_total",
-    "shipping_priority_topk",
 ]
 
 

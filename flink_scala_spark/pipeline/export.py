@@ -286,7 +286,13 @@ def vacuum_exports(
     referenced: set[str] = set()
     keep_bases: set[str] = set()
     for v in keep:
-        m = _manifest(v)
+        try:
+            m = _manifest(v)
+        except FileNotFoundError:
+            # a concurrent vacuum with a smaller retention already
+            # expired this version (only non-newest manifests are ever
+            # removed) — adopting its decision is the consistent move
+            continue
         referenced.update(m["files"])
         if "base" in m:
             keep_bases.add(m["base"])
@@ -307,9 +313,11 @@ def vacuum_exports(
     removed_files = []
     for rel in sorted(expired_files - referenced):
         p = os.path.join(data_dir, rel)
-        if os.path.exists(p):
+        try:
             os.remove(p)
             removed_files.append(rel)
+        except FileNotFoundError:
+            pass  # a concurrent vacuum got it between listing and here
     # expired snapshots' non-data residue (write markers) + true
     # orphans past the grace window
     cutoff = time.time() - orphan_grace_s
@@ -347,6 +355,17 @@ def vacuum_exports(
             os.remove(os.path.join(out_dir, f"MANIFEST-v{v}.json"))
         except FileNotFoundError:
             pass  # a concurrent vacuum removed it first
+    # crashed exports (kill -9 between tmp write and publish) strand
+    # .manifest-tmp-* at the out_dir top level — collect them past the
+    # same grace window as data orphans
+    for f in os.listdir(out_dir):
+        if f.startswith(".manifest-tmp-"):
+            p = os.path.join(out_dir, f)
+            try:
+                if os.path.getmtime(p) <= cutoff:
+                    os.remove(p)
+            except (FileNotFoundError, OSError):
+                pass
     return {
         "kept_versions": sorted(keep),
         "removed_versions": removed_versions,

@@ -104,6 +104,26 @@ def flatten(
     return out.withColumn(f"{prefix}nsq", nsq)
 
 
+def _cos_block(block_vecs, mat_c, nsq_c, d: int):
+    """Cosine block of one Arrow batch's vectors against a broadcast
+    float64 matrix: per-dimension IN-ORDER accumulation from 0.0 — the
+    exact IEEE-754 sequence of the DuckDB ``list_reduce`` fold, shared
+    by every numpy scoring/assignment kernel in this module so the
+    tie-break/fold contract lives in ONE place. Returns ``(A, sims)``
+    with A the batch's float64 matrix (callers reuse it for
+    fixed-point quantization). Runs on workers: referenced by module,
+    which ``session`` ships to worker PYTHONPATH."""
+    import numpy as np
+
+    A = np.stack([np.asarray(v, dtype=np.float64) for v in block_vecs])
+    acc = np.zeros((len(A), len(mat_c)))
+    nsq = np.zeros(len(A))
+    for kk in range(d):
+        acc += np.outer(A[:, kk], mat_c[:, kk])
+        nsq += A[:, kk] * A[:, kk]
+    return A, acc / np.sqrt(np.outer(nsq, nsq_c))
+
+
 def _flat_dot(pa: str, pb: str, dim: int = DIM) -> Column:
     dot: Column = F.lit(0.0)
     for i in range(1, dim + 1):
@@ -177,11 +197,11 @@ def cosine_topk_vectorized(
 
     This is the EXACT brute-force path (corpus x queries pair space);
     past ``guards.MAX_EXACT_PAIRS`` it refuses, naming ``guard_twin``
-    (the ANN-family entry a caller should use instead). The query
-    count comes free from the query collect the kernel does anyway;
-    the corpus count is one COUNT job — pass ``n_emb`` to amortize it
-    when one entry invokes the kernel more than once (the bound is
-    constant per (corpus, predicate)).
+    (the ANN-family entry a caller should use instead) — and it
+    refuses BEFORE collecting anything. The corpus count is one COUNT
+    job — pass ``n_emb`` to amortize it when one entry invokes the
+    kernel more than once (the bound is constant per (corpus,
+    predicate)).
     """
     import numpy as np
 
@@ -200,14 +220,17 @@ def cosine_topk_vectorized(
     use_labels = label_col is not None and label_match is not None
     q_cols = [id_col, vec_col] + ([label_col] if use_labels else [])
     q_df = emb.where(query_pred).select(*q_cols)
-    # the query collect below is needed anyway (queries are small by
-    # construction), so len(q_pdf) replaces a second COUNT job
-    q_pdf = q_df.toPandas()
+    # the guard MUST fire before the query collect below — at guard
+    # scale even the "small" query subset may be a driver-OOM-sized
+    # frame, and refusing after materializing it defeats the guard.
+    # The query count is one job over the filtered scan; the corpus
+    # count is amortized across passes via n_emb.
     guards.guard_exact_pairs(
-        (emb.count() if n_emb is None else int(n_emb)) * len(q_pdf),
+        (emb.count() if n_emb is None else int(n_emb)) * q_df.count(),
         _current_entry_or("cosine_topk_vectorized"),
         guard_twin,
     )
+    q_pdf = q_df.toPandas()
     q_ids = q_pdf[id_col].to_numpy(dtype="int64")
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     q_labels = (
@@ -646,15 +669,8 @@ def trained_centroids(
             for block in batches:
                 if len(block) == 0:
                     continue
-                A = _np.stack(
-                    [_np.asarray(v, dtype=_np.float64) for v in block[vec_col]]
-                )
-                acc = _np.zeros((len(A), len(mat_c)))
-                nsq = _np.zeros(len(A))
-                for kk in range(d):
-                    acc += _np.outer(A[:, kk], mat_c[:, kk])
-                    nsq += A[:, kk] * A[:, kk]
-                asg = _np.argmax(acc / _np.sqrt(_np.outer(nsq, nsq_c)), axis=1)
+                A, sims = _cos_block(block[vec_col], mat_c, nsq_c, d)
+                asg = _np.argmax(sims, axis=1)
                 Qz = _np.floor(A * CENTROID_SCALE).astype("int64")
                 out_c, out_p, out_s, out_n = [], [], [], []
                 for j in range(len(ids_c)):
@@ -853,6 +869,13 @@ def ivf_topk_vectorized(
 
     if label_match not in (None, "same", "diff"):
         raise ValueError(f"label_match must be None/'same'/'diff', got {label_match!r}")
+    if label_match is not None and label_col is None:
+        # mirror the exact path's validation: a half-specified label
+        # contract must raise, not silently return unmasked neighbors
+        raise ValueError(
+            "label_match given without label_col — pass the label column "
+            "to mask candidates by"
+        )
     if train_iters > 0:
         cent_ids, C = trained_centroids(
             emb, num_centroids, train_iters, id_col, vec_col, dim
@@ -887,17 +910,6 @@ def ivf_topk_vectorized(
     bq = sc.broadcast(q_map)
     np_, k_, d_ = int(nprobe), int(k), d
 
-    def _sims(block_vecs, ids_c, mat_c, nsq_c):
-        import numpy as _np
-
-        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in block_vecs])
-        acc = _np.zeros((len(A), len(mat_c)))
-        nsq = _np.zeros(len(A))
-        for kk in range(d_):
-            acc += _np.outer(A[:, kk], mat_c[:, kk])
-            nsq += A[:, kk] * A[:, kk]
-        return acc / _np.sqrt(_np.outer(nsq, nsq_c))
-
     def assign(batches):
         import numpy as _np
         import pandas as _pd
@@ -906,7 +918,7 @@ def ivf_topk_vectorized(
         for block in batches:
             if len(block) == 0:
                 continue
-            sim = _sims(block[vec_col], ids_c, mat_c, nsq_c)
+            _, sim = _cos_block(block[vec_col], mat_c, nsq_c, d_)
             out = {
                 "neighbor_id": block[id_col].to_numpy(dtype="int64"),
                 vec_col: block[vec_col],
@@ -924,7 +936,7 @@ def ivf_topk_vectorized(
         for block in batches:
             if len(block) == 0:
                 continue
-            sim = _sims(block[vec_col], ids_c, mat_c, nsq_c)
+            _, sim = _cos_block(block[vec_col], mat_c, nsq_c, d_)
             qids = block[id_col].to_numpy(dtype="int64")
             out_q, out_c = [], []
             for r in range(len(qids)):
@@ -1292,7 +1304,6 @@ def ivf_pq_refined_topk(
     train_iters: int = IVF_TRAIN_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = DIM,
 ) -> DataFrame:
     """The composed production ANN serving shape (FAISS IVFPQ +
     refine): the TRAINED coarse quantizer prunes the corpus to the
@@ -1315,32 +1326,24 @@ def ivf_pq_refined_topk(
     folds; ADC distance is the strict in-order sum of the M lookups;
     coarse ties break on (approx_dist, neighbor_id), final ties on
     (cosine DESC, neighbor_id) — every stage replays exactly in SQL.
+    Vector geometry is bound to the module's DIM (the PQ subspace
+    constants PQ_M/PQ_DSUB slice it), so unlike the single-lever
+    kernels this one takes no ``dim`` override.
     """
     from pyspark.sql import Window
 
     import numpy as np
 
     cent_ids, C = trained_centroids(
-        emb, num_centroids, train_iters, id_col, vec_col, dim
+        emb, num_centroids, train_iters, id_col, vec_col, DIM
     )
-    d = int(dim)
+    d = int(DIM)
     c_nsq = np.zeros(len(C))
     for kk in range(d):
         c_nsq += C[:, kk] * C[:, kk]
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast((cent_ids, C, c_nsq))
     np_ = int(nprobe)
-
-    def _sims(block_vecs, mat_c, nsq_c):
-        import numpy as _np
-
-        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in block_vecs])
-        acc = _np.zeros((len(A), len(mat_c)))
-        nsq = _np.zeros(len(A))
-        for kk in range(d):
-            acc += _np.outer(A[:, kk], mat_c[:, kk])
-            nsq += A[:, kk] * A[:, kk]
-        return acc / _np.sqrt(_np.outer(nsq, nsq_c))
 
     def assign_cells(batches):
         import numpy as _np
@@ -1350,7 +1353,7 @@ def ivf_pq_refined_topk(
         for block in batches:
             if len(block) == 0:
                 continue
-            sim = _sims(block[vec_col], mat_c, nsq_c)
+            _, sim = _cos_block(block[vec_col], mat_c, nsq_c, d)
             yield _pd.DataFrame(
                 {
                     "nid": block[id_col].to_numpy(dtype="int64"),
@@ -1366,7 +1369,7 @@ def ivf_pq_refined_topk(
         for block in batches:
             if len(block) == 0:
                 continue
-            sim = _sims(block[vec_col], mat_c, nsq_c)
+            _, sim = _cos_block(block[vec_col], mat_c, nsq_c, d)
             qids = block[id_col].to_numpy(dtype="int64")
             out_q, out_c = [], []
             for r in range(len(qids)):

@@ -1515,11 +1515,15 @@ def q_streaming_session_gap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W8 streaming twin: FIRE_AND_PURGE trigger + evictor, on real timers
 # ---------------------------------------------------------------------------
 
-#: 4-day tumbling windows (2 replay buckets) fired-and-purged every 5th
-#: element; the evictor drops readings below 5.0 before the window
-#: function (MyEvictor's invalid-element removal, non-vacuous at every
-#: sf: ~9% of events fall below it).
-_FP_WINDOW_S = 2 * _TWS_BUCKET_S
+#: 4-day tumbling windows fired-and-purged every 5th element; the
+#: evictor drops readings below 5.0 before the window function
+#: (MyEvictor's invalid-element removal, non-vacuous at every sf:
+#: ~9% of events fall below it). The window size is a FIXED absolute
+#: (not derived from the replay bucket) so retuning the replay's
+#: microbatch count — a harness knob — can never silently change the
+#: query's window semantics; windows and 5-day buckets intersect off-
+#: boundary, which exercises window-end timers firing MID-batch.
+_FP_WINDOW_S = 345_600
 _FP_COUNT = 5
 _FP_EVICT_BELOW = 5.0
 

@@ -100,12 +100,19 @@ def make_datasource():
                 # would leave a live manifest pointing at deleted files
                 # and break every later read_committed.
                 for e in prior:
+                    mpath = os.path.join(self.path, e)
                     try:
-                        with open(os.path.join(self.path, e)) as f:
+                        with open(mpath) as f:
                             rels = json.load(f)["files"]
-                        os.remove(os.path.join(self.path, e))
-                    except (OSError, ValueError):
-                        continue  # concurrent cleanup / unreadable
+                    except FileNotFoundError:
+                        continue  # a concurrent cleanup got there first
+                    try:
+                        os.remove(mpath)
+                    except FileNotFoundError:
+                        continue  # racer removed it (and owns its files)
+                    # any OTHER remove failure propagates: silently
+                    # keeping a stale manifest would turn this
+                    # overwrite into an append with no error anywhere
                     for rel in rels:
                         try:
                             os.remove(os.path.join(self.path, rel))

@@ -30,20 +30,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-7 rotation: (a) the three entries with NO driver row ever
+# Round-7 rotation: (a) the four entries with NO driver row ever
 # (bpe_encode — added after the r6 head froze, VERDICT r6 ask #1 —
-# plus this round's contrastive_triplets_ivf and ann_ivf_pq_topk);
+# plus this round's contrastive_triplets_ivf, ann_ivf_pq_topk, and
+# semantic_decontamination);
 # (b) the NINE entries whose semantics, outputs, or implementation
 # changed this round — the IVF family moved to the Lloyd's-trained
 # C=16 quantizer, streaming_ann_pq_serving now sinks via
 # foreachBatch, and the TWS/TTL replay re-bucketing (5-day buckets)
 # changed those five entries' watermark sequences and therefore their
 # outputs — their older green rows prove the OLD code, so they all
-# re-enter the gate; (c) the 38 stalest of the 41 remaining round-3
-# rows. After this round everything outside three r3-era relational
+# re-enter the gate; (c) the 37 stalest of the 41 remaining round-3
+# rows. After this round everything outside four r3-era relational
 # survivors (small_quantity_part_revenue, idle_high_balance_customers,
-# sole_late_supplier_waits — stable TPC-H shapes, next round's slot-1
-# candidates) has >= round-4 gate evidence, and every entry whose
+# sole_late_supplier_waits, copurchase_pairs — stable shapes, next
+# round's slot-1 candidates) has >= round-4 gate evidence, and every
+# entry whose
 # behavior changed in round 7 has round-7 evidence. Everything below
 # slot 50 stays oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
@@ -53,6 +55,7 @@ _PRIORITY = [
     "bpe_encode",
     "contrastive_triplets_ivf",
     "ann_ivf_pq_topk",
+    "semantic_decontamination",
     # (b) changed this round — re-prove under the new semantics
     "ann_ivf_topk",
     "hard_negative_mining_ivf",
@@ -63,7 +66,7 @@ _PRIORITY = [
     "streaming_session_gap_tws",
     "streaming_trigger_fire_purge",
     "streaming_delta_alarm_ttl",
-    # (c) latest green row is r3 — the 38 stalest of 41
+    # (c) latest green row is r3 — the 37 stalest of 41
     "split_select_bands",
     "side_output_alarm",
     "generated_order_dashboard",
@@ -99,7 +102,6 @@ _PRIORITY = [
     "asof_join_cogrouped",
     "dedup_containment",
     "dedup_substring_spans",
-    "copurchase_pairs",
     "value_outliers",
     "part_supplier_diversity",
 ]

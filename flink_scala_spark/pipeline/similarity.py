@@ -1013,6 +1013,74 @@ def ivf_topk_vectorized(
     )
 
 
+def max_cosine_vs_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Per-corpus-row nearest-reference report: for every corpus
+    vector, the max cosine against ANY reference vector, the nearest
+    reference id (ties -> lowest id), and a ``contaminated`` flag at
+    ``threshold`` — semantic decontamination against a benchmark/eval
+    embedding set.
+
+    Scale shape: the reference side is SMALL BY CONTRACT (an eval
+    benchmark — thousands of rows), so it broadcasts as one dense
+    float64 matrix and the whole operator is ONE scan-parallel
+    ``mapInPandas`` pass over the corpus — exact, linear, ZERO
+    shuffles (not even a top-k exchange; the max folds inside the
+    batch kernel). This is the production form at 100 TB: the corpus
+    streams, nothing about it is collected or repartitioned.
+
+    Exactness: cosines come from the shared :func:`_cos_block`
+    in-order fold; ``np.argmax`` takes the first max over columns
+    sorted by ascending reference id == the oracle's ``row_number()
+    ORDER BY cos DESC, ref_id``; the flag is one exact >= compare."""
+    import numpy as np
+
+    ref_pdf = (
+        reference.select(id_col, vec_col).toPandas().sort_values(id_col)
+    )
+    ref_ids = ref_pdf[id_col].to_numpy(dtype="int64")
+    R = np.stack([np.asarray(v, dtype=np.float64) for v in ref_pdf[vec_col]])
+    d = int(dim)
+    r_nsq = np.zeros(len(R))
+    for kk in range(d):
+        r_nsq += R[:, kk] * R[:, kk]
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((ref_ids, R, r_nsq))
+    thr = float(threshold)
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_r, mat_r, nsq_r = bc.value
+        for block in batches:
+            if len(block) == 0:
+                continue
+            _, sims = _cos_block(block[vec_col], mat_r, nsq_r, d)
+            mx = sims.max(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": block[id_col].to_numpy(dtype="int64"),
+                    "nearest_benchmark_id": ids_r[_np.argmax(sims, axis=1)],
+                    "max_cosine": mx,
+                    "contaminated": mx >= thr,
+                }
+            )
+
+    src = _spread(corpus.select(id_col, vec_col))
+    return src.mapInPandas(
+        score,
+        "vec_id long, nearest_benchmark_id long, max_cosine double, "
+        "contaminated boolean",
+    )
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     threshold: float,

@@ -682,6 +682,43 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_decontamination",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
+    bench AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    corp AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+    s AS (SELECT c.vec_id, b.vec_id AS bid,
+                 {duck_dot('c.embedding', 'b.embedding')} / sqrt(c.nsq * b.nsq) AS cos
+          FROM corp c CROSS JOIN bench b),
+    m AS (SELECT vec_id, bid, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cos DESC, bid) AS rn
+          FROM s) t WHERE rn = 1)
+    SELECT vec_id, bid AS nearest_benchmark_id, cos AS max_cosine,
+           cos >= 0.25 AS contaminated
+    FROM m
+    """,
+    "decontamination", "similarity", "embedding",
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (X168): per corpus vector,
+    the max cosine against ANY benchmark-set embedding, the nearest
+    benchmark id, and the leak flag at 0.25 — the paraphrase-level
+    leakage check the exact n-gram `decontamination` misses (a reworded
+    eval question shares no 8-gram but sits next to the benchmark in
+    embedding space). The benchmark side is small by contract (an eval
+    set), so the production shape is EXACT and linear: broadcast the
+    benchmark matrix, one scan-parallel mapInPandas pass over the
+    corpus, zero shuffles — no ANN approximation needed."""
+    emb = _emb(spark, sf_dir)
+    return similarity.max_cosine_vs_reference(
+        emb.where(F.col("vec_id") % 50 != 0),
+        emb.where(F.col("vec_id") % 50 == 0),
+        threshold=0.25,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -508,6 +508,55 @@ def test_label_masked_topk_respects_label_relation(spark):
                 assert r["cosine"] <= best_all[r["query_id"]] + 1e-12
 
 
+def test_trained_centroid_cache_never_aliases_distinct_frames(spark):
+    """The trained-quantizer cache is keyed by (input files, analyzed
+    plan): a repeat call on an equivalent frame must HIT (bit-equal
+    result, no retraining), while a FILTERED frame over the same
+    parquet files — same inputFiles() — must get its own slot and a
+    different training result. Aliasing here would silently serve one
+    corpus's index for another."""
+    import numpy as np
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    n0 = len(similarity._TRAINED_CACHE)
+    ids1, c1 = similarity.trained_centroids(emb, 8, 1)
+    # equivalent frame (fresh load, new exprIds) -> cache hit
+    ids2, c2 = similarity.trained_centroids(
+        tables.load(spark, "/root/testdata/sf0.001", "embeddings"), 8, 1
+    )
+    assert np.array_equal(ids1, ids2) and np.array_equal(c1, c2)
+    assert len(similarity._TRAINED_CACHE) == n0 + 1
+    # filtered frame over the SAME files -> distinct slot, distinct result
+    ids3, c3 = similarity.trained_centroids(
+        emb.where(F.col("vec_id") % 2 == 0), 8, 1
+    )
+    assert len(similarity._TRAINED_CACHE) == n0 + 2
+    assert not np.array_equal(c1, c3)
+    # the returned arrays are COPIES: mutating one must not poison the slot
+    c2[0, 0] += 1.0
+    ids4, c4 = similarity.trained_centroids(emb, 8, 1)
+    assert np.array_equal(c1, c4)
+
+
+def test_ivf_label_match_without_label_col_raises(spark):
+    """Mirror of the exact path's validation: a half-specified label
+    contract on the IVF kernel must raise, not silently return
+    unmasked neighbors as triplet positives."""
+    import pytest
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="label_match given without label_col"):
+        similarity.ivf_topk_vectorized(
+            emb, F.col("vec_id") % 50 == 0, k=3, label_match="same"
+        )
+
+
 def test_containment_blocking_catches_small_excerpt_in_large_doc(spark):
     """A 30-shingle excerpt inside a ~600-word doc has Jaccard ~0.05 —
     Jaccard-tuned LSH bands would almost surely miss it (collision

@@ -104,6 +104,36 @@ def flatten(
     return out.withColumn(f"{prefix}nsq", nsq)
 
 
+def _nsq_rows(M, d: int):
+    """Per-row squared norm as the in-order fold — part of the
+    module's IEEE-exactness contract (== the oracle's ``list_reduce``
+    over squares); do NOT replace with ``(M*M).sum(axis=1)``, whose
+    pairwise summation lands on different floats."""
+    import numpy as np
+
+    nsq = np.zeros(len(M))
+    for kk in range(d):
+        nsq += M[:, kk] * M[:, kk]
+    return nsq
+
+
+def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Collect a SMALL frame (centroids / codebook / benchmark — fixed
+    or contract-bounded size) as ``(ids ascending, float64 matrix)``.
+    Ascending-id column order is what makes ``np.argmax``'s first-max
+    equal the oracle's ``ORDER BY ... DESC, id`` tie-break."""
+    import numpy as np
+
+    pdf = df.select(id_col, vec_col).toPandas().sort_values(id_col)
+    ids = pdf[id_col].to_numpy(dtype="int64")
+    if len(ids) == 0:
+        # np.stack raises on an empty list; callers handle the
+        # zero-row side explicitly (empty result / empty index)
+        return ids, np.zeros((0, 0))
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return ids, M
+
+
 def _cos_block(block_vecs, mat_c, nsq_c, d: int):
     """Cosine block of one Arrow batch's vectors against a broadcast
     float64 matrix: per-dimension IN-ORDER accumulation from 0.0 — the
@@ -618,8 +648,6 @@ def trained_centroids(
     batch) plus one k x dim-row hash agg; only the k x dim aggregate
     ever reaches the driver. The corpus is never collected and never
     shuffled."""
-    import numpy as np
-
     try:
         files = tuple(sorted(emb.inputFiles()))
         # the file list identifies the SCAN but not a filter/projection
@@ -645,20 +673,14 @@ def trained_centroids(
         if hit is not None:
             return hit[0].copy(), hit[1].copy()
 
-    seed_pdf = (
-        centroid_rows(emb, num_centroids, id_col, vec_col)
-        .toPandas()
-        .sort_values(id_col)
+    cent_ids, C = _collect_matrix(
+        centroid_rows(emb, num_centroids, id_col, vec_col), id_col, vec_col
     )
-    cent_ids = seed_pdf[id_col].to_numpy(dtype="int64")
-    C = np.stack([np.asarray(v, dtype=np.float64) for v in seed_pdf[vec_col]])
     d = int(dim)
     sc = emb.sparkSession.sparkContext
     src = _spread(emb.select(id_col, vec_col))
     for _ in range(int(iters)):
-        c_nsq = np.zeros(len(C))
-        for kk in range(d):
-            c_nsq += C[:, kk] * C[:, kk]
+        c_nsq = _nsq_rows(C, d)
         bc = sc.broadcast((cent_ids, C, c_nsq))
 
         def partial_sums(batches):
@@ -881,19 +903,11 @@ def ivf_topk_vectorized(
             emb, num_centroids, train_iters, id_col, vec_col, dim
         )
     else:
-        cent_pdf = (
-            centroid_rows(emb, num_centroids, id_col, vec_col)
-            .toPandas()
-            .sort_values(id_col)
-        )
-        cent_ids = cent_pdf[id_col].to_numpy(dtype="int64")
-        C = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in cent_pdf[vec_col]]
+        cent_ids, C = _collect_matrix(
+            centroid_rows(emb, num_centroids, id_col, vec_col), id_col, vec_col
         )
     d = int(dim)
-    c_nsq = np.zeros(len(C))
-    for kk in range(d):
-        c_nsq += C[:, kk] * C[:, kk]
+    c_nsq = _nsq_rows(C, d)
     use_labels = label_col is not None
     want_same = label_match == "same"
     q_sel = [id_col, vec_col] + ([label_col] if use_labels else [])
@@ -1038,18 +1052,34 @@ def max_cosine_vs_reference(
     Exactness: cosines come from the shared :func:`_cos_block`
     in-order fold; ``np.argmax`` takes the first max over columns
     sorted by ascending reference id == the oracle's ``row_number()
-    ORDER BY cos DESC, ref_id``; the flag is one exact >= compare."""
+    ORDER BY cos DESC, ref_id``; the flag is one exact >= compare.
+    Degenerate inputs: an EMPTY reference yields zero rows (the
+    oracle's CROSS JOIN against an empty bench — not a crash). A
+    ZERO-NORM vector on either side is OUT OF CONTRACT and refused
+    loudly: its cosine is 0/0, whose result is engine- and
+    version-dependent (numpy NaN vs DuckDB NULL, itself switched by
+    DuckDB's ieee_floating_point_ops) — no silent answer can be
+    oracle-stable, and a zero embedding is a broken input for cosine
+    anyway."""
     import numpy as np
 
-    ref_pdf = (
-        reference.select(id_col, vec_col).toPandas().sort_values(id_col)
+    out_schema = (
+        f"{id_col} long, nearest_benchmark_id long, max_cosine double, "
+        "contaminated boolean"
     )
-    ref_ids = ref_pdf[id_col].to_numpy(dtype="int64")
-    R = np.stack([np.asarray(v, dtype=np.float64) for v in ref_pdf[vec_col]])
+    ref_ids, R = _collect_matrix(reference, id_col, vec_col)
+    if len(ref_ids) == 0:
+        # the oracle's CROSS JOIN against an empty bench is empty
+        return corpus.sparkSession.createDataFrame([], out_schema)
     d = int(dim)
-    r_nsq = np.zeros(len(R))
-    for kk in range(d):
-        r_nsq += R[:, kk] * R[:, kk]
+    r_nsq = _nsq_rows(R, d)
+    if (r_nsq == 0.0).any():
+        bad = ref_ids[np.nonzero(r_nsq == 0.0)[0][:5]].tolist()
+        raise ValueError(
+            f"zero-norm reference embedding(s) {bad}: cosine against a "
+            "zero vector is 0/0, which no engine pair answers "
+            "consistently — drop or re-embed them first"
+        )
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((ref_ids, R, r_nsq))
     thr = float(threshold)
@@ -1063,22 +1093,26 @@ def max_cosine_vs_reference(
             if len(block) == 0:
                 continue
             _, sims = _cos_block(block[vec_col], mat_r, nsq_r, d)
-            mx = sims.max(axis=1)
+            if _np.isnan(sims).any():
+                ids_b = block[id_col].to_numpy(dtype="int64")
+                bad = ids_b[_np.isnan(sims).any(axis=1)][:5].tolist()
+                raise ValueError(
+                    f"zero-norm corpus embedding(s) {bad}: cosine is "
+                    "0/0 — out of contract, drop or re-embed them first"
+                )
+            am = _np.argmax(sims, axis=1)
+            mx = sims[_np.arange(len(sims)), am]
             yield _pd.DataFrame(
                 {
-                    "vec_id": block[id_col].to_numpy(dtype="int64"),
-                    "nearest_benchmark_id": ids_r[_np.argmax(sims, axis=1)],
+                    id_col: block[id_col].to_numpy(dtype="int64"),
+                    "nearest_benchmark_id": ids_r[am],
                     "max_cosine": mx,
                     "contaminated": mx >= thr,
                 }
             )
 
     src = _spread(corpus.select(id_col, vec_col))
-    return src.mapInPandas(
-        score,
-        "vec_id long, nearest_benchmark_id long, max_cosine double, "
-        "contaminated boolean",
-    )
+    return src.mapInPandas(score, out_schema)
 
 
 def lsh_near_dup_pairs(
@@ -1400,15 +1434,11 @@ def ivf_pq_refined_topk(
     """
     from pyspark.sql import Window
 
-    import numpy as np
-
     cent_ids, C = trained_centroids(
         emb, num_centroids, train_iters, id_col, vec_col, DIM
     )
     d = int(DIM)
-    c_nsq = np.zeros(len(C))
-    for kk in range(d):
-        c_nsq += C[:, kk] * C[:, kk]
+    c_nsq = _nsq_rows(C, d)
     sc = emb.sparkSession.sparkContext
     bc = sc.broadcast((cent_ids, C, c_nsq))
     np_ = int(nprobe)

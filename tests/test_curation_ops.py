@@ -557,6 +557,60 @@ def test_ivf_label_match_without_label_col_raises(spark):
         )
 
 
+def test_max_cosine_vs_reference_degenerate_inputs(spark):
+    """The semantic-decontamination kernel's degenerate-input contract:
+    an EMPTY reference yields zero rows (the oracle's CROSS JOIN
+    against an empty bench — not an np.stack crash), and a ZERO-NORM
+    vector on either side is refused LOUDLY — its cosine is 0/0, whose
+    result is engine- and version-dependent (numpy NaN vs DuckDB NULL,
+    itself switched by ieee_floating_point_ops), so no silent answer
+    can be oracle-stable."""
+    import pytest
+
+    from flink_scala_spark.pipeline import similarity
+
+    rows = [
+        (1, [0.0, 0.0, 1.0, 0.0]),    # corpus
+        (2, [0.0, 0.0, 0.0, 0.0]),    # corpus, zero-norm
+        (50, [0.0, 0.0, 1.0, 0.0]),   # benchmark
+        (100, [1.0, 0.0, 0.0, 0.0]),  # benchmark
+        (150, [0.0, 0.0, 0.0, 0.0]),  # benchmark, zero-norm
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = emb.where(F.col("vec_id") < 50)
+    bench_ok = emb.where(F.col("vec_id").isin(50, 100))
+
+    # empty reference -> empty result with the declared schema
+    out = similarity.max_cosine_vs_reference(
+        corpus, bench_ok.where(F.lit(False)), 0.25, dim=4
+    )
+    assert out.count() == 0 and "contaminated" in out.columns
+
+    # zero-norm REFERENCE row refuses at build time, naming the id
+    with pytest.raises(ValueError, match=r"zero-norm reference.*150"):
+        similarity.max_cosine_vs_reference(
+            corpus.where(F.col("vec_id") == 1),
+            emb.where(F.col("vec_id") >= 50),
+            0.25,
+            dim=4,
+        )
+
+    # zero-norm CORPUS row refuses in the scoring pass, naming the id
+    with pytest.raises(Exception, match=r"zero-norm corpus.*2"):
+        similarity.max_cosine_vs_reference(
+            corpus, bench_ok, 0.25, dim=4
+        ).collect()
+
+    # the clean subset still answers exactly
+    got = {
+        r["vec_id"]: (r["nearest_benchmark_id"], r["contaminated"])
+        for r in similarity.max_cosine_vs_reference(
+            corpus.where(F.col("vec_id") == 1), bench_ok, 0.25, dim=4
+        ).collect()
+    }
+    assert got == {1: (50, True)}  # identical vector -> cosine 1.0
+
+
 def test_containment_blocking_catches_small_excerpt_in_large_doc(spark):
     """A 30-shingle excerpt inside a ~600-word doc has Jaccard ~0.05 —
     Jaccard-tuned LSH bands would almost surely miss it (collision

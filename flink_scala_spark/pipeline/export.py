@@ -23,6 +23,7 @@ own outputs instead.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import uuid
@@ -220,6 +221,27 @@ def export_versioned(
             except FileExistsError:
                 version += 1
                 continue
+            except OSError as e:
+                # filesystems without hardlink support (object-store
+                # FUSE mounts, some network shares) raise EPERM /
+                # EOPNOTSUPP / ENOTSUP here — fall back to the O_EXCL
+                # claim: still race-free on the version number, merely
+                # not crash-atomic on the byte write (the tmp+link form
+                # is preferred exactly for that). Anything else is a
+                # real error and propagates.
+                if e.errno not in (
+                    errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP
+                ):
+                    raise
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    version += 1
+                    continue
+                with os.fdopen(fd, "w") as out_f:
+                    json.dump(manifest, out_f, indent=2, sort_keys=True)
+                    out_f.flush()
+                    os.fsync(out_f.fileno())
             return manifest
     finally:
         try:
@@ -357,7 +379,13 @@ def vacuum_exports(
             pass  # a concurrent vacuum removed it first
     # crashed exports (kill -9 between tmp write and publish) strand
     # .manifest-tmp-* at the out_dir top level — collect them past the
-    # same grace window as data orphans
+    # same grace window as data orphans. ASSUMPTION (same contract as
+    # the data-orphan window above): no healthy exporter stalls longer
+    # than orphan_grace_s between writing its tmp manifest and linking
+    # it — one that does loses its tmp to this reaper and dies with
+    # FileNotFoundError at the link. Size orphan_grace_s above the
+    # slowest plausible publish pause (default 24 h), exactly as
+    # Delta/Iceberg vacuum retention is sized above the slowest writer.
     for f in os.listdir(out_dir):
         if f.startswith(".manifest-tmp-"):
             p = os.path.join(out_dir, f)

@@ -34,6 +34,12 @@ MAX_EXACT_PAIRS = 100_000_000
 #: baseline may accumulate before the TTL twin is mandatory.
 MAX_UNBOUNDED_STATE_ROWS = 1_000_000
 
+#: Max rows a "small by contract" side (benchmark/reference embedding
+#: set, centroid seeds) may have before we refuse to collect it to the
+#: driver as one dense float64 matrix (~100 MB at 64 dims — far past
+#: any real eval benchmark, far under driver OOM).
+MAX_REFERENCE_ROWS = 200_000
+
 
 def _allowed() -> bool:
     return os.environ.get("SPARK_GRAFT_ALLOW_QUADRATIC") == "1"
@@ -48,6 +54,20 @@ def guard_exact_pairs(pairs: int, name: str, twin: str) -> None:
         f"{MAX_EXACT_PAIRS:,}-pair bound for this EXACT ground-truth "
         f"baseline. Use its scale path `{twin}`, or set "
         f"SPARK_GRAFT_ALLOW_QUADRATIC=1 for a deliberate oracle run."
+    )
+
+
+def guard_reference_rows(rows: int, name: str) -> None:
+    """Refuse to driver-collect a 'small by contract' broadcast side
+    that turned out not to be small — BEFORE the toPandas()."""
+    if rows <= MAX_REFERENCE_ROWS or _allowed():
+        return
+    raise RuntimeError(
+        f"{name}: the reference side has {rows:,} rows, past the "
+        f"{MAX_REFERENCE_ROWS:,}-row small-by-contract bound for a "
+        "driver-collected broadcast matrix. Shrink the reference "
+        "(it should be an eval benchmark, not a corpus), or set "
+        "SPARK_GRAFT_ALLOW_QUADRATIC=1 for a deliberate oversize run."
     )
 
 

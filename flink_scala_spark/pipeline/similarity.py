@@ -30,6 +30,7 @@ same call spreads the quadratic stage across all cores.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -132,6 +133,16 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
         return ids, np.zeros((0, 0))
     M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     return ids, M
+
+
+def _require_centroids(cent_ids, name: str):
+    """Contract error (not an opaque numpy IndexError downstream) when
+    the corpus yielded zero centroid/seed rows — i.e. it is empty."""
+    if len(cent_ids) == 0:
+        raise ValueError(
+            f"{name}: the corpus has zero rows — cannot build a "
+            "quantizer/index over an empty embedding table"
+        )
 
 
 def _cos_block(block_vecs, mat_c, nsq_c, d: int):
@@ -611,10 +622,36 @@ def centroid_rows(
 #: function of the input FILES (deterministic seeds, folds, and
 #: updates), and one gate/bench run invokes the same training from
 #: several entries (ann_ivf_topk, the mining twins, the recall
-#: report's two probe budgets). Keyed by the scan's file list; a
-#: non-file source (empty inputFiles) is never cached.
-_TRAINED_CACHE: dict[tuple, tuple] = {}
+#: report's two probe budgets). Keyed by the scan's files' CONTENT
+#: fingerprints — (path, size, mtime_ns) per file — so a parquet
+#: rewritten in place under the same path misses rather than serving
+#: stale centroids; a non-file source (empty inputFiles) or an
+#: unstat-able file is never cached. LRU-capped at
+#: ``_TRAINED_CACHE_MAX`` entries (each is one k x dim float64 matrix,
+#: so the cap bounds driver memory at well under a megabyte).
+_TRAINED_CACHE: "OrderedDict[tuple, tuple]" = __import__(
+    "collections"
+).OrderedDict()
+_TRAINED_CACHE_MAX = 32
 _TRAINED_LOCK = __import__("threading").Lock()
+
+
+def _file_fingerprints(files: tuple) -> tuple | None:
+    """(path, size, mtime_ns) per input file, or None when any file
+    cannot be stat-ed (non-local URI) — in which case don't cache."""
+    out = []
+    for uri in files:
+        p = uri
+        if p.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            p = unquote(urlparse(p).path)
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        out.append((uri, st.st_size, st.st_mtime_ns))
+    return tuple(out)
 
 
 def trained_centroids(
@@ -664,18 +701,25 @@ def trained_centroids(
         plan = hashlib.md5(plan_s.encode()).hexdigest()
     except Exception:
         files, plan = (), ""
+    # content fingerprints, not bare paths: a parquet rewritten in
+    # place under the same path must MISS, not serve stale centroids
+    prints = _file_fingerprints(files) if files else None
     cache_key = (
-        files, plan, int(num_centroids), int(iters), id_col, vec_col, int(dim)
+        prints, plan, int(num_centroids), int(iters), id_col, vec_col,
+        int(dim),
     )
-    if files:
+    if prints is not None:
         with _TRAINED_LOCK:
             hit = _TRAINED_CACHE.get(cache_key)
+            if hit is not None:
+                _TRAINED_CACHE.move_to_end(cache_key)
         if hit is not None:
             return hit[0].copy(), hit[1].copy()
 
     cent_ids, C = _collect_matrix(
         centroid_rows(emb, num_centroids, id_col, vec_col), id_col, vec_col
     )
+    _require_centroids(cent_ids, "trained_centroids")
     d = int(dim)
     sc = emb.sparkSession.sparkContext
     src = _spread(emb.select(id_col, vec_col))
@@ -730,9 +774,12 @@ def trained_centroids(
                 row["s"]
             ) / (CENTROID_SCALE * float(row["n"]))
         C = newC
-    if files:
+    if prints is not None:
         with _TRAINED_LOCK:
             _TRAINED_CACHE[cache_key] = (cent_ids.copy(), C.copy())
+            _TRAINED_CACHE.move_to_end(cache_key)
+            while len(_TRAINED_CACHE) > _TRAINED_CACHE_MAX:
+                _TRAINED_CACHE.popitem(last=False)
     return cent_ids, C
 
 
@@ -906,6 +953,7 @@ def ivf_topk_vectorized(
         cent_ids, C = _collect_matrix(
             centroid_rows(emb, num_centroids, id_col, vec_col), id_col, vec_col
         )
+        _require_centroids(cent_ids, "ivf_topk_vectorized")
     d = int(dim)
     c_nsq = _nsq_rows(C, d)
     use_labels = label_col is not None
@@ -1066,6 +1114,14 @@ def max_cosine_vs_reference(
     out_schema = (
         f"{id_col} long, nearest_benchmark_id long, max_cosine double, "
         "contaminated boolean"
+    )
+    # enforce "small by contract" BEFORE collecting: a caller passing a
+    # corpus-sized reference must get a loud refusal, not a driver OOM
+    # (one COUNT aggregate — metadata-cheap on parquet row groups)
+    from flink_scala_spark.pipeline import guards
+
+    guards.guard_reference_rows(
+        reference.count(), "max_cosine_vs_reference"
     )
     ref_ids, R = _collect_matrix(reference, id_col, vec_col)
     if len(ref_ids) == 0:

@@ -541,6 +541,90 @@ def test_trained_centroid_cache_never_aliases_distinct_frames(spark):
     assert np.array_equal(c1, c4)
 
 
+def test_trained_centroid_cache_misses_on_in_place_rewrite(
+    spark, tmp_path
+):
+    """The cache key carries (path, size, mtime_ns) per input file: a
+    parquet REWRITTEN IN PLACE under the same path must retrain, never
+    serve the old file's centroids for the process lifetime."""
+    import numpy as np
+
+    from flink_scala_spark.pipeline import similarity
+
+    p = str(tmp_path / "emb")
+
+    def write(seed):
+        rows = [
+            (i, [float((i * 7 + j * seed) % 13) - 6.0 for j in range(4)])
+            for i in range(30)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+
+    write(3)
+    ids1, c1 = similarity.trained_centroids(
+        spark.read.parquet(p), 4, 1, dim=4
+    )
+    write(5)  # same path, different content
+    ids2, c2 = similarity.trained_centroids(
+        spark.read.parquet(p), 4, 1, dim=4
+    )
+    assert not np.array_equal(c1, c2)
+
+
+def test_trained_centroid_cache_is_bounded(spark, monkeypatch):
+    """The cache LRU-evicts past _TRAINED_CACHE_MAX instead of growing
+    unboundedly across distinct frames."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    monkeypatch.setattr(similarity, "_TRAINED_CACHE_MAX", 3)
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    for k in (2, 3, 4, 5, 6):
+        similarity.trained_centroids(emb, k, 1)
+    assert len(similarity._TRAINED_CACHE) <= 3
+    # the most recent entry survived (hit, no retrain-path assertion
+    # needed: the key must still be present)
+    keys = list(similarity._TRAINED_CACHE)
+    assert any(key[2] == 6 for key in keys)
+
+
+def test_empty_corpus_refuses_loudly(spark):
+    """An EMPTY embedding corpus is a contract error for index
+    construction — trained_centroids and the untrained IVF path must
+    raise a named ValueError, not an opaque numpy IndexError from a
+    (0, 0) matrix."""
+    import pytest
+
+    from flink_scala_spark.pipeline import similarity
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="trained_centroids.*zero rows"):
+        similarity.trained_centroids(empty, 4, 1, dim=4)
+    with pytest.raises(ValueError, match="ivf_topk_vectorized.*zero rows"):
+        similarity.ivf_topk_vectorized(
+            empty, F.lit(True), k=3, dim=4
+        )
+
+
+def test_reference_size_guard_fires_before_collect(spark, monkeypatch):
+    """max_cosine_vs_reference enforces 'small by contract' with a loud
+    refusal BEFORE toPandas(), mirroring the exact top-k path's
+    guard-before-collect discipline."""
+    import pytest
+
+    from flink_scala_spark.pipeline import guards, similarity
+
+    monkeypatch.setattr(guards, "MAX_REFERENCE_ROWS", 2)
+    rows = [(i, [1.0, 0.0, 0.0, float(i)]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(RuntimeError, match="max_cosine_vs_reference.*5"):
+        similarity.max_cosine_vs_reference(emb, emb, 0.25, dim=4)
+
+
 def test_ivf_label_match_without_label_col_raises(spark):
     """Mirror of the exact path's validation: a half-specified label
     contract on the IVF kernel must raise, not silently return

@@ -89,6 +89,51 @@ def test_versioned_export_snapshots_are_immutable(spark, tmp_path):
     assert len({tuple(r) for r in export.read_snapshot(spark, out, 2).collect()}) == 60
 
 
+def test_versioned_export_publishes_without_hardlink_support(
+    spark, tmp_path, monkeypatch
+):
+    """Object-store FUSE mounts and some network shares reject
+    os.link (EPERM/EOPNOTSUPP); the publish must fall back to the
+    O_EXCL claim — still race-free on the version number — instead of
+    failing the export. Real link errors must still propagate."""
+    import errno
+    import os as _os
+
+    from flink_scala_spark.pipeline import export
+
+    out = str(tmp_path / "exp")
+    real_link = _os.link
+
+    def no_link(src, dst, *a, **kw):
+        raise OSError(errno.EPERM, "Operation not permitted", dst)
+
+    monkeypatch.setattr(_os, "link", no_link)
+    m1 = export.export_versioned(spark, _mini_corpus(spark, 40, "a"), out)
+    m2 = export.export_versioned(spark, _mini_corpus(spark, 24, "b"), out)
+    assert (m1["version"], m2["version"]) == (1, 2)
+    # the fallback-published manifests are complete, valid JSON that
+    # read_snapshot trusts end-to-end
+    assert export.read_snapshot(spark, out, 1).count() == 40
+    assert export.read_snapshot(spark, out, 2).count() == 24
+    # no stranded tmp files once publish returns
+    assert not [
+        f for f in _os.listdir(out) if f.startswith(".manifest-tmp-")
+    ]
+
+    # an unrelated link failure is NOT swallowed
+    def bad_link(src, dst, *a, **kw):
+        raise OSError(errno.EIO, "I/O error", dst)
+
+    monkeypatch.setattr(_os, "link", bad_link)
+    try:
+        export.export_versioned(spark, _mini_corpus(spark, 8, "c"), out)
+        raised = False
+    except OSError as e:
+        raised = e.errno == errno.EIO
+    assert raised
+    monkeypatch.setattr(_os, "link", real_link)
+
+
 def test_vacuum_removes_only_unreferenced_files(spark, tmp_path):
     """Vacuum keep=1: the old snapshot's files and manifest go, the
     retained snapshot still reads fully and matches its manifest

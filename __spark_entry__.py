@@ -30,80 +30,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-7 rotation: (a) the four entries with NO driver row ever
-# (bpe_encode — added after the r6 head froze, VERDICT r6 ask #1 —
-# plus this round's contrastive_triplets_ivf, ann_ivf_pq_topk, and
-# semantic_decontamination);
-# (b) the NINE entries whose semantics, outputs, or implementation
-# changed this round — the IVF family moved to the Lloyd's-trained
-# C=16 quantizer, streaming_ann_pq_serving now sinks via
-# foreachBatch, and the TWS/TTL replay re-bucketing (5-day buckets)
-# changed those five entries' watermark sequences and therefore their
-# outputs — their older green rows prove the OLD code, so they all
-# re-enter the gate; (c) the 37 stalest of the 41 remaining round-3
-# rows. After this round everything outside four r3-era relational
-# survivors (small_quantity_part_revenue, idle_high_balance_customers,
-# sole_late_supplier_waits, copurchase_pairs — stable shapes, next
-# round's slot-1 candidates) has >= round-4 gate evidence, and every
-# entry whose
-# behavior changed in round 7 has round-7 evidence. Everything below
-# slot 50 stays oracle-checked at sf0.001 on every pytest run
+# Round-8 rotation: (a) the five entries with NO driver row ever (this
+# round's additions: weighted_corpus_sample, mmr_rerank,
+# distribution_drift_report, bloom_semi_join, pareto_frontier);
+# (b) the four remaining round-3-evidence rows (the named survivors of
+# the r7 rotation: copurchase_pairs, small_quantity_part_revenue,
+# idle_high_balance_customers, sole_late_supplier_waits);
+# (c) the 41 stalest of the 47 remaining round-4 rows. After this round
+# every entry except six r4-era relational shapes (local_supplier_volume,
+# bracketed_revenue, forecast_revenue_change, ship_latency_priority_counts,
+# nation_market_share, range_join_binned — round-9's rotation head) has
+# >= round-5 gate evidence. No existing entry's output changed this
+# round (the round-8 code changes are guards/cache/publish-path
+# hardening), so no forced re-entries. Everything below slot 50 stays
+# oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
 _PRIORITY = [
     # (a) no driver row yet
-    "bpe_encode",
-    "contrastive_triplets_ivf",
-    "ann_ivf_pq_topk",
-    "semantic_decontamination",
-    # (b) changed this round — re-prove under the new semantics
-    "ann_ivf_topk",
-    "hard_negative_mining_ivf",
-    "ann_recall_report",
-    "streaming_ann_pq_serving",
-    "streaming_rising_alarm_tws",
-    "streaming_session_summary_tws",
-    "streaming_session_gap_tws",
-    "streaming_trigger_fire_purge",
-    "streaming_delta_alarm_ttl",
-    # (c) latest green row is r3 — the 37 stalest of 41
-    "split_select_bands",
-    "side_output_alarm",
-    "generated_order_dashboard",
-    "day_window_offset_utc8",
-    "window_all_minute",
-    "evictor_prefilter",
-    "trigger_per_element_fire",
-    "late_data_accounting",
-    "delta_alarm",
-    "count_window_sliding",
-    "skew_join_salted",
-    "value_histogram",
-    "windowed_topk_types",
-    "session_stats",
-    "rolling_window_avg",
-    "revenue_day_over_day",
-    "gap_fill_forward",
-    "streaming_tumbling_counts",
-    "streaming_keyed_sum",
-    "streaming_word_count",
-    "streaming_order_dashboard",
-    "streaming_session_windows",
-    "streaming_funnel",
-    "streaming_cohort_retention",
-    "dedup_ngram_jaccard",
-    "embedding_near_dup",
-    "dataset_split",
-    "stratified_sample_events",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "embedding_quantize_int8",
-    "incremental_dedup",
-    "asof_join_cogrouped",
-    "dedup_containment",
-    "dedup_substring_spans",
-    "value_outliers",
-    "part_supplier_diversity",
+    "weighted_corpus_sample",
+    "mmr_rerank",
+    "distribution_drift_report",
+    "bloom_semi_join",
+    "pareto_frontier",
+    # (b) last round-3-evidence rows
+    "copurchase_pairs",
+    "small_quantity_part_revenue",
+    "idle_high_balance_customers",
+    "sole_late_supplier_waits",
+    # (c) the 41 stalest round-4 rows
+    "order_dashboard_total",
+    "shipping_priority_topk",
+    "scd2_history",
+    "temporal_join_scd2",
+    "cdc_apply_changelog",
+    "events_variant_props",
+    "events_type_unpivot",
+    "streaming_delta_alarm",
+    "streaming_static_enrichment",
+    "streaming_dedup_within_watermark",
+    "streaming_windowed_topk",
+    "streaming_interval_join_outer",
+    "streaming_cms_heavy_hitters",
+    "streaming_cdc_apply",
+    "streaming_chained_windows",
+    "streaming_interval_join_full_outer",
+    "streaming_dedup_then_window",
+    "streaming_join_then_window",
+    "text_token_stats",
+    "text_lang_id",
+    "text_quality",
+    "text_fingerprint",
+    "pii_scrub",
+    "approx_ndv_hll",
+    "decontamination_bloom",
+    "sample_events_per_type",
+    "ann_pq_topk",
+    "udtf_bigram_topk",
+    "udaf_second_largest",
+    "corpus_curation_pipeline",
+    "dedup_triangles",
+    "semantic_dedup",
+    "text_rare_token_novelty",
+    "dedup_clusters_star",
+    "bm25_search",
+    "entity_clusters",
+    "approx_quantiles_certified",
+    "dataset_split_leakage_safe",
+    "revenue_cube",
+    "nation_trade_flow",
+    "value_deciles",
 ]
 
 

@@ -90,6 +90,12 @@ HEADLINE = [
     "vocab_oov_rate",
     "temperature_mixture",
     "bpe_encode",
+    # round-8 additions
+    "bloom_semi_join",
+    "pareto_frontier",
+    "weighted_corpus_sample",
+    "mmr_rerank",
+    "distribution_drift_report",
 ]
 
 

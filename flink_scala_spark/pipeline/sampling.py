@@ -330,3 +330,36 @@ def temperature_mixture(docs, id_col: str = "doc_id", budget_div: int = 2):
     return _weighted_admission_audit(
         base, weighted, budget_sql=f"total div {budget_div}"
     )
+
+
+#: 2^60 as an exact double (60 < 1024, a power of two is exact).
+_PRI_DENOM = float(1 << 60)
+
+
+def priority_sample(
+    df: DataFrame, weight_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup): each row gets priority ``w / u`` with
+    ``u = (h60(id)+1) / 2^60`` a content-hash uniform in (0, 1]; the k
+    highest priorities are the sample. Inclusion probability is
+    proportional to weight (exactly the Efraimidis–Spirakis
+    ``u^(1/w)`` order statistics scheme, reparameterized to avoid
+    ``pow``/``ln`` — composed of only +, /, casts, which IEEE-754
+    specifies exactly, so the DuckDB oracle hash-matches bit-for-bit;
+    transcendental libm calls are NOT cross-engine stable).
+
+    Determinism: the uniform comes from the content hash, never
+    ``rand()`` — stable across partitionings, retries, and engines.
+    Scale: ``ORDER BY priority LIMIT k`` compiles to
+    TakeOrderedAndProject (per-partition top-k, one k-row merge) —
+    no global sort, no single-partition window."""
+    u = (h60(F.col(id_col).cast("string")).cast("double") + F.lit(1.0)) / F.lit(
+        _PRI_DENOM
+    )
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(int(k))
+    )

@@ -1742,3 +1742,90 @@ def kmeans_assign_fixed(
     return assigned.select(
         "vec_id", F.col("cid").alias("cluster_id"), F.col("dist").alias("sq_dist")
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_pred,
+    k_candidates: int = 20,
+    k_select: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    from each query's exact top-``k_candidates`` cosine neighbors,
+    iteratively select ``k_select`` results maximizing
+    ``0.5*relevance - 0.5*max_sim_to_already_selected`` — the standard
+    diversity rerank a retrieval pipeline runs after ANN so near-
+    duplicate passages don't crowd the context window.
+
+    λ is fixed at 0.5 because 0.5 and (1-0.5) are the SAME exactly-
+    representable double — an asymmetric λ would make Python's ``1-λ``
+    and the SQL literal disagree in the last ulp and break the
+    hash-exact oracle.
+
+    Determinism/exactness: relevance is the stage-1 cosine (in-order
+    fold); candidate-candidate cosines go through the shared
+    :func:`_cos_block` fold; ``max`` over selected is order-free;
+    score ties break to the lowest neighbor_id (argmax over ascending-
+    id-sorted arrays). Every step replays in SQL, so the oracle is the
+    same selection unrolled ``k_select`` times.
+
+    Scale: stage 1 is the existing top-k machinery (broadcast queries,
+    per-batch local top-k, one query_id-keyed shuffle of <= k rows per
+    query per partition); the MMR loop itself runs per-query inside
+    ``applyInPandas`` over ≤ k_candidates rows — O(k² · k_select)
+    row-local arithmetic per query, embarrassingly parallel across
+    queries, nothing global."""
+    import numpy as np
+
+    cands = cosine_topk_vectorized(
+        emb, query_pred, k=k_candidates, id_col=id_col, vec_col=vec_col,
+        dim=dim,
+    )
+    withvec = cands.select("query_id", "neighbor_id", "cosine").join(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        ),
+        "neighbor_id",
+    )
+    d = int(dim)
+    k_sel = int(k_select)
+
+    def select(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf["neighbor_id"].to_numpy(dtype="int64")
+        rel = pdf["cosine"].to_numpy(dtype="float64")
+        M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["nvec"]])
+        nsq = _nsq_rows(M, d)
+        _, sims = _cos_block(pdf["nvec"], M, nsq, d)
+        qid = int(pdf["query_id"].iloc[0])
+        sel_idx: list[int] = []
+        out = []
+        for step in range(1, min(k_sel, n) + 1):
+            if sel_idx:
+                ms = sims[:, sel_idx].max(axis=1)
+            else:
+                ms = _np.zeros(n)
+            score = 0.5 * rel - 0.5 * ms
+            score[sel_idx] = -_np.inf
+            pick = int(_np.argmax(score))  # first max == lowest id
+            out.append((qid, int(ids[pick]), step, float(rel[pick]),
+                        float(score[pick])))
+            sel_idx.append(pick)
+        return _pd.DataFrame(
+            out,
+            columns=["query_id", "neighbor_id", "mmr_rank", "relevance",
+                     "mmr_score"],
+        )
+
+    return withvec.groupBy("query_id").applyInPandas(
+        select,
+        "query_id long, neighbor_id long, mmr_rank int, relevance double, "
+        "mmr_score double",
+    )

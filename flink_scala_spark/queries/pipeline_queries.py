@@ -4119,3 +4119,174 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream on word (broadcast at test scale, shuffle hash join at
     100 TB vocabularies); see text.bpe_encode."""
     return text.bpe_encode(_docs(spark, sf_dir), iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 additions: weighted sampling, MMR rerank, drift monitoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_corpus_sample",
+    f"""
+    SELECT doc_id, source, n_chars,
+           CAST(n_chars AS DOUBLE)
+             / ((CAST({duck_h60("CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1.0)
+                / 1152921504606846976.0) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+    "sampling", "curation",
+)
+def q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (X171): 100 documents
+    drawn with probability ∝ n_chars via priority sampling
+    (Duffield–Lund–Thorup) — priority = w/u with a content-hash
+    uniform, take the top-k. The pow/ln-free reparameterization of
+    Efraimidis–Spirakis keeps the oracle hash-exact (only IEEE-exact
+    +, /, casts). Length-weighted document draws are the standard
+    token-budget-proportional corpus subsample. Scale: content-hash
+    (no rand(), stable under retries/partitioning) and
+    TakeOrderedAndProject — per-partition top-k, one k-row merge,
+    never a global sort. See pipeline/sampling.py:priority_sample."""
+    from flink_scala_spark.pipeline.sampling import priority_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return priority_sample(docs, "n_chars", "doc_id", 100)
+
+
+def _mmr_steps_sql(k_select: int) -> str:
+    """Unrolled MMR selection steps (step i picks the argmax of
+    0.5*rel - 0.5*max_cos_to_selected among unselected candidates,
+    ties to the lowest neighbor_id) — CTE chain s1..s{k}, a1..a{k}."""
+    parts = [
+        """s1 AS (SELECT query_id, neighbor_id, rel,
+                     0.5 * rel - 0.5 * 0.0 AS score FROM (
+              SELECT query_id, neighbor_id, rel,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY 0.5 * rel - 0.5 * 0.0 DESC, neighbor_id)
+                         AS rn
+              FROM cand) t WHERE rn = 1),
+    a1 AS (SELECT query_id, neighbor_id FROM s1)"""
+    ]
+    for i in range(2, k_select + 1):
+        parts.append(f"""m{i} AS (SELECT c.query_id, c.neighbor_id, c.rel,
+                     max(p.cos) AS ms
+              FROM cand c
+              JOIN pair p ON p.query_id = c.query_id
+                         AND p.da = c.neighbor_id
+              JOIN a{i - 1} s ON s.query_id = p.query_id
+                             AND s.neighbor_id = p.db
+              LEFT JOIN a{i - 1} ex ON ex.query_id = c.query_id
+                                   AND ex.neighbor_id = c.neighbor_id
+              WHERE ex.neighbor_id IS NULL
+              GROUP BY 1, 2, 3),
+    s{i} AS (SELECT query_id, neighbor_id, rel,
+                    0.5 * rel - 0.5 * ms AS score FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY 0.5 * rel - 0.5 * ms DESC, neighbor_id)
+                        AS rn
+             FROM m{i}) t WHERE rn = 1),
+    a{i} AS (SELECT query_id, neighbor_id FROM a{i - 1}
+             UNION ALL SELECT query_id, neighbor_id FROM s{i})""")
+    return ",\n    ".join(parts)
+
+
+_MMR_FINAL = "\n    UNION ALL ".join(
+    f"SELECT query_id, neighbor_id, CAST({i} AS INT) AS mmr_rank, "
+    f"rel AS relevance, score AS mmr_score FROM s{i}"
+    for i in range(1, 6)
+)
+
+
+@register(
+    "mmr_rerank",
+    f"""
+    WITH n AS (SELECT vec_id, embedding, {_NSQ} AS nsq FROM embeddings),
+    pq AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {duck_dot('q.embedding', 'c.embedding')}
+                    / sqrt(q.nsq * c.nsq) AS cosine
+           FROM n q JOIN n c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id % 50 = 0),
+    cand AS (SELECT query_id, neighbor_id, cosine AS rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+             FROM pq) t WHERE rank <= 20),
+    cv AS (SELECT c.query_id, c.neighbor_id, n.embedding, n.nsq
+           FROM cand c JOIN n ON n.vec_id = c.neighbor_id),
+    pair AS (SELECT a.query_id, a.neighbor_id AS da, b.neighbor_id AS db,
+                    {duck_dot('a.embedding', 'b.embedding')}
+                      / sqrt(a.nsq * b.nsq) AS cos
+             FROM cv a JOIN cv b ON b.query_id = a.query_id
+                               AND b.neighbor_id <> a.neighbor_id),
+    {_mmr_steps_sql(5)}
+    {_MMR_FINAL}
+    """,
+    "similarity", "retrieval", "rerank",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity rerank (X172): from each
+    query's exact top-20 cosine candidates, iteratively select 5
+    maximizing 0.5*relevance - 0.5*max_sim_to_selected — the rerank a
+    RAG pipeline runs after ANN so near-duplicate passages don't crowd
+    the context. λ pinned at 0.5 (the one value whose complement is
+    the same double, keeping Python and SQL literals bit-equal). Ties
+    to the lowest neighbor_id; the oracle unrolls the 5 selection
+    steps over the same candidate/pair cosines. Scale: stage 1 is the
+    guarded exact top-k; the loop is per-query O(k²·5) inside
+    applyInPandas — embarrassingly parallel across queries.
+    See pipeline/similarity.py:mmr_rerank."""
+    return similarity.mmr_rerank(
+        _emb(spark, sf_dir), F.col("vec_id") % 50 == 0,
+        k_candidates=20, k_select=5,
+    )
+
+
+@register(
+    "distribution_drift_report",
+    """
+    WITH b AS (SELECT CAST(least(floor(value / 50.0), 9.0) AS INT) AS bin,
+                      epoch(ts) < 1705363200 AS is_base
+               FROM events),
+    c AS (SELECT bin,
+                 CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_base,
+                 CAST(sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_cur
+          FROM b GROUP BY 1),
+    bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+    f AS (SELECT bins.bin, coalesce(c.n_base, 0) AS n_base,
+                 coalesce(c.n_cur, 0) AS n_cur
+          FROM bins LEFT JOIN c ON c.bin = bins.bin),
+    t AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_base,
+                 CAST(sum(n_cur) AS BIGINT) AS t_cur FROM f),
+    r AS (SELECT f.bin, f.n_base, f.n_cur,
+                 CAST(f.n_base + 1 AS DOUBLE)
+                   / CAST(t.t_base + 10 AS DOUBLE) AS p_base,
+                 CAST(f.n_cur + 1 AS DOUBLE)
+                   / CAST(t.t_cur + 10 AS DOUBLE) AS p_cur
+          FROM f CROSS JOIN t)
+    SELECT bin, n_base, n_cur, p_base, p_cur,
+           abs(p_cur - p_base) / 2.0 AS tv_term,
+           (p_cur - p_base) * (p_cur - p_base) / p_base AS chi2_term
+    FROM r
+    """,
+    "quality", "monitoring", "drift",
+)
+def q_distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (X173): per-bin rate shift of the
+    event value distribution between the first 15 days (baseline) and
+    the rest (current), with Laplace-smoothed rates and two ln-free
+    divergence terms — total-variation |q-p|/2 and chi-square
+    (q-p)²/p per bin. The conventional PSI's ln(p/q) is deliberately
+    replaced (libm transcendentals aren't bit-stable across engines —
+    the same house rule as BM25's rational idf). Scale: two
+    conditional counts into a FIXED 10-row key space with map-side
+    combine, one 1-row totals broadcast — the per-batch ingest
+    monitoring shape at any corpus size.
+    See pipeline/behavior.py:distribution_drift."""
+    from flink_scala_spark.pipeline.behavior import distribution_drift
+
+    return distribution_drift(
+        _events(spark, sf_dir), split_epoch_s=1_705_363_200
+    )

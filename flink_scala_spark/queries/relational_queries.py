@@ -1087,3 +1087,79 @@ def q_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned_range_join_count(
         err, ev, ts_col="ts", left_id="event_id", lookback_seconds=21_600
     )
+
+
+@register(
+    "bloom_semi_join",
+    f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum({_REV}) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+    "join", "semi", "scale", "bloom",
+)
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi join (X169): revenue of lineitems
+    whose order is URGENT. The urgent-order keys build an 8 KiB bloom
+    bitmap (distributed bit_or fold — only the fixed-size word table
+    reaches the driver), which broadcasts into the fact scan and
+    prunes non-matching rows BEFORE the join shuffle; the trailing
+    exact leftsemi join removes the bloom's false positives, so the
+    result is identical to the plain IN-subquery oracle — only the
+    shuffled volume changes. This is the manual form of the runtime
+    filters Spark injects for DPP-able keys, applicable to ANY join
+    key; at 100 TB it is the difference between shuffling the full
+    fact table and shuffling ~the matching fraction.
+    See operators/joins.py:bloom_semi_join."""
+    from flink_scala_spark.operators.joins import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    hits = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return hits.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(_rev_col()).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "pareto_frontier",
+    """
+    WITH g AS (SELECT p_retailprice AS price, max(p_size) AS gmax
+               FROM part GROUP BY 1),
+    pm AS (SELECT price, gmax,
+                  max(gmax) OVER (ORDER BY price
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prevmax
+           FROM g)
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p JOIN pm ON pm.price = p.p_retailprice
+    WHERE p.p_size = pm.gmax
+      AND (pm.prevmax IS NULL OR p.p_size > pm.prevmax)
+    """,
+    "skyline", "analytics",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (X170): the Pareto frontier of parts minimizing
+    p_retailprice and maximizing p_size — "the biggest part for the
+    money"; a part survives when nothing is both cheaper-or-equal and
+    bigger-or-equal with one strict. Runs as the distributive two-pass
+    local-sweep (skyline(S) = skyline(∪ skyline(P_i)) — scan-parallel
+    local frontiers, then one sweep over their tiny union), so the
+    corpus is never globally sorted; the oracle is the window form
+    over per-price group maxima. Ties on BOTH dims keep both rows
+    (domination needs a strict inequality).
+    See operators/skyline.py."""
+    from flink_scala_spark.operators.skyline import pareto_frontier_2d
+
+    return pareto_frontier_2d(
+        _t(spark, sf_dir, "part"), "p_partkey", "p_retailprice", "p_size"
+    )

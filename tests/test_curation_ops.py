@@ -888,3 +888,115 @@ def test_bpe_engines_agree_when_pairs_exhaust_early(spark):
     o_enc = {r[0]: (r[1], r[2]) for r in
              con.execute(QUERIES["bpe_encode"].oracle).fetchall()}
     assert o_enc == enc
+
+
+def test_bloom_semi_join_prunes_without_changing_results(spark):
+    """The bloom runtime filter must (a) never change the result —
+    exact equality with the plain leftsemi join — and (b) actually
+    prune: fact keys far from the dim key space fail the membership
+    test before the join."""
+    from flink_scala_spark.operators import joins
+
+    fact = spark.createDataFrame(
+        [(i, i % 500) for i in range(3000)], "row_id long, k long"
+    )
+    dim = spark.createDataFrame(
+        [(i,) for i in range(0, 100)], "dk long"
+    )
+    got = {
+        tuple(r)
+        for r in joins.bloom_semi_join(fact, dim, "k", "dk").collect()
+    }
+    want = {
+        tuple(r)
+        for r in fact.join(
+            dim.withColumnRenamed("dk", "k"), "k", "leftsemi"
+        ).collect()
+    }
+    assert got == want and len(got) == 600
+    # the bitmap prunes: strictly fewer rows pass the bloom than exist,
+    # and every true match passes (no false negatives by construction)
+    words = joins.bloom_words(dim, "dk")
+    passed = fact.where(
+        joins.bloom_might_contain(words, F.col("k"))
+    ).count()
+    assert 600 <= passed < 3000
+
+
+def test_pareto_frontier_tie_and_domination_semantics(spark):
+    """Skyline contract on crafted rows: ties on BOTH dims keep both
+    (domination needs one strict inequality); a same-price smaller row
+    and a dearer not-bigger row are dominated; the result equals the
+    brute-force definition regardless of partitioning."""
+    from flink_scala_spark.operators.skyline import pareto_frontier_2d
+
+    rows = [
+        (1, 10.0, 5),   # frontier
+        (2, 10.0, 5),   # tie on both dims with 1 -> kept
+        (3, 10.0, 4),   # same price, smaller -> dominated by 1
+        (4, 12.0, 5),   # dearer, not bigger -> dominated by 1
+        (5, 12.0, 7),   # frontier (bigger than anything cheaper)
+        (6, 8.0, 3),    # frontier (cheapest)
+        (7, 9.0, 3),    # dominated by 6 (dearer, equal size)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int").repartition(4)
+    got = {
+        r["id"] for r in pareto_frontier_2d(df, "id", "price", "size").collect()
+    }
+    brute = {
+        i
+        for (i, p, s) in rows
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for (_, p2, s2) in rows
+        )
+    }
+    assert got == brute == {1, 2, 5, 6}
+
+
+def test_priority_sample_matches_manual_formula(spark):
+    """priority_sample must reproduce the exact w/u priority from the
+    md5-prefix hash and keep the top-k by (priority desc, id) — checked
+    against an independent Python computation."""
+    import hashlib
+
+    from flink_scala_spark.pipeline.sampling import priority_sample
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in priority_sample(df, "w", "doc_id", 20).collect()
+    ]
+
+    def pri(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return float(w) / ((float(h) + 1.0) / float(1 << 60))
+
+    want = sorted(
+        ((i, pri(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
+    )[:20]
+    assert got == want
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """MMR contract: when the two most relevant candidates are near-
+    duplicates of each other, step 2 must select the diverse lower-
+    relevance candidate instead of the redundant runner-up."""
+    from flink_scala_spark.pipeline import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # query
+        (1, [0.99, 0.1, 0.0, 0.0]),   # most relevant
+        (2, [0.98, 0.12, 0.0, 0.0]),  # near-duplicate of 1
+        (3, [0.5, 0.0, 0.8, 0.0]),    # diverse, lower relevance
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.mmr_rerank(
+        emb, F.col("vec_id") == 0, k_candidates=3, k_select=3, dim=4
+    ).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    assert order == [1, 3, 2]
+    # scores are the documented formula: step1 = 0.5 * relevance
+    step1 = next(r for r in out if r["mmr_rank"] == 1)
+    assert step1["mmr_score"] == 0.5 * step1["relevance"]

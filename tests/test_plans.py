@@ -250,6 +250,8 @@ SINGLE_PARTITION_WINDOW_OK = {
     # Window operators are all vec_a/vec_b-partitioned — the sweep's
     # "both substrings present" conjunction is a false positive here
     "bitext_mining_ann",
+    # totals window over the FIXED 10-row bin table, never the corpus
+    "distribution_drift_report",
 }
 
 # Every BroadcastNestedLoopJoin must be an INTENDED broadcast cross:

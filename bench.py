@@ -96,6 +96,8 @@ HEADLINE = [
     "weighted_corpus_sample",
     "mmr_rerank",
     "distribution_drift_report",
+    "revenue_grouping_sets",
+    "schema_evolution_roundtrip",
 ]
 
 

@@ -4290,3 +4290,69 @@ def q_distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         _events(spark, sf_dir), split_epoch_s=1_705_363_200
     )
+
+
+@register(
+    "schema_evolution_roundtrip",
+    """
+    WITH u AS (
+        SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, n_chars * 3 + 7 AS quality
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(quality) AS BIGINT) AS n_scored,
+           CAST(sum(quality) AS BIGINT) AS sum_quality
+    FROM u GROUP BY 1
+    """,
+    "maintenance", "schema-evolution",
+)
+def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution roundtrip (X175): a v1 snapshot written WITHOUT
+    the ``quality`` column and a v2 snapshot written WITH it are read
+    back together under ``mergeSchema`` — the add-a-column migration
+    every long-lived lakehouse table goes through. The aggregate over
+    the merged read proves (a) v1 rows surface the new column as NULL
+    (count(quality) counts only v2 rows), (b) no rows or values are
+    lost across the evolution, (c) the merged schema is the superset.
+    Scale notes: mergeSchema reconciles FOOTERS (one metadata read per
+    file, not a data scan); at 100 TB the same contract comes from the
+    table format's schema registry — this pins the engine-level
+    semantics those formats rely on. The quality metric is integer
+    (n_chars*3+7) so sums stay order-independent and hash-exact."""
+    from flink_scala_spark.operators import maintenance
+
+    base = maintenance.scratch_dir("schema_evolution", sf_dir)
+    v1 = os.path.join(base, "v1")
+    v2 = os.path.join(base, "v2")
+    docs = _docs(spark, sf_dir)
+    maintenance.stage_once(
+        v1,
+        lambda tmp: docs.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    maintenance.stage_once(
+        v2,
+        lambda tmp: docs.where(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("n_chars") * 3 + 7).alias("quality"),
+        )
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count("quality").alias("n_scored"),
+        F.sum("quality").alias("sum_quality"),
+    )

@@ -1163,3 +1163,53 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(
         _t(spark, sf_dir, "part"), "p_partkey", "p_retailprice", "p_size"
     )
+
+
+@register(
+    "revenue_grouping_sets",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
+           count(*) AS cnt, CAST(sum({_REV}) AS DOUBLE) AS revenue,
+           CAST(grouping(n.n_name) * 2 + grouping(year(o.o_orderdate)) AS BIGINT)
+               AS gid
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (year(o.o_orderdate)))
+    """,
+    "relational", "grouping-sets",
+)
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (X174): BOTH one-dimension margins —
+    revenue by nation and revenue by order year — and NOTHING else, a
+    set combination neither ROLLUP (X18) nor CUBE (`revenue_cube`) can
+    express without computing unwanted sets. One shuffle: Catalyst
+    expands the sets map-side and partial aggs still combine; the
+    grouping_id column disambiguates which margin a row belongs to
+    (NULL nation rows are the year margin, not a NULL data value)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", _rev_col().alias("rev"))
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("order_year"),
+            "rev",
+        )
+    )
+    return joined.groupingSets(
+        [["nation"], ["order_year"]], "nation", "order_year"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("rev").cast("double").alias("revenue"),
+        (F.grouping("nation") * 2 + F.grouping("order_year"))
+        .cast("long")
+        .alias("gid"),
+    )

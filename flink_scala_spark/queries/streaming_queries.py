@@ -1943,3 +1943,121 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.schema(out_schema).parquet(sink)
     finally:
         enc.unpersist()
+
+
+@register(
+    "streaming_drift_report",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    ),
+    e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                     AS day_start,
+                 CAST(least(floor(value / 50.0), 9.0) AS INT) AS bin,
+                 epoch(ts) < 1705363200 AS is_base
+          FROM events),
+    days AS (SELECT DISTINCT day_start FROM e, wm
+             WHERE day_start + 86400 <= w),
+    grid AS (SELECT day_start, CAST(unnest(range(0, 10)) AS INT) AS bin
+             FROM days),
+    c AS (SELECT day_start, bin, CAST(count(*) AS BIGINT) AS n_day
+          FROM e GROUP BY 1, 2),
+    f AS (SELECT g.day_start, g.bin, coalesce(c.n_day, 0) AS n_day
+          FROM grid g LEFT JOIN c ON c.day_start = g.day_start
+                                 AND c.bin = g.bin),
+    t AS (SELECT day_start, CAST(sum(n_day) AS BIGINT) AS t_day
+          FROM f GROUP BY 1),
+    bc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_b
+           FROM e WHERE is_base GROUP BY 1),
+    bf AS (SELECT bins.bin, coalesce(bc.n_b, 0) AS n_b
+           FROM (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin) bins
+           LEFT JOIN bc ON bc.bin = bins.bin),
+    bt AS (SELECT CAST(sum(n_b) AS BIGINT) AS t_b FROM bf),
+    r AS (SELECT f.day_start, f.bin, f.n_day,
+                 CAST(f.n_day + 1 AS DOUBLE)
+                   / CAST(t.t_day + 10 AS DOUBLE) AS p_day,
+                 CAST(bf.n_b + 1 AS DOUBLE)
+                   / CAST(bt.t_b + 10 AS DOUBLE) AS p_base
+          FROM f JOIN t ON t.day_start = f.day_start
+                 JOIN bf ON bf.bin = f.bin CROSS JOIN bt)
+    SELECT day_start, bin, n_day, p_day, p_base,
+           abs(p_day - p_base) / 2.0 AS tv_term,
+           (p_day - p_base) * (p_day - p_base) / p_base AS chi2_term
+    FROM r
+    """,
+    "streaming", "drift", "monitoring",
+)
+def q_streaming_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`distribution_drift_report`'s live twin (X176): per CLOSED event
+    day, the day's value-bin distribution scored against the frozen
+    batch baseline (the first 15 days) with the same Laplace-smoothed
+    ln-free TV/chi-square terms — drift monitoring as a continuous
+    query, each day's report final the moment the watermark closes it.
+
+    Streaming state is ONE windowed count per (day, bin) — a fixed
+    10-row-per-day key space (pin: exactly one StateStoreSave); the
+    drift arithmetic runs post-stream on the already-closed, already-
+    tiny report frame (days x 10 rows), including the zero-fill for
+    bins a day never observed (explode of a 10-element sequence — no
+    join against anything corpus-sized). The baseline side is the
+    batch kernel's conditional count: one scan, fixed 10-row output,
+    broadcast onto the report."""
+    from flink_scala_spark import tables
+    from pyspark.sql import Window
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    bin_col = (
+        F.least(
+            F.floor(F.col("value") / F.lit(50.0)).cast("double"), F.lit(9.0)
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    daily = (
+        ev.select("ts", bin_col)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"), "bin")
+        .agg(F.count("*").alias("n_day"))
+    )
+    out = run_bounded(daily, "append").select(
+        F.col("window.start").cast("long").alias("day_start"), "bin", "n_day"
+    )
+    # post-stream: zero-fill the day x bin grid, per-day totals
+    grid = (
+        out.select("day_start")
+        .distinct()
+        .withColumn("bin", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select("day_start", F.col("bin").cast("int").alias("bin"))
+    )
+    f = grid.join(out, ["day_start", "bin"], "left").na.fill({"n_day": 0})
+    f = f.withColumn(
+        "t_day", F.sum("n_day").over(Window.partitionBy("day_start"))
+    )
+    # frozen baseline: batch conditional count over the first 15 days
+    base = (
+        tables.load(spark, sf_dir, "events")
+        .where(epoch_seconds("ts") < F.lit(1_705_363_200))
+        .select(bin_col)
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_b"))
+    )
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    bf = bins.join(base, "bin", "left").na.fill({"n_b": 0})
+    bf = bf.withColumn("t_b", F.sum("n_b").over(Window.partitionBy()))
+    j = f.join(F.broadcast(bf), "bin")
+    p_day = (F.col("n_day") + F.lit(1)).cast("double") / (
+        F.col("t_day") + F.lit(10)
+    ).cast("double")
+    p_base = (F.col("n_b") + F.lit(1)).cast("double") / (
+        F.col("t_b") + F.lit(10)
+    ).cast("double")
+    r = j.select(
+        "day_start", "bin", "n_day",
+        p_day.alias("p_day"), p_base.alias("p_base"),
+    )
+    d = F.col("p_day") - F.col("p_base")
+    return r.select(
+        "day_start", "bin", "n_day", "p_day", "p_base",
+        (F.abs(d) / F.lit(2.0)).alias("tv_term"),
+        (d * d / F.col("p_base")).alias("chi2_term"),
+    )

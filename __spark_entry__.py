@@ -64,7 +64,7 @@ _PRIORITY = [
     "small_quantity_part_revenue",
     "idle_high_balance_customers",
     "sole_late_supplier_waits",
-    # (c) the 41 stalest round-4 rows
+    # (c) the 38 stalest round-4 rows
     "order_dashboard_total",
     "shipping_priority_topk",
     "scd2_history",

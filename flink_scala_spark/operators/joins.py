@@ -346,6 +346,19 @@ def bloom_semi_join(
     shuffled volume changes. This is what Spark's AQE runtime filters /
     DPP do for equi-joins on partition columns, built from primitives
     so it applies to ANY key."""
+    ft = fact.schema[fact_key].dataType
+    dt = dim_keys.schema[dim_key].dataType
+    if ft != dt:
+        # xxhash64 hashes the PHYSICAL type: int 5 and long 5 land on
+        # different bits, so a type mismatch silently prunes TRUE
+        # matches — a false negative the trailing exact join cannot
+        # recover. Refuse loudly; the caller casts one side.
+        raise ValueError(
+            f"bloom_semi_join: key types differ ({fact_key}: "
+            f"{ft.simpleString()} vs {dim_key}: {dt.simpleString()}) — "
+            "xxhash64 would place matching values on different bloom "
+            "bits and drop true matches; cast one side first"
+        )
     words = bloom_words(dim_keys, dim_key)
     pruned = fact.where(bloom_might_contain(words, F.col(fact_key)))
     return pruned.join(

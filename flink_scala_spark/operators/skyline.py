@@ -72,6 +72,24 @@ def pareto_frontier_2d(
             if len(out):
                 yield out
 
+    def final(batches):
+        # the FINAL pass must see every surviving point at once: Arrow
+        # re-batches the coalesced partition at maxRecordsPerBatch, and
+        # a per-batch sweep here would let a row dominated only by a
+        # row in ANOTHER batch survive (silent superset). Concatenating
+        # is safe by the same argument as coalesce(1): the input is the
+        # already-reduced frontier union, not the corpus.
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        out = _sweep(
+            pd.concat(pdfs, ignore_index=True), id_col, min_col, max_col
+        )
+        if len(out):
+            yield out
+
     locals_ = src.mapInPandas(local, schema)
     # final sweep over the (tiny) union of local frontiers
-    return locals_.coalesce(1).mapInPandas(local, schema)
+    return locals_.coalesce(1).mapInPandas(final, schema)

@@ -155,10 +155,19 @@ def distribution_drift(
     (n_bins rows) with map-side combine — one tiny shuffle, no joins
     against the corpus, constant output size. The monitoring shape a
     100 TB ingest pipeline runs per batch."""
+    # clamp BOTH ends: without greatest(0), a negative value falls out
+    # of the bin grid's left join AND out of both totals — the monitor
+    # silently shrinks its population exactly when the distribution
+    # shifts below range, the regime it exists to catch
     ev = events.select(
-        F.least(
-            F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("double"),
-            F.lit(float(n_bins - 1)),
+        F.greatest(
+            F.least(
+                F.floor(F.col(value_col) / F.lit(float(bin_width))).cast(
+                    "double"
+                ),
+                F.lit(float(n_bins - 1)),
+            ),
+            F.lit(0.0),
         )
         .cast("int")
         .alias("bin"),

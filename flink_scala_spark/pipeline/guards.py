@@ -63,7 +63,7 @@ def guard_reference_rows(rows: int, name: str) -> None:
     if rows <= MAX_REFERENCE_ROWS or _allowed():
         return
     raise RuntimeError(
-        f"{name}: the reference side has {rows:,} rows, past the "
+        f"{name}: the reference side has at least {rows:,} rows, past the "
         f"{MAX_REFERENCE_ROWS:,}-row small-by-contract bound for a "
         "driver-collected broadcast matrix. Shrink the reference "
         "(it should be an eval benchmark, not a corpus), or set "

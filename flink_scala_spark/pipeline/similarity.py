@@ -152,11 +152,17 @@ def _cos_block(block_vecs, mat_c, nsq_c, d: int):
     by every numpy scoring/assignment kernel in this module so the
     tie-break/fold contract lives in ONE place. Returns ``(A, sims)``
     with A the batch's float64 matrix (callers reuse it for
-    fixed-point quantization). Runs on workers: referenced by module,
-    which ``session`` ships to worker PYTHONPATH."""
+    fixed-point quantization). ``block_vecs`` may be a pre-stacked
+    float64 ndarray (a caller scoring a matrix against itself passes
+    it directly instead of paying a second stack). Runs on workers:
+    referenced by module, which ``session`` ships to worker
+    PYTHONPATH."""
     import numpy as np
 
-    A = np.stack([np.asarray(v, dtype=np.float64) for v in block_vecs])
+    if isinstance(block_vecs, np.ndarray):
+        A = block_vecs
+    else:
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in block_vecs])
     acc = np.zeros((len(A), len(mat_c)))
     nsq = np.zeros(len(A))
     for kk in range(d):
@@ -1116,13 +1122,14 @@ def max_cosine_vs_reference(
         "contaminated boolean"
     )
     # enforce "small by contract" BEFORE collecting: a caller passing a
-    # corpus-sized reference must get a loud refusal, not a driver OOM
-    # (one COUNT aggregate — metadata-cheap on parquet row groups)
+    # corpus-sized reference must get a loud refusal, not a driver OOM.
+    # limit(bound+1) makes the probe cost at most bound+1 rows of the
+    # reference's lineage even when it is a derived frame, while giving
+    # the same accept/refuse decision as a full count
     from flink_scala_spark.pipeline import guards
 
-    guards.guard_reference_rows(
-        reference.count(), "max_cosine_vs_reference"
-    )
+    probe = reference.limit(guards.MAX_REFERENCE_ROWS + 1).count()
+    guards.guard_reference_rows(probe, "max_cosine_vs_reference")
     ref_ids, R = _collect_matrix(reference, id_col, vec_col)
     if len(ref_ids) == 0:
         # the oracle's CROSS JOIN against an empty bench is empty
@@ -1803,7 +1810,9 @@ def mmr_rerank(
         rel = pdf["cosine"].to_numpy(dtype="float64")
         M = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["nvec"]])
         nsq = _nsq_rows(M, d)
-        _, sims = _cos_block(pdf["nvec"], M, nsq, d)
+        # pass the stacked matrix straight through — a second stack of
+        # the same Series was the dominant per-group Python cost
+        _, sims = _cos_block(M, M, nsq, d)
         qid = int(pdf["query_id"].iloc[0])
         sel_idx: list[int] = []
         out = []

@@ -4192,11 +4192,18 @@ def _mmr_steps_sql(k_select: int) -> str:
     return ",\n    ".join(parts)
 
 
-_MMR_FINAL = "\n    UNION ALL ".join(
-    f"SELECT query_id, neighbor_id, CAST({i} AS INT) AS mmr_rank, "
-    f"rel AS relevance, score AS mmr_score FROM s{i}"
-    for i in range(1, 6)
-)
+#: MMR selection depth — the ONE constant the kernel call, the step
+#: CTEs, and the final union all derive from (uncoordinated copies
+#: would let the oracle and the kernel disagree on step count).
+_MMR_K = 5
+
+
+def _mmr_final_sql(k_select: int) -> str:
+    return "\n    UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, CAST({i} AS INT) AS mmr_rank, "
+        f"rel AS relevance, score AS mmr_score FROM s{i}"
+        for i in range(1, k_select + 1)
+    )
 
 
 @register(
@@ -4219,8 +4226,8 @@ _MMR_FINAL = "\n    UNION ALL ".join(
                       / sqrt(a.nsq * b.nsq) AS cos
              FROM cv a JOIN cv b ON b.query_id = a.query_id
                                AND b.neighbor_id <> a.neighbor_id),
-    {_mmr_steps_sql(5)}
-    {_MMR_FINAL}
+    {_mmr_steps_sql(_MMR_K)}
+    {_mmr_final_sql(_MMR_K)}
     """,
     "similarity", "retrieval", "rerank",
 )
@@ -4238,14 +4245,14 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     See pipeline/similarity.py:mmr_rerank."""
     return similarity.mmr_rerank(
         _emb(spark, sf_dir), F.col("vec_id") % 50 == 0,
-        k_candidates=20, k_select=5,
+        k_candidates=20, k_select=_MMR_K,
     )
 
 
 @register(
     "distribution_drift_report",
     """
-    WITH b AS (SELECT CAST(least(floor(value / 50.0), 9.0) AS INT) AS bin,
+    WITH b AS (SELECT CAST(greatest(least(floor(value / 50.0), 9.0), 0.0) AS INT) AS bin,
                       epoch(ts) < 1705363200 AS is_base
                FROM events),
     c AS (SELECT bin,

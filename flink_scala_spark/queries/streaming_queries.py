@@ -1953,7 +1953,7 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
                      AS day_start,
-                 CAST(least(floor(value / 50.0), 9.0) AS INT) AS bin,
+                 CAST(greatest(least(floor(value / 50.0), 9.0), 0.0) AS INT) AS bin,
                  epoch(ts) < 1705363200 AS is_base
           FROM events),
     days AS (SELECT DISTINCT day_start FROM e, wm
@@ -2007,8 +2007,12 @@ def q_streaming_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = sources.file_replay(spark, sf_dir, "events")
     bin_col = (
-        F.least(
-            F.floor(F.col("value") / F.lit(50.0)).cast("double"), F.lit(9.0)
+        F.greatest(
+            F.least(
+                F.floor(F.col("value") / F.lit(50.0)).cast("double"),
+                F.lit(9.0),
+            ),
+            F.lit(0.0),
         )
         .cast("int")
         .alias("bin")

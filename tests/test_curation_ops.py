@@ -621,7 +621,11 @@ def test_reference_size_guard_fires_before_collect(spark, monkeypatch):
     monkeypatch.setattr(guards, "MAX_REFERENCE_ROWS", 2)
     rows = [(i, [1.0, 0.0, 0.0, float(i)]) for i in range(5)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    with pytest.raises(RuntimeError, match="max_cosine_vs_reference.*5"):
+    # the probe is limit(bound+1).count() — it reports "at least 3",
+    # never scanning the full reference lineage
+    with pytest.raises(
+        RuntimeError, match="max_cosine_vs_reference.*at least 3"
+    ):
         similarity.max_cosine_vs_reference(emb, emb, 0.25, dim=4)
 
 
@@ -1000,3 +1004,80 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     # scores are the documented formula: step1 = 0.5 * relevance
     step1 = next(r for r in out if r["mmr_rank"] == 1)
     assert step1["mmr_score"] == 0.5 * step1["relevance"]
+
+
+def test_pareto_frontier_final_pass_spans_arrow_batches(spark):
+    """Regression (round-8 review): the final skyline pass must see the
+    whole frontier union at once — with Arrow re-batching the coalesced
+    partition, a per-batch sweep keeps rows dominated only by a row in
+    another batch. Force tiny Arrow batches and check against brute
+    force."""
+    from flink_scala_spark.operators.skyline import pareto_frontier_2d
+
+    # 40 locally-non-dominated rows (price and size both increasing) in
+    # one partition + one dominator (cheapest AND biggest) in another
+    rows = [(i, 100.0 + i, i) for i in range(40)] + [(99, 1.0, 1000)]
+    df = spark.createDataFrame(
+        rows, "id long, price double, size int"
+    ).repartition(2)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        got = {
+            r["id"]
+            for r in pareto_frontier_2d(df, "id", "price", "size").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    brute = {
+        i
+        for (i, p, s) in rows
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for (_, p2, s2) in rows
+        )
+    }
+    assert got == brute == {99}
+
+
+def test_bloom_semi_join_refuses_mismatched_key_types(spark):
+    """Regression (round-8 review): xxhash64 hashes the physical type,
+    so int-vs-long keys would silently bloom-drop TRUE matches — the
+    operator must refuse loudly instead."""
+    import pytest
+
+    from flink_scala_spark.operators import joins
+
+    fact = spark.createDataFrame([(1, 5)], "row_id long, k int")
+    dim = spark.createDataFrame([(5,)], "dk long")
+    with pytest.raises(ValueError, match="key types differ"):
+        joins.bloom_semi_join(fact, dim, "k", "dk")
+
+
+def test_distribution_drift_clamps_negative_values(spark):
+    """Regression (round-8 review): negative values clamp into bin 0
+    instead of silently vanishing from counts AND totals."""
+    from flink_scala_spark.pipeline.behavior import distribution_drift
+
+    rows = [
+        (-50.0, "2024-01-02 00:00:00"),
+        (25.0, "2024-01-02 00:00:00"),
+        (75.0, "2024-01-20 00:00:00"),
+        (-1.0, "2024-01-20 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "value double, s string").select(
+        "value", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = {r["bin"]: r for r in distribution_drift(ev, 1_705_363_200).collect()}
+    # every event is counted: totals include the negative rows
+    assert sum(r["n_base"] for r in out.values()) == 2
+    assert sum(r["n_cur"] for r in out.values()) == 2
+    # bin 0 holds the clamped -50 plus the genuine 25.0 on the base
+    # side, and the clamped -1 on the current side; 75.0 lands in bin 1
+    assert out[0]["n_base"] == 2 and out[0]["n_cur"] == 1
+    assert out[1]["n_cur"] == 1

@@ -79,6 +79,48 @@ def build_stress_dir(spark, src_sf_dir: str) -> str:
     for r in reps[1:]:
         u = u.unionByName(r)
     _write_single_file(u, out, "embeddings")
+
+    # TPC-H side (round 8): lineitem/orders shift the order key in
+    # lockstep (joins stay valid, every order gains 7 clones); part
+    # shifts p_partkey. Remaining dims copy verbatim — their natural
+    # fan-in is what the queries assume.
+    li = tables.load(spark, src_sf_dir, "lineitem")
+    reps = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * EVENT_SHIFT))
+        for r in range(REPLICAS)
+    ]
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    _write_single_file(u, out, "lineitem")
+
+    orders = tables.load(spark, src_sf_dir, "orders")
+    reps = [
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(r * EVENT_SHIFT)
+        )
+        for r in range(REPLICAS)
+    ]
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    _write_single_file(u, out, "orders")
+
+    part = tables.load(spark, src_sf_dir, "part")
+    reps = [
+        part.withColumn("p_partkey", F.col("p_partkey") + F.lit(r * DOC_SHIFT))
+        for r in range(REPLICAS)
+    ]
+    u = reps[0]
+    for r in reps[1:]:
+        u = u.unionByName(r)
+    _write_single_file(u, out, "part")
+
+    for t in ("region", "nation", "customer", "supplier"):
+        shutil.copy(
+            os.path.join(src_sf_dir, f"{t}.parquet"),
+            os.path.join(out, f"{t}.parquet"),
+        )
     return out
 
 

@@ -30,11 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-8 rotation: (a) the eight entries with NO driver row ever (this
+# Round-8 rotation: (a) the nine entries with NO driver row ever (this
 # round's additions: weighted_corpus_sample, mmr_rerank,
 # distribution_drift_report, bloom_semi_join, pareto_frontier,
 # revenue_grouping_sets, schema_evolution_roundtrip,
-# streaming_drift_report);
+# streaming_drift_report, sketch_set_cardinality);
 # (b) the four remaining round-3-evidence rows (the named survivors of
 # the r7 rotation: copurchase_pairs, small_quantity_part_revenue,
 # idle_high_balance_customers, sole_late_supplier_waits);
@@ -42,7 +42,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # every entry except nine r4-era relational shapes (local_supplier_volume,
 # bracketed_revenue, forecast_revenue_change, ship_latency_priority_counts,
 # nation_market_share, range_join_binned, revenue_cube, nation_trade_flow,
-# value_deciles — round-9's rotation head) has
+# value_deciles, dataset_split_leakage_safe — round-9's rotation head) has
 # >= round-5 gate evidence. No existing entry's output changed this
 # round (the round-8 code changes are guards/cache/publish-path
 # hardening), so no forced re-entries. Everything below slot 50 stays
@@ -59,12 +59,13 @@ _PRIORITY = [
     "revenue_grouping_sets",
     "schema_evolution_roundtrip",
     "streaming_drift_report",
+    "sketch_set_cardinality",
     # (b) last round-3-evidence rows
     "copurchase_pairs",
     "small_quantity_part_revenue",
     "idle_high_balance_customers",
     "sole_late_supplier_waits",
-    # (c) the 38 stalest round-4 rows
+    # (c) the 37 stalest round-4 rows
     "order_dashboard_total",
     "shipping_priority_topk",
     "scd2_history",
@@ -102,7 +103,6 @@ _PRIORITY = [
     "bm25_search",
     "entity_clusters",
     "approx_quantiles_certified",
-    "dataset_split_leakage_safe",
 ]
 
 

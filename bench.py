@@ -98,6 +98,7 @@ HEADLINE = [
     "distribution_drift_report",
     "revenue_grouping_sets",
     "schema_evolution_roundtrip",
+    "sketch_set_cardinality",
 ]
 
 

@@ -363,3 +363,83 @@ def priority_sample(
         .orderBy(F.desc("priority"), F.col(id_col))
         .limit(int(k))
     )
+
+
+def kmv_set_cardinality(
+    items: DataFrame,
+    value_col: str,
+    in_a,
+    in_b,
+    k: int = KMV_K,
+) -> DataFrame:
+    """KMV sketch ALGEBRA over two overlapping sets: NDV estimates for
+    A, B, A∪B, and A∩B from fixed-size k-minimum-values sketches —
+    the set-expression cardinality question ("how many distinct
+    shingles do these corpora share?") answered without ever
+    materializing the intersection. The union sketch is the k smallest
+    of the merged hash stream; the Jaccard estimator is the classic
+    fraction of the union sketch's members present in BOTH sets;
+    est(A∩B) = J_est · est(A∪B). Exact counterparts ride along as the
+    audit certificate (the part a 100 TB run drops).
+
+    Everything is deterministic (h60 hashes, rank tie-breaks are exact
+    on distinct hashes), so the DuckDB oracle matches bit-for-bit —
+    including the estimates. Scale: ONE hash shuffle builds the
+    (hv, in_a, in_b) flag table; every sketch is an ORDER BY + LIMIT k
+    (TakeOrderedAndProject) over it; only O(k) rows feed the final
+    1-row aggregate. Sets with < k distinct values fall back to their
+    exact count (KMV is exact below capacity)."""
+    num = float((k - 1) * (1 << 60))
+    flags = (
+        items.select(
+            h60(F.col(value_col).cast("string")).alias("hv"),
+            in_a.alias("in_a"),
+            in_b.alias("in_b"),
+        )
+        .groupBy("hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+
+    def sketch(side: DataFrame, name: str) -> DataFrame:
+        top = side.orderBy("hv").limit(int(k))
+        return top.agg(
+            F.count("*").alias(f"n_{name}"), F.max("hv").alias(f"hk_{name}")
+        )
+
+    ska = sketch(flags.where("in_a"), "a")
+    skb = sketch(flags.where("in_b"), "b")
+    sku = flags.orderBy("hv").limit(int(k)).agg(
+        F.count("*").alias("n_u"),
+        F.max("hv").alias("hk_u"),
+        F.sum(
+            (F.col("in_a") & F.col("in_b")).cast("long")
+        ).alias("n_both"),
+    )
+    exact = flags.agg(
+        F.sum(F.col("in_a").cast("long")).alias("exact_a"),
+        F.sum(F.col("in_b").cast("long")).alias("exact_b"),
+        F.count("*").alias("exact_union"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias(
+            "exact_intersection"
+        ),
+    )
+    row = exact.crossJoin(ska).crossJoin(skb).crossJoin(sku)
+
+    def est(n_col: str, hk_col: str):
+        return F.when(
+            F.col(n_col) < k, F.col(n_col).cast("double")
+        ).otherwise(F.lit(num) / F.col(hk_col).cast("double"))
+
+    j_est = F.col("n_both").cast("double") / F.col("n_u").cast("double")
+    u_est = est("n_u", "hk_u")
+    return row.select(
+        "exact_a",
+        est("n_a", "hk_a").alias("kmv_a"),
+        "exact_b",
+        est("n_b", "hk_b").alias("kmv_b"),
+        "exact_union",
+        u_est.alias("kmv_union"),
+        "exact_intersection",
+        j_est.alias("kmv_jaccard"),
+        (j_est * u_est).alias("kmv_intersection"),
+    )

@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 from flink_scala_spark import tables
 from flink_scala_spark.functions import duck_dot, duck_h60
 from flink_scala_spark.operators import joins
-from flink_scala_spark.pipeline import dedup, multimodal, similarity, text
+from flink_scala_spark.pipeline import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from flink_scala_spark.queries.catalog import QUERIES, register
 
 # ---------------------------------------------------------------------------
@@ -4362,4 +4368,69 @@ def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.count("quality").alias("n_scored"),
         F.sum("quality").alias("sum_quality"),
+    )
+
+
+_KMV_NUM_SQL = repr(float((sampling.KMV_K - 1) * (1 << 60)))
+
+
+def _kmv_est_sql(n: str, hk: str) -> str:
+    return (
+        f"CASE WHEN {n} < {sampling.KMV_K} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {_KMV_NUM_SQL} / CAST({hk} AS DOUBLE) END"
+    )
+
+
+@register(
+    "sketch_set_cardinality",
+    f"""
+    WITH {_SH_CTE},
+    flags AS (SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT {duck_h60('shingle')} AS hv,
+               doc_id % 2 = 0 AS in_a, doc_id % 2 = 1 AS in_b
+        FROM sh) t GROUP BY 1),
+    ska AS (SELECT count(*) AS n_a, max(hv) AS hk_a FROM
+            (SELECT hv FROM flags WHERE in_a ORDER BY hv LIMIT {sampling.KMV_K})),
+    skb AS (SELECT count(*) AS n_b, max(hv) AS hk_b FROM
+            (SELECT hv FROM flags WHERE in_b ORDER BY hv LIMIT {sampling.KMV_K})),
+    sku AS (SELECT count(*) AS n_u, max(hv) AS hk_u,
+                   CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+            FROM (SELECT * FROM flags ORDER BY hv LIMIT {sampling.KMV_K})),
+    ex AS (SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+                  CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+                  CAST(count(*) AS BIGINT) AS exact_union,
+                  CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersection
+           FROM flags)
+    SELECT exact_a, {_kmv_est_sql('n_a', 'hk_a')} AS kmv_a,
+           exact_b, {_kmv_est_sql('n_b', 'hk_b')} AS kmv_b,
+           exact_union, {_kmv_est_sql('n_u', 'hk_u')} AS kmv_union,
+           exact_intersection,
+           CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE) AS kmv_jaccard,
+           (CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE))
+             * ({_kmv_est_sql('n_u', 'hk_u')}) AS kmv_intersection
+    FROM ex CROSS JOIN ska CROSS JOIN skb CROSS JOIN sku
+    """,
+    "sketch", "kmv", "set-algebra",
+)
+def q_sketch_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra (X177): distinct-shingle cardinalities of
+    two corpus halves AND of their union/intersection, estimated from
+    three fixed-size k-minimum-values sketches — "how much content do
+    these two corpora share?" without materializing the intersection.
+    Union sketch = k smallest merged hashes; Jaccard = fraction of the
+    union sketch present in both sides; est(A∩B) = J·est(A∪B). Exact
+    counts ride along as the audit certificate (the branch a 100 TB
+    run drops). Deterministic h60 hashes make even the ESTIMATES
+    hash-exact against the oracle. One hash shuffle builds the flag
+    table; each sketch is a TakeOrderedAndProject over it; the final
+    aggregate sees O(k) rows. See pipeline/sampling.py:
+    kmv_set_cardinality."""
+    from flink_scala_spark.pipeline import dedup
+
+    sh = dedup.word_shingles(_docs(spark, sf_dir))
+    return sampling.kmv_set_cardinality(
+        sh,
+        "shingle",
+        in_a=F.col("doc_id") % 2 == 0,
+        in_b=F.col("doc_id") % 2 == 1,
     )

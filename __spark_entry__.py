@@ -38,8 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (b) the four remaining round-3-evidence rows (the named survivors of
 # the r7 rotation: copurchase_pairs, small_quantity_part_revenue,
 # idle_high_balance_customers, sole_late_supplier_waits);
-# (c) the 38 stalest of the 47 remaining round-4 rows. After this round
-# every entry except nine r4-era relational shapes (local_supplier_volume,
+# (c) the 37 stalest of the 47 remaining round-4 rows. After this round
+# every entry except ten r4-era relational shapes (local_supplier_volume,
 # bracketed_revenue, forecast_revenue_change, ship_latency_priority_counts,
 # nation_market_share, range_join_binned, revenue_cube, nation_trade_flow,
 # value_deciles, dataset_split_leakage_safe — round-9's rotation head) has

@@ -158,8 +158,12 @@ def distribution_drift(
     # clamp BOTH ends: without greatest(0), a negative value falls out
     # of the bin grid's left join AND out of both totals — the monitor
     # silently shrinks its population exactly when the distribution
-    # shifts below range, the regime it exists to catch
-    ev = events.select(
+    # shifts below range, the regime it exists to catch. NULL values
+    # are excluded EXPLICITLY (they are missing data, not values — and
+    # least/greatest skip NULL args, which would otherwise misbin every
+    # NULL row into the TOP bin and fabricate a high-value drift
+    # alarm); completeness/null-rate monitoring is `dq_audit`'s job.
+    ev = events.where(F.col(value_col).isNotNull()).select(
         F.greatest(
             F.least(
                 F.floor(F.col(value_col) / F.lit(float(bin_width))).cast(

@@ -389,7 +389,7 @@ def kmv_set_cardinality(
     (TakeOrderedAndProject) over it; only O(k) rows feed the final
     1-row aggregate. Sets with < k distinct values fall back to their
     exact count (KMV is exact below capacity)."""
-    num = float((k - 1) * (1 << 60))
+    num = _KMV_NUM if k == KMV_K else float((k - 1) * (1 << 60))
     flags = (
         items.select(
             h60(F.col(value_col).cast("string")).alias("hv"),

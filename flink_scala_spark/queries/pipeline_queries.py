@@ -4260,7 +4260,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (SELECT CAST(greatest(least(floor(value / 50.0), 9.0), 0.0) AS INT) AS bin,
                       epoch(ts) < 1705363200 AS is_base
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     c AS (SELECT bin,
                  CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_base,
@@ -4371,7 +4371,8 @@ def q_schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KMV_NUM_SQL = repr(float((sampling.KMV_K - 1) * (1 << 60)))
+# the ONE copy of the KMV numerator (sampling._KMV_NUM) rendered for SQL
+_KMV_NUM_SQL = repr(sampling._KMV_NUM)
 
 
 def _kmv_est_sql(n: str, hk: str) -> str:
@@ -4425,8 +4426,6 @@ def q_sketch_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; each sketch is a TakeOrderedAndProject over it; the final
     aggregate sees O(k) rows. See pipeline/sampling.py:
     kmv_set_cardinality."""
-    from flink_scala_spark.pipeline import dedup
-
     sh = dedup.word_shingles(_docs(spark, sf_dir))
     return sampling.kmv_set_cardinality(
         sh,

@@ -1955,7 +1955,7 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS day_start,
                  CAST(greatest(least(floor(value / 50.0), 9.0), 0.0) AS INT) AS bin,
                  epoch(ts) < 1705363200 AS is_base
-          FROM events),
+          FROM events WHERE value IS NOT NULL),
     days AS (SELECT DISTINCT day_start FROM e, wm
              WHERE day_start + 86400 <= w),
     grid AS (SELECT day_start, CAST(unnest(range(0, 10)) AS INT) AS bin
@@ -2018,7 +2018,8 @@ def q_streaming_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin")
     )
     daily = (
-        ev.select("ts", bin_col)
+        ev.where(F.col("value").isNotNull())
+        .select("ts", bin_col)
         .withWatermark("ts", "10 seconds")
         .groupBy(F.window("ts", "1 day"), "bin")
         .agg(F.count("*").alias("n_day"))

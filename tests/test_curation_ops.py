@@ -1069,14 +1069,22 @@ def test_distribution_drift_clamps_negative_values(spark):
         (25.0, "2024-01-02 00:00:00"),
         (75.0, "2024-01-20 00:00:00"),
         (-1.0, "2024-01-20 00:00:00"),
+        # NULL values are missing data, not values: they must be
+        # EXCLUDED (least/greatest skip NULL args, so an unguarded bin
+        # expression would misbin every NULL row into the TOP bin and
+        # fabricate a high-value drift alarm)
+        (None, "2024-01-02 00:00:00"),
+        (None, "2024-01-20 00:00:00"),
     ]
     ev = spark.createDataFrame(rows, "value double, s string").select(
         "value", F.col("s").cast("timestamp").alias("ts")
     )
     out = {r["bin"]: r for r in distribution_drift(ev, 1_705_363_200).collect()}
-    # every event is counted: totals include the negative rows
+    # every real value is counted, NULLs are not — in particular the
+    # top bin holds nothing
     assert sum(r["n_base"] for r in out.values()) == 2
     assert sum(r["n_cur"] for r in out.values()) == 2
+    assert out[9]["n_base"] == 0 and out[9]["n_cur"] == 0
     # bin 0 holds the clamped -50 plus the genuine 25.0 on the base
     # side, and the clamped -1 on the current side; 75.0 lands in bin 1
     assert out[0]["n_base"] == 2 and out[0]["n_cur"] == 1

@@ -83,8 +83,15 @@ def build_stress_dir(spark, src_sf_dir: str) -> str:
     # TPC-H side (round 8): lineitem/orders shift the order key in
     # lockstep (joins stay valid, every order gains 7 clones); part
     # shifts p_partkey. Remaining dims copy verbatim — their natural
-    # fan-in is what the queries assume.
+    # fan-in is what the queries assume. The shifts must exceed the
+    # source key ranges or replica ranges OVERLAP and clones silently
+    # alias (wrong joins, collapsed distinct counts) — refuse loudly.
     li = tables.load(spark, src_sf_dir, "lineitem")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0]
+    assert max_ok < EVENT_SHIFT, (
+        f"max l_orderkey {max_ok} >= EVENT_SHIFT {EVENT_SHIFT}: replica "
+        "key ranges would overlap — raise the shift for this SF"
+    )
     reps = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * EVENT_SHIFT))
         for r in range(REPLICAS)
@@ -107,6 +114,11 @@ def build_stress_dir(spark, src_sf_dir: str) -> str:
     _write_single_file(u, out, "orders")
 
     part = tables.load(spark, src_sf_dir, "part")
+    max_pk = part.agg(F.max("p_partkey")).collect()[0][0]
+    assert max_pk < DOC_SHIFT, (
+        f"max p_partkey {max_pk} >= DOC_SHIFT {DOC_SHIFT}: replica key "
+        "ranges would overlap — raise the shift for this SF"
+    )
     reps = [
         part.withColumn("p_partkey", F.col("p_partkey") + F.lit(r * DOC_SHIFT))
         for r in range(REPLICAS)

@@ -233,15 +233,21 @@ def export_versioned(
                     errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP
                 ):
                     raise
+                # O_EXCL claims the version number race-free, but the
+                # bytes must still publish atomically: dump into the
+                # already-fsynced tmp's sibling and os.rename() it over
+                # the claimed path — rename needs no hardlink support
+                # and readers observe either nothing or the full
+                # manifest, never a truncation. (The only residue a
+                # crash can leave is the zero-byte claim between the
+                # two syscalls below — no partially-written JSON.)
                 try:
                     fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 except FileExistsError:
                     version += 1
                     continue
-                with os.fdopen(fd, "w") as out_f:
-                    json.dump(manifest, out_f, indent=2, sort_keys=True)
-                    out_f.flush()
-                    os.fsync(out_f.fileno())
+                os.close(fd)
+                os.rename(tmp, path)
             return manifest
     finally:
         try:

@@ -135,6 +135,31 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids, M
 
 
+def _collect_matrix_guarded(df: DataFrame, id_col: str, vec_col: str, name: str):
+    """:func:`_collect_matrix` for a CALLER-SUPPLIED reference frame:
+    enforce the small-by-contract bound and collect in ONE pass.
+    ``limit(bound+1)`` keeps the probe cost at bound+1 rows of the
+    reference's lineage even when it is a derived frame, and collecting
+    that same limited frame (instead of a separate ``count()`` job)
+    means the lineage executes exactly once — the guard decision and
+    the matrix come from the same rows. Refusal happens BEFORE the
+    matrix is stacked, so an over-bound reference costs one bounded
+    collect, never a driver OOM."""
+    import numpy as np
+
+    from flink_scala_spark.pipeline import guards
+
+    bound = guards.MAX_REFERENCE_ROWS
+    pdf = df.select(id_col, vec_col).limit(bound + 1).toPandas()
+    guards.guard_reference_rows(len(pdf), name)
+    pdf = pdf.sort_values(id_col)
+    ids = pdf[id_col].to_numpy(dtype="int64")
+    if len(ids) == 0:
+        return ids, np.zeros((0, 0))
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return ids, M
+
+
 def _require_centroids(cent_ids, name: str):
     """Contract error (not an opaque numpy IndexError downstream) when
     the corpus yielded zero centroid/seed rows — i.e. it is empty."""
@@ -1121,16 +1146,14 @@ def max_cosine_vs_reference(
         f"{id_col} long, nearest_benchmark_id long, max_cosine double, "
         "contaminated boolean"
     )
-    # enforce "small by contract" BEFORE collecting: a caller passing a
-    # corpus-sized reference must get a loud refusal, not a driver OOM.
-    # limit(bound+1) makes the probe cost at most bound+1 rows of the
-    # reference's lineage even when it is a derived frame, while giving
-    # the same accept/refuse decision as a full count
-    from flink_scala_spark.pipeline import guards
-
-    probe = reference.limit(guards.MAX_REFERENCE_ROWS + 1).count()
-    guards.guard_reference_rows(probe, "max_cosine_vs_reference")
-    ref_ids, R = _collect_matrix(reference, id_col, vec_col)
+    # enforce "small by contract" and collect in ONE bounded pass: a
+    # caller passing a corpus-sized reference gets a loud refusal (not
+    # a driver OOM), and an in-bound reference pays its lineage exactly
+    # once (round-9 advice: the earlier separate count() probe
+    # re-executed the reference computation before the collect).
+    ref_ids, R = _collect_matrix_guarded(
+        reference, id_col, vec_col, "max_cosine_vs_reference"
+    )
     if len(ref_ids) == 0:
         # the oracle's CROSS JOIN against an empty bench is empty
         return corpus.sparkSession.createDataFrame([], out_schema)

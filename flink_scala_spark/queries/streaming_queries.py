@@ -2042,6 +2042,7 @@ def q_streaming_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         tables.load(spark, sf_dir, "events")
         .where(epoch_seconds("ts") < F.lit(1_705_363_200))
+        .where(F.col("value").isNotNull())
         .select(bin_col)
         .groupBy("bin")
         .agg(F.count("*").alias("n_b"))

@@ -621,8 +621,9 @@ def test_reference_size_guard_fires_before_collect(spark, monkeypatch):
     monkeypatch.setattr(guards, "MAX_REFERENCE_ROWS", 2)
     rows = [(i, [1.0, 0.0, 0.0, float(i)]) for i in range(5)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    # the probe is limit(bound+1).count() — it reports "at least 3",
-    # never scanning the full reference lineage
+    # the guard collects limit(bound+1) ONCE (the same rows feed the
+    # matrix on accept) — it reports "at least 3", never scanning the
+    # full reference lineage and never re-executing it after the probe
     with pytest.raises(
         RuntimeError, match="max_cosine_vs_reference.*at least 3"
     ):
@@ -1089,3 +1090,70 @@ def test_distribution_drift_clamps_negative_values(spark):
     # side, and the clamped -1 on the current side; 75.0 lands in bin 1
     assert out[0]["n_base"] == 2 and out[0]["n_cur"] == 1
     assert out[1]["n_cur"] == 1
+
+
+def test_streaming_drift_frozen_baseline_excludes_nulls(spark, tmp_path):
+    """Regression (round-9 advice): `streaming_drift_report`'s FROZEN
+    baseline leg must apply the same `value IS NOT NULL` filter as its
+    daily leg and the batch kernel — least/greatest skip NULL args, so
+    an unguarded bin expression misbins every NULL baseline row into
+    the TOP bin, inflating n_b/t_b and skewing p_base for every day."""
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    day = 86400
+    jan2 = 1_704_153_600  # 2024-01-02 00:00 UTC (baseline period)
+    jan20 = jan2 + 18 * day  # post-baseline day, closed by the flusher
+    rows = [
+        (1, jan2 + 100, 1, "view", 25.0, "{}"),  # baseline, bin 0
+        (2, jan2 + 200, 1, "view", None, "{}"),  # baseline NULL: excluded
+        (3, jan20 + 100, 2, "click", 75.0, "{}"),  # current day, bin 1
+        (4, jan20 + 200, 2, "click", None, "{}"),  # current NULL: excluded
+        (5, jan20 + 2 * day, 3, "view", 10.0, "{}"),  # watermark flusher
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_l long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("ts_l").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    os.makedirs(sf)
+    shutil.copy(
+        glob.glob(str(tmp_path / "raw") + "/*.parquet")[0],
+        os.path.join(sf, "events.parquet"),
+    )
+    out = QUERIES["streaming_drift_report"].fn(spark, sf).collect()
+    by = {(r["day_start"], r["bin"]): r for r in out}
+    # baseline = {25.0} alone -> t_b = 1; Laplace p_base: bin0 2/11,
+    # every other bin 1/11. A misbinned NULL would make bin9 2/12.
+    some_day = out[0]["day_start"]
+    assert abs(by[(some_day, 0)]["p_base"] - 2.0 / 11.0) < 1e-12
+    assert abs(by[(some_day, 9)]["p_base"] - 1.0 / 11.0) < 1e-12
+    # daily legs exclude NULLs too: jan20 counts exactly one row
+    assert sum(r["n_day"] for r in out if r["day_start"] == jan20) == 1
+    # and the oracle agrees bit-for-bit on this NULL-bearing corpus
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    oracle = {
+        (r[0], r[1]): r
+        for r in con.execute(
+            QUERIES["streaming_drift_report"].oracle
+        ).fetchall()
+    }
+    assert set(by) == set(oracle)
+    for k, r in by.items():
+        o = oracle[k]
+        assert (r["n_day"], r["p_day"], r["p_base"]) == (o[2], o[3], o[4])

@@ -67,17 +67,21 @@ def positional_ngrams(
     id_col: str = "doc_id",
     n: int = 3,
     out_col: str = "shingle",
+    pos_col: str | None = None,
 ) -> DataFrame:
     """Every positional word n-gram per document (NOT distinct) as
-    ``(doc_id, out_col)``.
+    ``(doc_id, out_col)`` — plus the 1-based start position when
+    ``pos_col`` is given (the substring-scrub path needs to know WHERE
+    each span sits).
 
     The words array is materialized in a projection BEFORE the
     position explode, so each n-gram is n O(1) element_at lookups
     — not a re-split of the text per lambda element (higher-order
     ``transform`` lambdas run interpreted without common-subexpression
     elimination; the naive form was ~50x slower). Shared by
-    ``word_shingles`` (→ distinct) and ``text.duplicate_spans``
-    (positions kept) so the two can never diverge on tokenization.
+    ``word_shingles`` (→ distinct), ``text.duplicate_spans`` and
+    ``text.scrub_duplicate_spans`` so they can never diverge on
+    tokenization.
     """
     wdf = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("w")
@@ -86,7 +90,10 @@ def positional_ngrams(
         "doc_id", "w", F.explode(F.sequence(F.lit(1), F.size("w") - F.lit(n - 1))).alias("i")
     )
     parts = ", ".join(f"element_at(w, i + {j})" for j in range(n))
-    return idx.select("doc_id", F.expr(f"concat_ws(' ', {parts})").alias(out_col))
+    cols = ["doc_id", F.expr(f"concat_ws(' ', {parts})").alias(out_col)]
+    if pos_col is not None:
+        cols.insert(1, F.col("i").alias(pos_col))
+    return idx.select(*cols)
 
 
 def word_shingles(

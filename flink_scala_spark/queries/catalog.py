@@ -231,10 +231,10 @@ def q_revenue_by_region_parttype(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
     return (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("r_name").alias("region"), "p_type")
         .agg(
             F.count("*").alias("cnt"),
@@ -286,7 +286,7 @@ def q_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.unix_timestamp("o_orderdate").alias("order_date"),

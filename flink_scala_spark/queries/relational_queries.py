@@ -8,9 +8,15 @@ Scale discipline shared by every query here:
   order-independent and the DuckDB oracle matches bit-for-bit (the
   technique proven by ``lineitem_pricing_summary``); the one cast to
   DOUBLE happens after the aggregate.
-- Dimension tables (region/nation/supplier/part/customer at their
-  natural fan-in) broadcast; the lineitem fact table streams through
-  the join pipeline exactly once, and the only shuffles are the final
+- Broadcast-hint policy (round 9): explicit ``F.broadcast()`` hints go
+  ONLY on fixed-cardinality artifacts — nation (25 rows), region (5),
+  1-row aggregates, per-type stats frames. SF-SCALING tables
+  (customer/part/supplier — hundreds of GB each at 100 TB) are joined
+  UNHINTED: AQE's size check broadcasts them while they are genuinely
+  under threshold (they are, at every test SF, so plans are unchanged
+  here) and degrades to shuffle joins at scale instead of a guaranteed
+  broadcast OOM. The lineitem fact table streams through the join
+  pipeline exactly once, and the only shuffles are the final
   aggregation keys.
 - No correlated per-row subqueries: every EXISTS/IN becomes a
   semi/anti join, every "equal to the max" becomes an aggregate
@@ -172,7 +178,7 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_suppkey").alias("s_suppkey")
     )
     return picked.join(
-        F.broadcast(part), picked["l_partkey"] == part["p_partkey"]
+        part, picked["l_partkey"] == part["p_partkey"]
     ).select(
         "p_partkey",
         "p_name",
@@ -205,7 +211,7 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .select(
             F.col("n_name").alias("nation"),
@@ -244,7 +250,7 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(12,2)")
     )
     agg = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
             F.sum(promo).cast("double").alias("promo_revenue"),
             F.sum(rev).cast("double").alias("total_revenue"),
@@ -275,7 +281,8 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: who returned the most revenue. The returnflag filter
-    pushes to the lineitem scan; dims broadcast; the ordered LIMIT
+    pushes to the lineitem scan; nation broadcasts and customer joins
+    unhinted (AQE broadcasts it below threshold); the ordered LIMIT
     plans as TakeOrderedAndProject (per-partition top-20 + driver
     merge — no global sort). Tie-break on c_custkey keeps the top-20
     deterministic."""
@@ -285,7 +292,7 @@ def q_returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFr
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(_rev_col()).cast("double").alias("returned_revenue"))
@@ -314,7 +321,8 @@ def q_returned_revenue_top_customers(spark: SparkSession, sf_dir: str) -> DataFr
 def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape: cross-nation trade volume. Six-table join where the
     fact table is joined once against orders (the only other large
-    side) and every dimension broadcasts — one fact shuffle, one
+    side); nation broadcasts, supplier/customer join unhinted (AQE
+    broadcasts them while small) — one fact shuffle, one
     final-agg shuffle. The <> predicate prunes same-nation flow
     before aggregation."""
     li = _t(spark, sf_dir, "lineitem").select(
@@ -331,10 +339,10 @@ def q_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(sn), sup["s_nationkey"] == sn["sn_key"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(cn), cust["c_nationkey"] == cn["cn_key"])
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year"))
@@ -639,7 +647,8 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: local-supplier revenue — the 6-table join whose
     distinguishing constraint is a NON-key equi-condition between two
     dimension sides (customer's nation == supplier's nation). The fact
-    table streams once; customer/supplier/nation/region broadcast; the
+    table streams once; nation/region broadcast, customer/supplier
+    join unhinted (AQE-sized); the
     date filter is pushed to the orders scan and DECIMAL sums keep the
     oracle exact."""
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -655,9 +664,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     joined = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
+            s,
             (l["l_suppkey"] == s["s_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
@@ -689,12 +698,13 @@ def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bracket are pushable to the dimension scan and the residual OR
     evaluates post-join inside codegen — the canonical test that
     complex boolean predicates don't break pushdown or force a
-    cartesian. part broadcasts; one pass over lineitem."""
+    cartesian. part joins unhinted (AQE broadcasts it while small);
+    one pass over lineitem."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+    j = l.join(p, l["l_partkey"] == p["p_partkey"])
     q = F.col("l_quantity")
     bracket = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
@@ -773,14 +783,14 @@ def q_small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     cardinality). The avg threshold is CROSS-MULTIPLIED
     (qty * 2 * n < sum) so the whole comparison stays in DECIMAL — no
     division, no float, exact oracle. The brand filter prunes through
-    the broadcast part dim BEFORE the window (restricting parts cannot
+    the part dim BEFORE the window (restricting parts cannot
     change any surviving part's own average)."""
     p = _t(spark, sf_dir, "part").where(
         F.col("p_brand").isin("Brand#1", "Brand#2")
     ).select("p_partkey")
     bl = (
         _t(spark, sf_dir, "lineitem")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "l_partkey",
             F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
@@ -904,7 +914,7 @@ def q_sole_late_supplier_waits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     hit = culprit.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)).join(
-        F.broadcast(s), F.col("late_supp") == F.col("s_suppkey")
+        s, F.col("late_supp") == F.col("s_suppkey")
     )
     return hit.groupBy(F.col("s_name").alias("supplier")).agg(
         F.count("*").alias("numwait")
@@ -978,9 +988,9 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator = total) computed in ONE pass; both sums stay DECIMAL
     (order-independent) and the single double division happens on the
     exact aggregates, so the ratio is bit-identical across engines.
-    Seven-table join: the fact streams once, all six dims broadcast;
-    the part-type and region filters prune their dim scans before the
-    broadcast."""
+    Seven-table join: the fact streams once; nation/region broadcast,
+    part/customer/supplier join unhinted (AQE-sized); the part-type
+    and region filters prune their dim scans before the join."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -996,12 +1006,12 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
     j = (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(cn), c["c_nationkey"] == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r["r_regionkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(sn), s["s_nationkey"] == F.col("sn_key"))
     )
     rev = _rev_col()
@@ -1037,8 +1047,8 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16 shape: how many distinct (credit-worthy) suppliers serve
     each (brand, size) segment — supplier-base diversity. NOT IN
     becomes a LEFT ANTI join against the low-balance supplier set
-    (tiny, broadcast; and no NULL-semantics trap since keys are
-    non-null), the part filter prunes through the broadcast dim, and
+    (AQE-sized; no NULL-semantics trap since keys are non-null), the
+    part filter prunes through the dim scan, and
     count(DISTINCT) runs as Catalyst's two-stage expand/agg — both
     stages map-side combinable."""
     low = (
@@ -1050,8 +1060,8 @@ def q_part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").isin("SMALL", "MEDIUM")
     ).select("p_partkey", "p_brand", "p_size")
     l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    j = l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"]).join(
-        F.broadcast(low), l["l_suppkey"] == low["s_suppkey"], "left_anti"
+    j = l.join(p, l["l_partkey"] == p["p_partkey"]).join(
+        low, l["l_suppkey"] == low["s_suppkey"], "left_anti"
     )
     return j.groupBy("p_brand", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
@@ -1196,7 +1206,7 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .select(
             F.col("n_name").alias("nation"),

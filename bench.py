@@ -107,6 +107,8 @@ HEADLINE = [
     "revenue_grouping_sets",
     "schema_evolution_roundtrip",
     "sketch_set_cardinality",
+    # round-9 additions
+    "dedup_substring_scrub",
 ]
 
 

@@ -785,6 +785,95 @@ def duplicate_spans(
     )
 
 
+def scrub_duplicate_spans(
+    docs: DataFrame, text_col: str = "text", n: int = SPAN_WORDS
+) -> DataFrame:
+    """Duplicate-passage REMOVAL (the operation of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"):
+    :func:`duplicate_spans` detects word n-gram spans shared by >= 2
+    docs; this excises them. Keep-first policy: for every duplicated
+    span hash, the globally first occurrence (min doc_id, then min
+    position within it) survives; every OTHER occurrence marks its n
+    word positions for removal, overlapping spans union their ranges,
+    and each doc re-emits with the marked words cut out plus a removal
+    audit (words/chars removed, spans flagged).
+
+    Spark shape, end to end distributed:
+
+    - Span extraction shares ``dedup.positional_ngrams`` (with
+      positions kept), so detection and scrub can never diverge on
+      tokenization; spans leave the row as 60-bit portable hashes.
+    - The duplicated-hash set comes from ONE map-side-combinable
+      groupBy; occurrences join back against it, so everything after
+      the first agg is proportional to *duplicated* spans, not corpus
+      words.
+    - Removal positions fold per doc into a sorted int array (bounded
+      by doc length); the scrub itself is a row-local JVM higher-order
+      ``filter(w, (x, j) -> ...)`` after one doc_id-keyed join — no
+      re-explode of the corpus, no per-row Python, no driver collect.
+    """
+    from flink_scala_spark.functions.portable import h60
+    from flink_scala_spark.pipeline.dedup import positional_ngrams
+
+    base = _nonempty(docs, text_col).select(
+        "doc_id",
+        F.split(F.col(text_col), " ").alias("w"),
+        F.length(F.col(text_col)).alias("orig_len"),
+    )
+    occ = positional_ngrams(
+        _nonempty(docs, text_col), text_col, n=n, out_col="span", pos_col="i"
+    ).select("doc_id", "i", h60(F.col("span")).alias("sh"))
+    # duplicated spans + their first doc (arg-min two-step: min doc,
+    # then min position within that doc — deterministic keep-first)
+    g1 = (
+        occ.groupBy("sh")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select("sh", "first_doc")
+    )
+    cand = occ.join(g1, "sh")
+    first_i = (
+        cand.where(F.col("doc_id") == F.col("first_doc"))
+        .groupBy("sh")
+        .agg(F.min("i").alias("first_i"))
+    )
+    flagged = cand.join(first_i, "sh").where(
+        ~((F.col("doc_id") == F.col("first_doc")) & (F.col("i") == F.col("first_i")))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans_flagged"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.expr(f"sequence(i, i + {n - 1})")))
+            )
+        ).alias("rm"),
+    )
+    out = base.join(per_doc, "doc_id", "left")
+    kept = F.when(F.col("rm").isNull(), F.col("w")).otherwise(
+        F.expr("filter(w, (x, j) -> NOT array_contains(rm, j + 1))")
+    )
+    scrubbed = F.array_join(kept, " ")
+    # words removed == |rm| (every marked position is a real word slot),
+    # so the lambda filter is evaluated for the text, not re-run for a
+    # count
+    return out.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        # size(NULL) is -1 under non-ANSI Spark — branch, don't coalesce
+        F.when(F.col("rm").isNull(), F.lit(0))
+        .otherwise(F.size("rm"))
+        .cast("long")
+        .alias("n_words_removed"),
+        (F.col("orig_len") - F.length(scrubbed)).cast("long").alias("chars_removed"),
+        F.coalesce(F.col("n_spans_flagged"), F.lit(0)).cast("long").alias(
+            "n_spans_flagged"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-frequency novelty scoring
 # ---------------------------------------------------------------------------

@@ -2375,6 +2375,75 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X178: duplicate-passage REMOVAL (Lee et al. substring scrub)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_substring_scrub",
+    f"""
+    WITH w0 AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    occ AS (
+        SELECT doc_id, i,
+               {duck_h60(f"array_to_string(w[i:i + {_SPAN_N - 1}], ' ')")} AS sh
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_N - 2})) AS i
+              FROM w0 WHERE len(w) >= {_SPAN_N}) t
+    ),
+    g1 AS (
+        SELECT sh, min(doc_id) AS first_doc FROM occ
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cand AS (SELECT o.doc_id, o.i, o.sh, g1.first_doc
+             FROM occ o JOIN g1 USING (sh)),
+    fi AS (SELECT sh, min(i) AS first_i FROM cand
+           WHERE doc_id = first_doc GROUP BY 1),
+    flagged AS (
+        SELECT c.doc_id, c.i FROM cand c JOIN fi USING (sh)
+        WHERE NOT (c.doc_id = c.first_doc AND c.i = fi.first_i)
+    ),
+    nflag AS (SELECT doc_id, count(*) AS n_spans FROM flagged GROUP BY 1),
+    rmpos AS (SELECT DISTINCT doc_id, unnest(range(i, i + {_SPAN_N})) AS p
+              FROM flagged),
+    words AS (
+        SELECT doc_id, p, w[p] AS word
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM w0) t
+    ),
+    kept AS (
+        SELECT wo.doc_id, wo.p, wo.word
+        FROM words wo LEFT JOIN rmpos r
+          ON r.doc_id = wo.doc_id AND r.p = wo.p
+        WHERE r.doc_id IS NULL
+    ),
+    sc AS (SELECT doc_id, string_agg(word, ' ' ORDER BY p) AS scrubbed_text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY 1)
+    SELECT w0.doc_id,
+           coalesce(sc.scrubbed_text, '') AS scrubbed_text,
+           CAST(len(w0.w) - coalesce(sc.n_kept, 0) AS BIGINT) AS n_words_removed,
+           CAST(len(w0.text) - len(coalesce(sc.scrubbed_text, '')) AS BIGINT)
+             AS chars_removed,
+           CAST(coalesce(nf.n_spans, 0) AS BIGINT) AS n_spans_flagged
+    FROM w0 LEFT JOIN sc ON sc.doc_id = w0.doc_id
+            LEFT JOIN nflag nf ON nf.doc_id = w0.doc_id
+    """,
+    "dedup", "text", "bench",
+)
+def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage REMOVAL — the Lee et al. ExactSubstr
+    operation X105 only detects: every duplicated positional word
+    8-gram keeps its globally first occurrence (min doc_id, then min
+    position) and is excised everywhere else, overlaps unioned; every
+    doc re-emits with scrubbed text plus a words/chars/spans removal
+    audit. See pipeline/text.py:scrub_duplicate_spans for the
+    distributed shape (everything past one map-side-combinable hash
+    agg is proportional to duplicated spans; the cut itself is a
+    row-local JVM array filter)."""
+    return text.scrub_duplicate_spans(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # X106: corpus-frequency novelty scoring
 # ---------------------------------------------------------------------------
 

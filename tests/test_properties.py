@@ -532,6 +532,63 @@ def test_duplicate_spans_match_bruteforce(spark, texts_):
 
 @settings(**SETTINGS)
 @given(word_docs)
+def test_scrub_duplicate_spans_matches_bruteforce(spark, texts_):
+    """scrub_duplicate_spans (n=3 for the fuzz) must reproduce a
+    plain-Python keep-first excision: for every span shared by >= 2
+    docs, the lexicographically first (doc, pos) occurrence survives,
+    all other occurrences remove their n word positions (overlaps
+    unioned), and the audit counts match. Covers full-document removal
+    (exact dup docs scrub to ''), overlap unions, and docs shorter
+    than n (pass through untouched)."""
+    from collections import Counter, defaultdict
+
+    from flink_scala_spark.pipeline.text import scrub_duplicate_spans
+
+    n = 3
+    words = {i: t.split(" ") for i, t in enumerate(texts_) if t != ""}
+    occs: dict[str, list] = defaultdict(list)
+    for d in sorted(words):
+        w = words[d]
+        for j in range(len(w) - n + 1):
+            occs[" ".join(w[j : j + n])].append((d, j))
+    rm: dict[int, set] = defaultdict(set)
+    nflag: Counter = Counter()
+    for lst in occs.values():
+        if len({d for d, _ in lst}) < 2:
+            continue
+        first = min(lst)
+        for d, j in lst:
+            if (d, j) == first:
+                continue
+            nflag[d] += 1
+            rm[d].update(range(j, j + n))
+    exp = {}
+    for d, w in words.items():
+        kept = [x for k, x in enumerate(w) if k not in rm[d]]
+        scrubbed = " ".join(kept)
+        exp[d] = (
+            scrubbed,
+            len(rm[d]),
+            len(texts_[d]) - len(scrubbed),
+            nflag[d],
+        )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts_)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["scrubbed_text"],
+            r["n_words_removed"],
+            r["chars_removed"],
+            r["n_spans_flagged"],
+        )
+        for r in scrub_duplicate_spans(docs, n=n).collect()
+    }
+    assert got == exp
+
+
+@settings(**SETTINGS)
+@given(word_docs)
 def test_rare_token_novelty_matches_bruteforce(spark, texts_):
     """rare_token_novelty must reproduce a plain-Python computation of
     the integer rarity threshold (cnt * 256 < total) and the DIV

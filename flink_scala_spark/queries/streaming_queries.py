@@ -1526,6 +1526,18 @@ def q_streaming_session_gap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FP_WINDOW_S = 345_600
 _FP_COUNT = 5
 _FP_EVICT_BELOW = 5.0
+# fire_purge replays its own, COARSER buckets (10-day -> 3 buckets + the
+# trailing no-data batch = 4 microbatches vs 8 at _TWS_BUCKET_S): unlike
+# the _TWS_* oracles, _FIRE_PURGE_ORACLE never references batch
+# boundaries — count-fires depend only on global (ts, event_id) order
+# (preserved by ANY time-bucketed replay) and timer-fires only on the
+# FINAL watermark — so the output is bucket-size-independent (measured:
+# identical rows at 5d and 10d) and each dropped microbatch saves the
+# fixed TWS state-server roundtrip. 10 days still fires window timers
+# MID-stream (4-day windows ending <= day 10 fire in batch 2): the
+# purge-on-fire-then-resume path stays live, not just the trailing
+# flush.
+_FP_BUCKET_S = 864_000
 
 # Oracle model (measured semantics, same facts as _TWS_ALARM_ORACLE):
 # rows of a (user, window) are processed in (ts, event_id) order (the
@@ -1602,7 +1614,7 @@ def q_streaming_trigger_fire_purge(spark: SparkSession, sf_dir: str) -> DataFram
     ensure_tws_runtime(spark)
     try:
         src = sources.file_replay_time_buckets(
-            spark, sf_dir, "events", _TWS_BUCKET_S
+            spark, sf_dir, "events", _FP_BUCKET_S
         )
         return run_bounded_now(
             fire_purge_tws(src, _FP_WINDOW_S, _FP_COUNT, _FP_EVICT_BELOW),

@@ -109,6 +109,10 @@ HEADLINE = [
     "sketch_set_cardinality",
     # round-9 additions
     "dedup_substring_scrub",
+    "value_mad_outlier_report",
+    "negative_pool_sampler",
+    "sequence_packing_bins",
+    "lang_mismatch_audit",
 ]
 
 

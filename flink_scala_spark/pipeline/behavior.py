@@ -212,3 +212,97 @@ def distribution_drift(
         (F.abs(q - p) / F.lit(2.0)).alias("tv_term"),
         ((q - p) * (q - p) / p).alias("chi2_term"),
     )
+
+
+def mad_outlier_report(events: DataFrame, k_mad: int = 5) -> DataFrame:
+    """Robust per-type outlier report: exact (quantized) median, median
+    absolute deviation, and the count of rows deviating more than
+    ``k_mad`` MADs — the monitoring primitive that survives the heavy
+    tails that wreck mean/stddev z-scores (cf. `value_zscore_outliers`'
+    docstring caveat).
+
+    Exactness: values quantize to integer cents (floor(value*100), the
+    repo-wide convention), so both medians are SELECTIONS on integer
+    histograms — no float folds, no interpolation, bit-identical in any
+    engine. Lower-median convention: the smallest cents value whose
+    cumulative count reaches ceil(n/2).
+
+    Scale shape — the histogram-selection median, NOT a per-type sort:
+    the corpus is scanned ONCE into a (type, cents) hash-agg histogram
+    (map-side combinable; size bounded by the value domain, not the row
+    count). Median, deviation histogram, MAD, and the outlier count are
+    all computed on that small frame (the deviation histogram is a
+    re-keying of the value histogram — no second corpus scan). A naive
+    ``Window.partitionBy(type).orderBy(value)`` median funnels every
+    row of a type through one task — dead at 100 TB; this shape's only
+    corpus-sized stage is the initial agg."""
+    from pyspark.sql import Window
+
+    h = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    # lower median: smallest cents with running count >= ceil(n/2);
+    # windows run over the HISTOGRAM (bounded by the value domain)
+    wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hc = h.withColumn("cum", F.sum("cnt").over(wc)).join(tot, "event_type")
+    med = (
+        hc.where(F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    dev = (
+        h.join(med, "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dc = dev.withColumn("cum", F.sum("cnt").over(wd)).join(tot, "event_type")
+    mad = (
+        dc.where(F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad_cents"))
+    )
+    out = (
+        dev.join(med, "event_type")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > F.lit(int(k_mad)) * F.col("mad_cents"), F.col("cnt"))
+                .otherwise(F.lit(0))
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        tot.join(med, "event_type")
+        .join(mad, "event_type")
+        .join(out, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("med_cents").cast("long").alias("median_cents"),
+            F.col("mad_cents").cast("long").alias("mad_cents"),
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            # integer DIV, not float-divide-then-floor: exact in both
+            # engines at any magnitude
+            F.expr("(1000 * n_outliers) DIV n").cast("long").alias(
+                "outlier_permille"
+            ),
+        )
+    )

@@ -32,7 +32,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_PLANES = 8
@@ -1860,4 +1860,72 @@ def mmr_rerank(
         select,
         "query_id long, neighbor_id long, mmr_rank int, relevance double, "
         "mmr_score double",
+    )
+
+
+def negative_pool_sample(
+    embeddings: DataFrame,
+    query_predicate,
+    pool_size: int = 64,
+    k_slots: int = 4,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic uniform negative sampling through a SHARED pool —
+    the contrastive-training counterpart to `hard_negative_mining`
+    (which picks the closest wrong-label neighbors; uniform negatives
+    are the unbiased complement every InfoNCE-style loss also needs).
+
+    Scheme: the pool is the ``pool_size`` corpus rows with the smallest
+    h60(id) — a uniform pseudo-random draw with no rand() (rerunnable,
+    oracle-exact). Each query fills ``k_slots`` slots by indexing the
+    pool at h60("query:slot") mod pool_size. Collisions are FLAGGED,
+    never silently resampled (is_self: drew itself; label_collision:
+    drew a same-label row — a false negative for the loss), so the
+    training-side filter policy stays out of the sampler's contract.
+
+    Scale: the pool is one TakeOrdered over the corpus (fixed
+    ``pool_size`` rows on the driver-free path) and BROADCASTS — the
+    corpus is never shuffled, queries are scanned once, and the join is
+    against a constant-size side at any corpus scale."""
+    from flink_scala_spark.functions.portable import h60
+
+    pool = (
+        embeddings.select(
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            h60(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", "neg_id")
+        .limit(int(pool_size))
+    )
+    w = Window.orderBy("h", "neg_id")  # fixed pool_size rows: safe
+    pidx = pool.select(
+        "neg_id", "neg_label", (F.row_number().over(w) - F.lit(1)).alias("idx")
+    )
+    q = embeddings.where(query_predicate).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
+    )
+    qs = q.select(
+        "query_id",
+        "q_label",
+        F.explode(F.sequence(F.lit(0), F.lit(int(k_slots) - 1))).alias("slot"),
+    )
+    qi = qs.withColumn(
+        "idx",
+        h60(
+            F.concat(
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("slot").cast("string"),
+            )
+        )
+        % F.lit(int(pool_size)),
+    )
+    return qi.join(F.broadcast(pidx), "idx").select(
+        "query_id",
+        F.col("slot").cast("long").alias("slot"),
+        "neg_id",
+        (F.col("neg_id") == F.col("query_id")).alias("is_self"),
+        (F.col("neg_label") == F.col("q_label")).alias("label_collision"),
     )

@@ -1132,3 +1132,46 @@ def vocab_oov_rate(
             (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
         )
     )
+
+
+def lang_metadata_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Declared-vs-detected language audit: per DECLARED ``lang`` tag,
+    how many docs the stopword-vote detector (:func:`lang_id`, same
+    vote, same tie-break) confirms, can't call ('und'), or CONTRADICTS
+    — the metadata-QA table that decides whether a source's language
+    labels can be trusted before they route docs into per-language
+    training mixtures.
+
+    Scale: single corpus scan (declared tag, vote, and token count all
+    come from the same row — no join against a detector output), then
+    one map-side-combinable agg onto the tiny language key space."""
+    en, es, fr, de = (_hits(text_col, lg) for lg in ("en", "es", "fr", "de"))
+    pred = (
+        F.when((en == 0) & (es == 0) & (fr == 0) & (de == 0), "und")
+        .when((en >= es) & (en >= fr) & (en >= de), "en")
+        .when((es >= fr) & (es >= de), "es")
+        .when(fr >= de, "fr")
+        .otherwise("de")
+    )
+    per = docs.select(
+        F.col("lang"),
+        pred.alias("pred"),
+        F.size(_words(text_col)).cast("long").alias("tok"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("pred") == F.col("lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+        F.sum(F.when(F.col("pred") == "und", 1).otherwise(0))
+        .cast("long")
+        .alias("n_und"),
+        F.sum(
+            F.when(
+                (F.col("pred") != F.col("lang")) & (F.col("pred") != "und"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )

@@ -772,6 +772,50 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_mismatch_audit",
+    f"""
+    WITH per AS (
+        SELECT lang,
+               CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0
+                         AND de_hits = 0 THEN 'und'
+                    WHEN en_hits >= es_hits AND en_hits >= fr_hits
+                         AND en_hits >= de_hits THEN 'en'
+                    WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+                    WHEN fr_hits >= de_hits THEN 'fr'
+                    ELSE 'de' END AS pred,
+               tok
+        FROM (SELECT lang,
+                     CAST({_duck_hits('en')} AS INT) AS en_hits,
+                     CAST({_duck_hits('es')} AS INT) AS es_hits,
+                     CAST({_duck_hits('fr')} AS INT) AS fr_hits,
+                     CAST({_duck_hits('de')} AS INT) AS de_hits,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+              FROM documents) t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST(sum(CASE WHEN pred = 'und' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_und,
+           CAST(sum(CASE WHEN pred <> lang AND pred <> 'und'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM per GROUP BY 1
+    """,
+    "text", "langid", "quality", "bench",
+)
+def q_lang_mismatch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language audit (X182): per declared lang
+    tag, how many docs the stopword-vote detector confirms, abstains on
+    ('und'), or confidently contradicts — the metadata-QA gate before
+    language labels route docs into per-language training mixtures.
+    See pipeline/text.py:lang_metadata_audit (one scan, one tiny-key
+    agg)."""
+    return text.lang_metadata_audit(_docs(spark, sf_dir))
+
+
+@register(
     "text_quality",
     f"""
     SELECT doc_id, n_words,
@@ -4325,6 +4369,93 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing_bins",
+    """
+    WITH base AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    placed AS (
+        SELECT shard, tok,
+               sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - tok AS start
+        FROM base
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(start // 256 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS bin_tokens,
+           CAST(sum(CASE WHEN (start % 256) + tok > 256 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_straddling
+    FROM placed GROUP BY 1, 2
+    """,
+    "sampling", "packing", "training", "bench",
+)
+def q_sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (X181): per 16-way shard,
+    documents concatenate in doc_id order into 256-token context
+    windows; the report gives docs-starting, token mass, and straddler
+    count per (shard, bin) — the measurement behind choosing chunking
+    vs best-fit packing for pretraining batches. See
+    pipeline/sampling.py:sequence_packing_bins (the one window is
+    shard-partitioned; shard count is the parallelism at scale)."""
+    return sampling.sequence_packing_bins(
+        _docs(spark, sf_dir), context_tokens=256, n_shards=16
+    )
+
+
+_NPS_POOL = 64
+_NPS_SLOTS = 4
+
+
+@register(
+    "negative_pool_sampler",
+    f"""
+    WITH pool AS (
+        SELECT vec_id AS neg_id, label AS neg_label,
+               {duck_h60("CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings
+    ),
+    pidx AS (
+        SELECT neg_id, neg_label,
+               row_number() OVER (ORDER BY h, neg_id) - 1 AS idx
+        FROM (SELECT * FROM pool ORDER BY h, neg_id LIMIT {_NPS_POOL}) t
+    ),
+    q AS (SELECT vec_id AS query_id, label AS q_label
+          FROM embeddings WHERE vec_id % 50 = 0),
+    qs AS (SELECT query_id, q_label,
+                  unnest(range(0, {_NPS_SLOTS})) AS slot
+           FROM q),
+    qi AS (SELECT query_id, q_label, slot,
+                  {duck_h60(
+                      "concat(CAST(query_id AS VARCHAR), ':', "
+                      "CAST(slot AS VARCHAR))"
+                  )} % {_NPS_POOL} AS idx
+           FROM qs)
+    SELECT qi.query_id, CAST(qi.slot AS BIGINT) AS slot, p.neg_id,
+           p.neg_id = qi.query_id AS is_self,
+           p.neg_label = qi.q_label AS label_collision
+    FROM qi JOIN pidx p USING (idx)
+    """,
+    "similarity", "sampling", "training", "bench",
+)
+def q_negative_pool_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform negative sampling via a shared 64-row pool (X180):
+    every 50th vector is a query; each fills 4 slots by hashing
+    "query:slot" into the pool (the pool itself is the 64 smallest
+    h60(id) corpus rows — a deterministic uniform draw). Self- and
+    same-label draws are flagged, not resampled. The unbiased
+    complement to `hard_negative_mining`/`contrastive_triplets`.
+    See pipeline/similarity.py:negative_pool_sample (pool broadcasts;
+    corpus never shuffles)."""
+    return similarity.negative_pool_sample(
+        _emb(spark, sf_dir), F.col("vec_id") % 50 == 0,
+        pool_size=_NPS_POOL, k_slots=_NPS_SLOTS,
+    )
+
+
+@register(
     "distribution_drift_report",
     """
     WITH b AS (SELECT CAST(greatest(least(floor(value / 50.0), 9.0), 0.0) AS INT) AS bin,
@@ -4372,6 +4503,64 @@ def q_distribution_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distribution_drift(
         _events(spark, sf_dir), split_epoch_s=1_705_363_200
     )
+
+
+@register(
+    "value_mad_outlier_report",
+    """
+    WITH h AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+            FROM h GROUP BY 1),
+    hc AS (SELECT h.event_type, h.cents, h.cnt, tot.n,
+                  sum(h.cnt) OVER (PARTITION BY h.event_type
+                                   ORDER BY h.cents
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h JOIN tot USING (event_type)),
+    med AS (SELECT event_type, min(cents) AS med_cents FROM hc
+            WHERE cum * 2 >= n + (n % 2) GROUP BY 1),
+    dev AS (SELECT h.event_type, abs(h.cents - m.med_cents) AS dev,
+                   CAST(sum(h.cnt) AS BIGINT) AS cnt
+            FROM h JOIN med m USING (event_type) GROUP BY 1, 2),
+    dc AS (SELECT d.event_type, d.dev, d.cnt, tot.n,
+                  sum(d.cnt) OVER (PARTITION BY d.event_type
+                                   ORDER BY d.dev
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+           FROM dev d JOIN tot USING (event_type)),
+    mad AS (SELECT event_type, min(dev) AS mad_cents FROM dc
+            WHERE cum * 2 >= n + (n % 2) GROUP BY 1),
+    outl AS (SELECT d.event_type,
+                    CAST(sum(CASE WHEN d.dev > 5 * ma.mad_cents
+                                  THEN d.cnt ELSE 0 END) AS BIGINT)
+                      AS n_outliers
+             FROM dev d JOIN mad ma USING (event_type) GROUP BY 1)
+    SELECT t.event_type, t.n,
+           CAST(m.med_cents AS BIGINT) AS median_cents,
+           CAST(ma.mad_cents AS BIGINT) AS mad_cents,
+           o.n_outliers,
+           CAST((1000 * o.n_outliers) // t.n AS BIGINT) AS outlier_permille
+    FROM tot t JOIN med m USING (event_type)
+               JOIN mad ma USING (event_type)
+               JOIN outl o USING (event_type)
+    """,
+    "quality", "monitoring", "robust", "bench",
+)
+def q_value_mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier report (X179): per event type the exact
+    (cents-quantized) median, the median absolute deviation, and the
+    count of rows beyond 5 MADs — the heavy-tail-proof complement to
+    the z-score monitor (a single extreme value drags mean AND stddev;
+    it cannot move a median). Both medians are integer histogram
+    SELECTIONS, so the oracle is bit-exact with zero float folds.
+    See pipeline/behavior.py:mad_outlier_report for the scale shape
+    (one corpus scan into a domain-bounded histogram; the deviation
+    histogram is a re-key of that same frame, never a second scan)."""
+    from flink_scala_spark.pipeline.behavior import mad_outlier_report
+
+    return mad_outlier_report(_events(spark, sf_dir), k_mad=5)
 
 
 @register(

@@ -252,6 +252,8 @@ SINGLE_PARTITION_WINDOW_OK = {
     "bitext_mining_ann",
     # totals window over the FIXED 10-row bin table, never the corpus
     "distribution_drift_report",
+    # pool-index row_number over the fixed 64-row TakeOrdered pool
+    "negative_pool_sampler",
 }
 
 # Every BroadcastNestedLoopJoin must be an INTENDED broadcast cross:

@@ -1,7 +1,7 @@
-"""8x replication stress harness for duplication-rich load.
+"""Nx replication stress harness for duplication-rich load (default 8x).
 
 Builds a synthetic sf dir whose ``documents`` / ``events`` tables are
-the source tables unioned 8x with shifted ids (texts/timestamps kept
+the source tables unioned N times with shifted ids (texts/timestamps kept
 IDENTICAL, so every row gains 7 clones — the worst case for dedup
 state and candidate-pair growth), then times the requested catalog
 queries against it. This is the same treatment every earlier heavy
@@ -9,6 +9,10 @@ family got (BASELINE.md stress entries); persisting the harness keeps
 future rounds from re-deriving it.
 
     python tools/stress_replicate.py <src_sf_dir> <query> [query ...]
+
+Set STRESS_REPLICAS to override the replication factor (round 9 runs
+the dedup/ANN family at 64x to expose bucket-population blowups an 8x
+run hides).
 """
 
 from __future__ import annotations
@@ -22,7 +26,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-REPLICAS = 8
+REPLICAS = int(os.environ.get("STRESS_REPLICAS", "8"))
 #: id shifts keep replicas in DISTINCT replay buckets so streaming
 #: state carries clone signatures across microbatches.
 DOC_SHIFT = 1_000_000
@@ -48,7 +52,7 @@ def build_stress_dir(spark, src_sf_dir: str) -> str:
 
     from flink_scala_spark import tables
 
-    out = tempfile.mkdtemp(prefix="stress8x_")
+    out = tempfile.mkdtemp(prefix=f"stress{REPLICAS}x_")
     docs = tables.load(spark, src_sf_dir, "documents")
     reps = [
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * DOC_SHIFT))
@@ -142,8 +146,12 @@ def main() -> int:
     from flink_scala_spark.queries.catalog import QUERIES
     from flink_scala_spark.session import get_spark
 
-    spark = get_spark("stress8x")
-    stress = build_stress_dir(spark, src)
+    spark = get_spark(f"stress{REPLICAS}x")
+    # STRESS_DIR reuses a prebuilt dir (one query per JVM for the 64x
+    # probes — a task OOM then kills one measurement, not the sweep);
+    # STRESS_KEEP=1 leaves the dir behind for that reuse.
+    stress = os.environ.get("STRESS_DIR") or build_stress_dir(spark, src)
+    keep = bool(os.environ.get("STRESS_DIR") or os.environ.get("STRESS_KEEP"))
     print(f"stress dir: {stress}")
     try:
         for name in names:
@@ -156,11 +164,13 @@ def main() -> int:
             t2 = time.time()
             print(
                 f"{name}: 1x {t1-t0:.2f}s ({n1} rows) -> "
-                f"8x {t2-t1:.2f}s ({n8} rows), wall x{(t2-t1)/max(t1-t0,1e-9):.1f}, "
+                f"{REPLICAS}x {t2-t1:.2f}s ({n8} rows), "
+                f"wall x{(t2-t1)/max(t1-t0,1e-9):.1f}, "
                 f"rows x{n8/max(n1,1):.1f}"
             )
     finally:
-        shutil.rmtree(stress, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(stress, ignore_errors=True)
     return 0
 
 

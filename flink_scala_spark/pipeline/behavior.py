@@ -236,8 +236,6 @@ def mad_outlier_report(events: DataFrame, k_mad: int = 5) -> DataFrame:
     ``Window.partitionBy(type).orderBy(value)`` median funnels every
     row of a type through one task — dead at 100 TB; this shape's only
     corpus-sized stage is the initial agg."""
-    from pyspark.sql import Window
-
     h = (
         events.where(F.col("value").isNotNull())
         .select(
@@ -247,41 +245,51 @@ def mad_outlier_report(events: DataFrame, k_mad: int = 5) -> DataFrame:
         .groupBy("event_type", "cents")
         .agg(F.count("*").alias("cnt"))
     )
-    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
-    # lower median: smallest cents with running count >= ceil(n/2);
-    # windows run over the HISTOGRAM (bounded by the value domain)
-    wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+    return mad_report_from_histogram(h, "event_type", k_mad=k_mad)
+
+
+def mad_report_from_histogram(h: DataFrame, key: str, k_mad: int = 5) -> DataFrame:
+    """MAD selection arithmetic on an already-built integer histogram
+    ``(key, cents, cnt)`` — shared by the batch per-type report and the
+    streaming per-closed-day twin so the two can never diverge. Every
+    window below runs over the HISTOGRAM partitioned by ``key`` (rows
+    bounded by the value domain, never the corpus)."""
+    from pyspark.sql import Window
+
+    tot = h.groupBy(key).agg(F.sum("cnt").alias("n"))
+    # lower median: smallest cents with running count >= ceil(n/2)
+    wc = Window.partitionBy(key).orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    hc = h.withColumn("cum", F.sum("cnt").over(wc)).join(tot, "event_type")
+    hc = h.withColumn("cum", F.sum("cnt").over(wc)).join(tot, key)
     med = (
         hc.where(F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2))
-        .groupBy("event_type")
+        .groupBy(key)
         .agg(F.min("cents").alias("med_cents"))
     )
     dev = (
-        h.join(med, "event_type")
+        h.join(med, key)
         .select(
-            "event_type",
+            key,
             F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
             "cnt",
         )
-        .groupBy("event_type", "dev")
+        .groupBy(key, "dev")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    wd = Window.partitionBy("event_type").orderBy("dev").rowsBetween(
+    wd = Window.partitionBy(key).orderBy("dev").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    dc = dev.withColumn("cum", F.sum("cnt").over(wd)).join(tot, "event_type")
+    dc = dev.withColumn("cum", F.sum("cnt").over(wd)).join(tot, key)
     mad = (
         dc.where(F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2))
-        .groupBy("event_type")
+        .groupBy(key)
         .agg(F.min("dev").alias("mad_cents"))
     )
     out = (
-        dev.join(med, "event_type")
-        .join(mad, "event_type")
-        .groupBy("event_type")
+        dev.join(med, key)
+        .join(mad, key)
+        .groupBy(key)
         .agg(
             F.sum(
                 F.when(F.col("dev") > F.lit(int(k_mad)) * F.col("mad_cents"), F.col("cnt"))
@@ -290,11 +298,11 @@ def mad_outlier_report(events: DataFrame, k_mad: int = 5) -> DataFrame:
         )
     )
     return (
-        tot.join(med, "event_type")
-        .join(mad, "event_type")
-        .join(out, "event_type")
+        tot.join(med, key)
+        .join(mad, key)
+        .join(out, key)
         .select(
-            "event_type",
+            key,
             F.col("n").cast("long").alias("n"),
             F.col("med_cents").cast("long").alias("median_cents"),
             F.col("mad_cents").cast("long").alias("mad_cents"),

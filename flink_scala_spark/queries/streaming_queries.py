@@ -1958,6 +1958,79 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_value_mad_daily",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    ),
+    e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                     AS day_start,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL),
+    h AS (SELECT day_start, cents, CAST(count(*) AS BIGINT) AS cnt
+          FROM e, wm WHERE day_start + 86400 <= w GROUP BY 1, 2),
+    tot AS (SELECT day_start, CAST(sum(cnt) AS BIGINT) AS n
+            FROM h GROUP BY 1),
+    hc AS (SELECT h.day_start, h.cents, h.cnt, tot.n,
+                  sum(h.cnt) OVER (PARTITION BY h.day_start ORDER BY h.cents
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h JOIN tot USING (day_start)),
+    med AS (SELECT day_start, min(cents) AS med_cents FROM hc
+            WHERE cum * 2 >= n + (n % 2) GROUP BY 1),
+    dev AS (SELECT h.day_start, abs(h.cents - m.med_cents) AS dev,
+                   CAST(sum(h.cnt) AS BIGINT) AS cnt
+            FROM h JOIN med m USING (day_start) GROUP BY 1, 2),
+    dc AS (SELECT d.day_start, d.dev, d.cnt, tot.n,
+                  sum(d.cnt) OVER (PARTITION BY d.day_start ORDER BY d.dev
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+           FROM dev d JOIN tot USING (day_start)),
+    mad AS (SELECT day_start, min(dev) AS mad_cents FROM dc
+            WHERE cum * 2 >= n + (n % 2) GROUP BY 1),
+    outl AS (SELECT d.day_start,
+                    CAST(sum(CASE WHEN d.dev > 5 * ma.mad_cents
+                                  THEN d.cnt ELSE 0 END) AS BIGINT)
+                      AS n_outliers
+             FROM dev d JOIN mad ma USING (day_start) GROUP BY 1)
+    SELECT t.day_start, t.n,
+           CAST(m.med_cents AS BIGINT) AS median_cents,
+           CAST(ma.mad_cents AS BIGINT) AS mad_cents,
+           o.n_outliers,
+           CAST((1000 * o.n_outliers) // t.n AS BIGINT) AS outlier_permille
+    FROM tot t JOIN med m USING (day_start)
+               JOIN mad ma USING (day_start)
+               JOIN outl o USING (day_start)
+    """,
+    "streaming", "quality", "monitoring", "robust",
+)
+def q_streaming_value_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`value_mad_outlier_report`'s live twin (X183): per CLOSED event
+    day (same watermark rule as the drift monitor), the day's exact
+    quantized median, MAD, and >5-MAD outlier count — robust
+    distribution monitoring as a continuous query.
+
+    Streaming state is ONE windowed count per (day, cents) — bounded by
+    the value DOMAIN per day, not the row count (pin: exactly one
+    StateStoreSave); the selection arithmetic runs post-stream on the
+    already-closed histogram via the SAME
+    behavior.mad_report_from_histogram kernel as the batch report, so
+    the two monitors cannot diverge."""
+    from flink_scala_spark.pipeline.behavior import mad_report_from_histogram
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .select("ts", F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"), "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = run_bounded(daily, "append").select(
+        F.col("window.start").cast("long").alias("day_start"), "cents", "cnt"
+    )
+    return mad_report_from_histogram(out, "day_start", k_mad=5)
+
+
+@register(
     "streaming_drift_report",
     """
     WITH wm AS (

@@ -113,6 +113,8 @@ HEADLINE = [
     "negative_pool_sampler",
     "sequence_packing_bins",
     "lang_mismatch_audit",
+    "value_percentile_rank",
+    "value_winsorized_stats",
 ]
 
 

@@ -314,3 +314,110 @@ def mad_report_from_histogram(h: DataFrame, key: str, k_mad: int = 5) -> DataFra
             ),
         )
     )
+
+
+def value_percentile_ranks(events: DataFrame) -> DataFrame:
+    """Per-event permille rank of ``value`` within its event type —
+    rank-based feature normalization (the quantile-normalization prep
+    step) computed WITHOUT any per-type sort of the corpus: ranks come
+    from the cents-histogram CDF (strictly-below count), joined back to
+    the rows on (type, cents). permille = (1000 * below) DIV n —
+    integer-exact.
+
+    Scale: one hash-agg histogram (domain-bounded), one join of the
+    corpus against that small frame (AQE broadcasts it), zero sorts of
+    corpus-sized data — versus the textbook percent_rank() window that
+    funnels each type through one task."""
+    from pyspark.sql import Window
+
+    ev = events.where(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    h = ev.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
+    wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hc = h.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "below", F.col("cum") - F.col("cnt")
+    )
+    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    cdf = hc.join(tot, "event_type").select(
+        "event_type", "cents", F.expr("(1000 * below) DIV n").alias("permille")
+    )
+    return ev.join(cdf, ["event_type", "cents"]).select(
+        "event_id", "event_type", "value", F.col("permille").cast("long").alias("permille")
+    )
+
+
+def value_winsorized_stats(events: DataFrame) -> DataFrame:
+    """Per-type winsorized (5%/95%-clamped) robust statistics: the
+    exact quantile bounds come from the same integer histogram
+    SELECTION as the MAD report (p05 = smallest cents whose cumulative
+    count reaches ceil(n/20), p95 at ceil(19n/20)), and the winsorized
+    sum/mean fold over the HISTOGRAM with clamped cents — the corpus is
+    scanned once, nothing corpus-sized is sorted or re-scanned. All
+    outputs integer-exact."""
+    from pyspark.sql import Window
+
+    h = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hc = h.withColumn("cum", F.sum("cnt").over(wc)).join(tot, "event_type")
+    p05 = (
+        hc.where(F.col("cum") >= F.expr("(n + 19) DIV 20"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("p05_cents"))
+    )
+    p95 = (
+        hc.where(F.col("cum") >= F.expr("(19 * n + 19) DIV 20"))
+        .groupBy("event_type")
+        .agg(F.min("cents").alias("p95_cents"))
+    )
+    wins = (
+        h.join(p05, "event_type")
+        .join(p95, "event_type")
+        .select(
+            "event_type",
+            (
+                F.greatest(
+                    F.least(F.col("cents"), F.col("p95_cents")),
+                    F.col("p05_cents"),
+                )
+                * F.col("cnt")
+            ).alias("wsum"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("wsum").alias("winsorized_sum_cents"))
+    )
+    return (
+        tot.join(p05, "event_type")
+        .join(p95, "event_type")
+        .join(wins, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("p05_cents").cast("long").alias("p05_cents"),
+            F.col("p95_cents").cast("long").alias("p95_cents"),
+            F.col("winsorized_sum_cents").cast("long").alias("winsorized_sum_cents"),
+            # one double division of two exact integers — identical
+            # IEEE result in any engine (integer DIV would diverge on
+            # negative sums: Spark truncates, DuckDB floors)
+            (
+                F.col("winsorized_sum_cents").cast("double")
+                / F.col("n").cast("double")
+            ).alias("winsorized_mean_cents"),
+        )
+    )

@@ -4564,6 +4564,91 @@ def q_value_mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_percentile_rank",
+    """
+    WITH ev AS (
+        SELECT event_id, event_type, value,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+          FROM ev GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+            FROM h GROUP BY 1),
+    cdf AS (SELECT h.event_type, h.cents,
+                   sum(h.cnt) OVER (PARTITION BY h.event_type
+                                    ORDER BY h.cents
+                                    ROWS UNBOUNDED PRECEDING) - h.cnt
+                     AS below
+            FROM h)
+    SELECT ev.event_id, ev.event_type, ev.value,
+           CAST((1000 * c.below) // t.n AS BIGINT) AS permille
+    FROM ev JOIN cdf c ON c.event_type = ev.event_type
+                      AND c.cents = ev.cents
+            JOIN tot t ON t.event_type = ev.event_type
+    """,
+    "quality", "normalization", "bench",
+)
+def q_value_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization (X184): each event's permille
+    rank within its type, from the cents-histogram CDF — no per-type
+    sort of the corpus (percent_rank() over a type partition funnels
+    the whole type through one task; the histogram join scales).
+    See pipeline/behavior.py:value_percentile_ranks."""
+    from flink_scala_spark.pipeline.behavior import value_percentile_ranks
+
+    return value_percentile_ranks(_events(spark, sf_dir))
+
+
+@register(
+    "value_winsorized_stats",
+    """
+    WITH h AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+            FROM h GROUP BY 1),
+    hc AS (SELECT h.event_type, h.cents, h.cnt, tot.n,
+                  sum(h.cnt) OVER (PARTITION BY h.event_type
+                                   ORDER BY h.cents
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h JOIN tot USING (event_type)),
+    p05 AS (SELECT event_type, min(cents) AS p05_cents FROM hc
+            WHERE cum >= (n + 19) // 20 GROUP BY 1),
+    p95 AS (SELECT event_type, min(cents) AS p95_cents FROM hc
+            WHERE cum >= (19 * n + 19) // 20 GROUP BY 1),
+    wins AS (SELECT h.event_type,
+                    CAST(sum(greatest(least(h.cents, b.p95_cents),
+                                      a.p05_cents) * h.cnt) AS BIGINT)
+                      AS winsorized_sum_cents
+             FROM h JOIN p05 a USING (event_type)
+                    JOIN p95 b USING (event_type)
+             GROUP BY 1)
+    SELECT t.event_type, t.n, a.p05_cents, b.p95_cents,
+           w.winsorized_sum_cents,
+           CAST(w.winsorized_sum_cents AS DOUBLE) / CAST(t.n AS DOUBLE)
+             AS winsorized_mean_cents
+    FROM tot t JOIN p05 a USING (event_type)
+               JOIN p95 b USING (event_type)
+               JOIN wins w USING (event_type)
+    """,
+    "quality", "robust", "bench",
+)
+def q_value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics (X185): per type, exact p05/p95
+    cents bounds (histogram selection, ceil(n/20) / ceil(19n/20)) and
+    the 5%-clamped sum/mean — the trimmed complement to the MAD
+    monitor; the fold runs over the HISTOGRAM with clamped cents, never
+    a second corpus pass. See
+    pipeline/behavior.py:value_winsorized_stats."""
+    from flink_scala_spark.pipeline.behavior import value_winsorized_stats
+
+    return value_winsorized_stats(_events(spark, sf_dir))
+
+
+@register(
     "schema_evolution_roundtrip",
     """
     WITH u AS (

@@ -231,22 +231,30 @@ def candidate_pairs_from_bands(band_table: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
 
     Bucket-local combination generation: one groupBy collects each
-    bucket's (sorted, tiny) doc list, pairs come from a row-local
-    nested transform — the band subtree is computed ONCE, vs twice
-    for a self-join, and no join shuffle is needed at all.
+    bucket's (sorted) doc list, pairs come from TWO cascaded explodes —
+    the band subtree is computed ONCE, vs twice for a self-join, and no
+    join shuffle is needed at all.
+
+    The two-step explode is load-bearing (round-9 64x stress): a single
+    ``flatten(transform(...))`` materializes the WHOLE O(k^2) pair
+    array of a bucket in ONE row — under heavy duplication (k = clone
+    count x natural collisions) that one allocation GC-spiraled the
+    executor. Exploding the anchor first keeps every row O(k): same
+    total work, streamed instead of materialized.
     """
     buckets = (
         band_table.groupBy("band", "key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    pairs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    anchors = buckets.select(
+        "ids", F.posexplode("ids").alias("i", "doc_a")
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        anchors.select(
+            "doc_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -268,7 +276,11 @@ def verified_jaccard(cand: DataFrame, shingles: DataFrame, threshold: float) -> 
     b = doc_sets.select(
         F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"), F.col("n").alias("nb")
     )
-    paired = F.broadcast(cand).join(a, "doc_a").join(b, "doc_b")
+    # no broadcast hint: the candidate frame scales with duplication
+    # density (the 64x stress measured 11M pairs), so AQE's size
+    # check decides — broadcast while genuinely small, shuffle join
+    # when the corpus is clone-heavy
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
     scored = paired.withColumn(
         "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
     ).withColumn(
@@ -304,7 +316,11 @@ def _minhash_pairs(
         F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"),
         F.col("n").cast("long").alias("nb"),
     )
-    paired = F.broadcast(cand).join(a, "doc_a").join(b, "doc_b")
+    # no broadcast hint: the candidate frame scales with duplication
+    # density (the 64x stress measured 11M pairs), so AQE's size
+    # check decides — broadcast while genuinely small, shuffle join
+    # when the corpus is clone-heavy
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
     scored = paired.withColumn(
         "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
     ).withColumn(
@@ -519,15 +535,24 @@ def simhash_near_dup(
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("items"))
         .where(F.size("items") > 1)
     )
-    pairs_expr = F.expr(
-        "flatten(transform(items, (x, i) -> "
-        "transform(slice(items, i + 2, size(items)), "
-        "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-        "x.simhash AS sim_a, y.simhash AS sim_b))))"
+    # two cascaded explodes, one row per anchor then per partner — NOT
+    # a single flatten(transform(...)) pair array, whose O(k^2)
+    # one-row allocation GC-spiraled on heavily-duplicated buckets
+    # (round-9 64x stress; see candidate_pairs_from_bands)
+    anchors = buckets.select(
+        "items", F.posexplode("items").alias("i", "a")
     )
     pairs = (
-        buckets.select(F.explode(pairs_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
+        anchors.select(
+            "a",
+            F.explode(F.expr("slice(items, i + 2, size(items))")).alias("b"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
         .distinct()
     )
     return (
@@ -688,7 +713,9 @@ def incremental_near_dup(
         F.col("doc_id").alias("corpus_id"), F.col("shset").alias("set_b"),
         F.col("n").cast("long").alias("nb"),
     )
-    paired = F.broadcast(cand).join(a, "new_id").join(b, "corpus_id")
+    # unhinted for the same reason as verified_jaccard: candidate
+    # volume scales with duplication density, AQE decides
+    paired = cand.join(a, "new_id").join(b, "corpus_id")
     scored = paired.withColumn(
         "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
     ).withColumn(
@@ -791,7 +818,11 @@ def containment_pairs(
         F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"),
         F.col("n").cast("long").alias("nb"),
     )
-    paired = F.broadcast(cand).join(a, "doc_a").join(b, "doc_b")
+    # no broadcast hint: the candidate frame scales with duplication
+    # density (the 64x stress measured 11M pairs), so AQE's size
+    # check decides — broadcast while genuinely small, shuffle join
+    # when the corpus is clone-heavy
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
     scored = paired.withColumn(
         "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
     ).select(

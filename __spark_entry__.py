@@ -30,79 +30,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-8 rotation: (a) the nine entries with NO driver row ever (this
-# round's additions: weighted_corpus_sample, mmr_rerank,
-# distribution_drift_report, bloom_semi_join, pareto_frontier,
-# revenue_grouping_sets, schema_evolution_roundtrip,
-# streaming_drift_report, sketch_set_cardinality);
-# (b) the four remaining round-3-evidence rows (the named survivors of
-# the r7 rotation: copurchase_pairs, small_quantity_part_revenue,
-# idle_high_balance_customers, sole_late_supplier_waits);
-# (c) the 37 stalest of the 47 remaining round-4 rows. After this round
-# every entry except ten r4-era relational shapes (local_supplier_volume,
-# bracketed_revenue, forecast_revenue_change, ship_latency_priority_counts,
-# nation_market_share, range_join_binned, revenue_cube, nation_trade_flow,
-# value_deciles, dataset_split_leakage_safe — round-9's rotation head) has
-# >= round-5 gate evidence. No existing entry's output changed this
-# round (the round-8 code changes are guards/cache/publish-path
-# hardening), so no forced re-entries. Everything below slot 50 stays
-# oracle-checked at sf0.001 on every pytest run
+# Round-9 rotation: (a) the eight round-9 additions (no driver row
+# yet); (b) the ten r4-era survivors earmarked by the round-8 verdict
+# (after this round every entry has >= round-5 gate evidence); (c) the
+# plan-changed queries with pre-round-8 evidence — five of the
+# fourteen de-hinted broadcast queries (the other nine have r8 rows or
+# sit in (b)), streaming_trigger_fire_purge (re-bucketed replay), and
+# dedup_minhash_lsh/dedup_simhash (pair-enumeration rewrite); outputs
+# of all of these are verified unchanged, so these are gate re-proofs,
+# not forced re-entries; (d) 24 of the 47 remaining round-5 rows
+# (alphabetical; the other 23 are round-10's head). Everything below
+# slot 50 stays oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
 _PRIORITY = [
-    # (a) no driver row yet
-    "weighted_corpus_sample",
-    "mmr_rerank",
-    "distribution_drift_report",
-    "bloom_semi_join",
-    "pareto_frontier",
-    "revenue_grouping_sets",
-    "schema_evolution_roundtrip",
-    "streaming_drift_report",
-    "sketch_set_cardinality",
-    # (b) last round-3-evidence rows
-    "copurchase_pairs",
-    "small_quantity_part_revenue",
-    "idle_high_balance_customers",
-    "sole_late_supplier_waits",
-    # (c) the 37 stalest round-4 rows
-    "order_dashboard_total",
-    "shipping_priority_topk",
-    "scd2_history",
-    "temporal_join_scd2",
-    "cdc_apply_changelog",
-    "events_variant_props",
-    "events_type_unpivot",
-    "streaming_delta_alarm",
-    "streaming_static_enrichment",
-    "streaming_dedup_within_watermark",
-    "streaming_windowed_topk",
-    "streaming_interval_join_outer",
-    "streaming_cms_heavy_hitters",
-    "streaming_cdc_apply",
-    "streaming_chained_windows",
-    "streaming_interval_join_full_outer",
-    "streaming_dedup_then_window",
-    "streaming_join_then_window",
-    "text_token_stats",
-    "text_lang_id",
-    "text_quality",
-    "text_fingerprint",
-    "pii_scrub",
-    "approx_ndv_hll",
-    "decontamination_bloom",
-    "sample_events_per_type",
-    "ann_pq_topk",
-    "udtf_bigram_topk",
-    "udaf_second_largest",
-    "corpus_curation_pipeline",
-    "dedup_triangles",
-    "semantic_dedup",
-    "text_rare_token_novelty",
-    "dedup_clusters_star",
-    "bm25_search",
-    "entity_clusters",
-    "approx_quantiles_certified",
+    # (a) round-9 additions, no driver row yet
+    "dedup_substring_scrub",
+    "value_mad_outlier_report",
+    "negative_pool_sampler",
+    "sequence_packing_bins",
+    "lang_mismatch_audit",
+    "streaming_value_mad_daily",
+    "value_percentile_rank",
+    "value_winsorized_stats",
+    # (b) the ten r4-era survivors
+    "bracketed_revenue",
+    "dataset_split_leakage_safe",
+    "forecast_revenue_change",
+    "local_supplier_volume",
+    "nation_market_share",
+    "nation_trade_flow",
+    "range_join_binned",
+    "revenue_cube",
+    "ship_latency_priority_counts",
+    "value_deciles",
+    # (c) plan-changed with pre-r8 evidence
+    "revenue_by_region_parttype",
+    "min_cost_supplier_per_part",
+    "promo_revenue_share",
+    "returned_revenue_top_customers",
+    "part_supplier_diversity",
+    "streaming_trigger_fire_purge",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # (d) 24 stalest round-5 rows (alphabetical)
+    "ann_ivf_index_incremental",
+    "ann_pq_refined",
+    "arg_min_row",
+    "bitext_mining_lsh",
+    "bitext_mining_margin",
+    "compaction_roundtrip",
+    "connect_co_map",
+    "corpus_budget_sampler",
+    "corpus_token_budget",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "event_value_quantiles",
+    "events_json_props",
+    "events_type_pivot",
+    "filter_threshold",
+    "hybrid_retrieval_rrf",
+    "incremental_agg_maintenance",
+    "keyed_sum",
+    "keyed_sum_salted",
+    "latest_event_per_key",
+    "length_outliers",
+    "lineitem_pricing_summary",
+    "multimodal_features",
+    "ngram_lm_score",
 ]
 
 

@@ -214,6 +214,22 @@ def distribution_drift(
     )
 
 
+def _cents_histogram(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """The repo-wide integer-cents value histogram ``(key, cents, cnt)``
+    — ONE corpus scan, map-side-combinable, NULL values excluded.
+    Single source of truth for every histogram-selection statistic
+    below (MAD, percentile ranks, winsorized bounds)."""
+    return (
+        events.where(F.col("value").isNotNull())
+        .select(
+            key,
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy(key, "cents")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def mad_outlier_report(events: DataFrame, k_mad: int = 5) -> DataFrame:
     """Robust per-type outlier report: exact (quantized) median, median
     absolute deviation, and the count of rows deviating more than
@@ -236,16 +252,9 @@ def mad_outlier_report(events: DataFrame, k_mad: int = 5) -> DataFrame:
     ``Window.partitionBy(type).orderBy(value)`` median funnels every
     row of a type through one task — dead at 100 TB; this shape's only
     corpus-sized stage is the initial agg."""
-    h = (
-        events.where(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("event_type", "cents")
-        .agg(F.count("*").alias("cnt"))
+    return mad_report_from_histogram(
+        _cents_histogram(events), "event_type", k_mad=k_mad
     )
-    return mad_report_from_histogram(h, "event_type", k_mad=k_mad)
 
 
 def mad_report_from_histogram(h: DataFrame, key: str, k_mad: int = 5) -> DataFrame:
@@ -287,8 +296,7 @@ def mad_report_from_histogram(h: DataFrame, key: str, k_mad: int = 5) -> DataFra
         .agg(F.min("dev").alias("mad_cents"))
     )
     out = (
-        dev.join(med, key)
-        .join(mad, key)
+        dev.join(mad, key)
         .groupBy(key)
         .agg(
             F.sum(
@@ -336,6 +344,9 @@ def value_percentile_ranks(events: DataFrame) -> DataFrame:
         "value",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # histogram derives from ev (not _cents_histogram) so the per-row
+    # frame and its histogram share one scan lineage; the cents
+    # convention stays identical by construction (same floor(x*100))
     h = ev.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
     wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -362,15 +373,7 @@ def value_winsorized_stats(events: DataFrame) -> DataFrame:
     outputs integer-exact."""
     from pyspark.sql import Window
 
-    h = (
-        events.where(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("event_type", "cents")
-        .agg(F.count("*").alias("cnt"))
-    )
+    h = _cents_histogram(events)
     tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
     wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -443,66 +443,3 @@ def kmv_set_cardinality(
         j_est.alias("kmv_jaccard"),
         (j_est * u_est).alias("kmv_intersection"),
     )
-
-
-def sequence_packing_bins(
-    docs,
-    context_tokens: int = 256,
-    n_shards: int = 16,
-    text_col: str = "text",
-) -> "DataFrame":
-    """Concat-and-chunk sequence packing report — the GPT-style
-    pretraining prep: within each shard, documents concatenate in
-    doc_id order and split into fixed ``context_tokens`` windows; each
-    doc lands in the bin its FIRST token falls in. Reports, per
-    (shard, bin): docs starting there, their token mass, and how many
-    straddle into the next window (the straddler rate is the knob that
-    decides between plain chunking and best-fit packing).
-
-    Scale: sharding IS the parallelism — the one running-sum window is
-    partitioned by shard (shard count scales with the cluster; the
-    16 here is a fixture constant), tokens count from one split per
-    row, and the report aggregates map-side to the (shard, bin) key
-    space. Nothing global, no driver state."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    b = int(context_tokens)
-    base = docs.where(
-        F.col(text_col).isNotNull() & (F.col(text_col) != "")
-    ).select(
-        "doc_id",
-        (F.col("doc_id") % F.lit(int(n_shards))).alias("shard"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("tok"),
-    )
-    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    placed = base.withColumn("cum", F.sum("tok").over(w)).select(
-        "shard",
-        "tok",
-        (F.col("cum") - F.col("tok")).alias("start"),
-    )
-    return (
-        placed.select(
-            "shard",
-            # integer DIV (start and b are longs) — no float round-trip
-            F.expr(f"start DIV {b}").cast("long").alias("bin"),
-            "tok",
-            ((F.col("start") % F.lit(b)) + F.col("tok") > F.lit(b)).alias(
-                "straddles"
-            ),
-        )
-        .groupBy("shard", "bin")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("tok").cast("long").alias("bin_tokens"),
-            F.sum(F.when(F.col("straddles"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_straddling"),
-        )
-        .select(
-            F.col("shard").cast("long").alias("shard"),
-            "bin", "n_docs", "bin_tokens", "n_straddling",
-        )
-    )

@@ -144,7 +144,12 @@ def _collect_matrix_guarded(df: DataFrame, id_col: str, vec_col: str, name: str)
     means the lineage executes exactly once — the guard decision and
     the matrix come from the same rows. Refusal happens BEFORE the
     matrix is stacked, so an over-bound reference costs one bounded
-    collect, never a driver OOM."""
+    collect, never a driver OOM. (Deliberate trade, per the round-8
+    advice: the refusal path collects bound+1 rows of VECTORS — one row
+    more than any ACCEPTED max-size reference already collects, so
+    MAX_REFERENCE_ROWS is sized for exactly this; a cheap ids-only
+    probe would re-execute the reference lineage for the matrix, the
+    double cost this helper exists to remove.)"""
     import numpy as np
 
     from flink_scala_spark.pipeline import guards
@@ -1903,6 +1908,12 @@ def negative_pool_sample(
     pidx = pool.select(
         "neg_id", "neg_label", (F.row_number().over(w) - F.lit(1)).alias("idx")
     )
+    # modulus = the ACTUAL pool row count, not pool_size: a corpus
+    # smaller than pool_size under-fills the pool, and a fixed modulus
+    # would silently drop every (query, slot) hashing past the end —
+    # violating the flagged-never-silently-dropped contract (round-9
+    # review, verified on a 10-row corpus). The 1-row count broadcasts.
+    pn = pidx.agg((F.max("idx") + F.lit(1)).alias("pool_n"))
     q = embeddings.where(query_predicate).select(
         F.col(id_col).alias("query_id"), F.col(label_col).alias("q_label")
     )
@@ -1911,7 +1922,7 @@ def negative_pool_sample(
         "q_label",
         F.explode(F.sequence(F.lit(0), F.lit(int(k_slots) - 1))).alias("slot"),
     )
-    qi = qs.withColumn(
+    qi = qs.join(F.broadcast(pn)).withColumn(
         "idx",
         h60(
             F.concat(
@@ -1920,7 +1931,7 @@ def negative_pool_sample(
                 F.col("slot").cast("string"),
             )
         )
-        % F.lit(int(pool_size)),
+        % F.col("pool_n"),
     )
     return qi.join(F.broadcast(pidx), "idx").select(
         "query_id",

@@ -44,23 +44,35 @@ def _hits(text_col: str, lang: str):
     return F.size(F.filter(_words(text_col), lambda w: w.isin(*ws)))
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID with deterministic tie-breaking."""
+def _lang_pred(text_col: str):
+    """The stopword-vote language prediction expression — ONE source of
+    truth for the detector (:func:`lang_id`) and every consumer that
+    re-derives it (:func:`lang_metadata_audit`), so a tie-break tweak
+    can never desynchronize them. NULL text abstains ('und'): with NULL
+    hits every comparison is NULL and the raw CASE would fall through
+    to a confident 'de' — in BOTH engines, so only an explicit guard
+    keeps missing text out of the confident buckets."""
     en, es, fr, de = (_hits(text_col, lg) for lg in ("en", "es", "fr", "de"))
-    pred = (
-        F.when((en == 0) & (es == 0) & (fr == 0) & (de == 0), "und")
+    return (
+        F.when(F.col(text_col).isNull(), "und")
+        .when((en == 0) & (es == 0) & (fr == 0) & (de == 0), "und")
         .when((en >= es) & (en >= fr) & (en >= de), "en")
         .when((es >= fr) & (es >= de), "es")
         .when(fr >= de, "fr")
         .otherwise("de")
     )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-breaking."""
+    en, es, fr, de = (_hits(text_col, lg) for lg in ("en", "es", "fr", "de"))
     return docs.select(
         "doc_id",
         en.alias("en_hits"),
         es.alias("es_hits"),
         fr.alias("fr_hits"),
         de.alias("de_hits"),
-        pred.alias("lang_pred"),
+        _lang_pred(text_col).alias("lang_pred"),
     )
 
 
@@ -1142,21 +1154,28 @@ def lang_metadata_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
     labels can be trusted before they route docs into per-language
     training mixtures.
 
+    The three categories PARTITION n_docs (n_agree + n_und + n_mismatch
+    = n_docs): agree means pred = lang (an 'und'-tagged doc the
+    detector also abstains on counts as agreement, not twice), n_und is
+    an abstention on a non-'und' tag, n_mismatch is a CONFIDENT
+    contradiction. NULL text predicts 'und' (see :func:`_lang_pred`)
+    and counts 0 tokens, so missing text can never surface as a
+    confident mismatch or a negative token sum.
+
     Scale: single corpus scan (declared tag, vote, and token count all
     come from the same row — no join against a detector output), then
     one map-side-combinable agg onto the tiny language key space."""
-    en, es, fr, de = (_hits(text_col, lg) for lg in ("en", "es", "fr", "de"))
-    pred = (
-        F.when((en == 0) & (es == 0) & (fr == 0) & (de == 0), "und")
-        .when((en >= es) & (en >= fr) & (en >= de), "en")
-        .when((es >= fr) & (es >= de), "es")
-        .when(fr >= de, "fr")
-        .otherwise("de")
-    )
     per = docs.select(
-        F.col("lang"),
-        pred.alias("pred"),
-        F.size(_words(text_col)).cast("long").alias("tok"),
+        # a NULL tag groups as '' (an unknown tag a prediction can
+        # never equal), keeping the three-way partition total — NULL
+        # comparisons would otherwise count such docs in NO bucket
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        _lang_pred(text_col).alias("pred"),
+        # size(NULL) is -1 under non-ANSI Spark — branch explicitly
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(_words(text_col)))
+        .cast("long")
+        .alias("tok"),
     )
     return per.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -1164,7 +1183,11 @@ def lang_metadata_audit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.when(F.col("pred") == F.col("lang"), 1).otherwise(0))
         .cast("long")
         .alias("n_agree"),
-        F.sum(F.when(F.col("pred") == "und", 1).otherwise(0))
+        F.sum(
+            F.when(
+                (F.col("pred") == "und") & (F.col("lang") != "und"), 1
+            ).otherwise(0)
+        )
         .cast("long")
         .alias("n_und"),
         F.sum(

@@ -753,12 +753,13 @@ def _duck_hits(lang: str) -> str:
     "text_lang_id",
     f"""
     SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
-           CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+           CASE WHEN is_null THEN 'und'
+                WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
                 WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
                 WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
                 WHEN fr_hits >= de_hits THEN 'fr'
                 ELSE 'de' END AS lang_pred
-    FROM (SELECT doc_id,
+    FROM (SELECT doc_id, text IS NULL AS is_null,
                  CAST({_duck_hits('en')} AS INT) AS en_hits,
                  CAST({_duck_hits('es')} AS INT) AS es_hits,
                  CAST({_duck_hits('fr')} AS INT) AS fr_hits,
@@ -776,7 +777,8 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH per AS (
         SELECT lang,
-               CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0
+               CASE WHEN is_null THEN 'und'
+                    WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0
                          AND de_hits = 0 THEN 'und'
                     WHEN en_hits >= es_hits AND en_hits >= fr_hits
                          AND en_hits >= de_hits THEN 'en'
@@ -784,12 +786,14 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN fr_hits >= de_hits THEN 'fr'
                     ELSE 'de' END AS pred,
                tok
-        FROM (SELECT lang,
+        FROM (SELECT coalesce(lang, '') AS lang, text IS NULL AS is_null,
                      CAST({_duck_hits('en')} AS INT) AS en_hits,
                      CAST({_duck_hits('es')} AS INT) AS es_hits,
                      CAST({_duck_hits('fr')} AS INT) AS fr_hits,
                      CAST({_duck_hits('de')} AS INT) AS de_hits,
-                     CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                     CAST(CASE WHEN text IS NULL THEN 0
+                          ELSE len(string_split(text, ' ')) END AS BIGINT)
+                       AS tok
               FROM documents) t
     )
     SELECT lang,
@@ -797,8 +801,8 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(tok) AS BIGINT) AS n_tokens,
            CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
              AS n_agree,
-           CAST(sum(CASE WHEN pred = 'und' THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_und,
+           CAST(sum(CASE WHEN pred = 'und' AND lang <> 'und'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
            CAST(sum(CASE WHEN pred <> lang AND pred <> 'und'
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
     FROM per GROUP BY 1
@@ -1070,12 +1074,13 @@ def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH li AS (
         SELECT doc_id,
-               CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+               CASE WHEN is_null THEN 'und'
+                    WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
                     WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
                     WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
                     WHEN fr_hits >= de_hits THEN 'fr'
                     ELSE 'de' END AS lang_pred
-        FROM (SELECT doc_id,
+        FROM (SELECT doc_id, text IS NULL AS is_null,
                      {_duck_hits('en')} AS en_hits,
                      {_duck_hits('es')} AS es_hits,
                      {_duck_hits('fr')} AS fr_hits,
@@ -2128,7 +2133,8 @@ def q_udaf_second_largest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CURATION_LANG_CASE = """
-    CASE WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
+    CASE WHEN is_null THEN 'und'
+         WHEN en_hits = 0 AND es_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'und'
          WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
          WHEN es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
          WHEN fr_hits >= de_hits THEN 'fr'
@@ -2155,7 +2161,7 @@ _CURATION_LANG_CASE = """
                       AS is_exact_dup
            FROM documents),
     lg AS (SELECT doc_id, {_CURATION_LANG_CASE} AS lang_pred
-           FROM (SELECT doc_id,
+           FROM (SELECT doc_id, text IS NULL AS is_null,
                         {_duck_hits('en')} AS en_hits,
                         {_duck_hits('es')} AS es_hits,
                         {_duck_hits('fr')} AS fr_hits,
@@ -4370,38 +4376,58 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_packing_bins",
-    """
-    WITH base AS (
-        SELECT doc_id, doc_id % 16 AS shard,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
-        FROM documents WHERE text IS NOT NULL AND text <> ''
-    ),
-    placed AS (
-        SELECT shard, tok,
-               sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
-                              ROWS UNBOUNDED PRECEDING) - tok AS start
-        FROM base
-    )
-    SELECT CAST(shard AS BIGINT) AS shard,
-           CAST(start // 256 AS BIGINT) AS bin,
+    f"""
+    WITH base AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST({duck_h60("CAST(doc_id AS VARCHAR)")} % 32 AS INT) AS bucket
+      FROM documents WHERE text IS NOT NULL AND text <> ''),
+    c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM base),
+    placed AS (SELECT bucket,
+                      CAST(floor((cum - n_tokens) / 200.0) AS BIGINT) AS seq_id,
+                      n_tokens,
+                      (cum - n_tokens) % 200 + n_tokens > 200 AS straddles
+               FROM c)
+    SELECT CAST(bucket AS BIGINT) AS bucket, seq_id,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(tok) AS BIGINT) AS bin_tokens,
-           CAST(sum(CASE WHEN (start % 256) + tok > 256 THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_straddling
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           CAST(sum(CASE WHEN straddles THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddling
     FROM placed GROUP BY 1, 2
     """,
-    "sampling", "packing", "training", "bench",
+    "text", "packing", "training", "bench",
 )
 def q_sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing (X181): per 16-way shard,
-    documents concatenate in doc_id order into 256-token context
-    windows; the report gives docs-starting, token mass, and straddler
-    count per (shard, bin) — the measurement behind choosing chunking
-    vs best-fit packing for pretraining batches. See
-    pipeline/sampling.py:sequence_packing_bins (the one window is
-    shard-partitioned; shard count is the parallelism at scale)."""
-    return sampling.sequence_packing_bins(
-        _docs(spark, sf_dir), context_tokens=256, n_shards=16
+    """The packing AUDIT of X-`sequence_packing` (X181): that operator
+    emits the per-doc sequence assignment; this one rolls the SAME
+    assignment (same h60 buckets, same 200-token budget, same
+    greedy-concat rule — it aggregates text.sequence_packing's output
+    directly, so the two can never diverge) into the per-(bucket, seq)
+    report: docs starting there, their token mass, and how many
+    straddle the boundary — the straddler rate is the number that
+    decides between plain chunking and best-fit packing for
+    pretraining batches. One extra map-side agg on top of the packing
+    window; nothing corpus-sized is re-scanned."""
+    packed = text.sequence_packing(_docs(spark, sf_dir))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return (
+        packed.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "seq_id",
+            "n_tokens",
+            ((start % F.lit(200)) + F.col("n_tokens") > F.lit(200)).alias(
+                "straddles"
+            ),
+        )
+        .groupBy("bucket", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+            F.sum(F.when(F.col("straddles"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddling"),
+        )
     )
 
 
@@ -4431,7 +4457,7 @@ _NPS_SLOTS = 4
                   {duck_h60(
                       "concat(CAST(query_id AS VARCHAR), ':', "
                       "CAST(slot AS VARCHAR))"
-                  )} % {_NPS_POOL} AS idx
+                  )} % (SELECT count(*) FROM pidx) AS idx
            FROM qs)
     SELECT qi.query_id, CAST(qi.slot AS BIGINT) AS slot, p.neg_id,
            p.neg_id = qi.query_id AS is_self,

@@ -1157,3 +1157,52 @@ def test_streaming_drift_frozen_baseline_excludes_nulls(spark, tmp_path):
     for k, r in by.items():
         o = oracle[k]
         assert (r["n_day"], r["p_day"], r["p_base"]) == (o[2], o[3], o[4])
+
+
+def test_negative_pool_handles_underfilled_pool(spark):
+    """Regression (round-9 review): a corpus smaller than pool_size
+    must still fill EVERY (query, slot) — the modulus is the actual
+    pool row count, not the requested size (a fixed modulus silently
+    dropped ~84%% of slots on a 10-row corpus)."""
+    from flink_scala_spark.pipeline import similarity
+
+    rows = [(i, [1.0, float(i)], i % 3) for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.negative_pool_sample(
+        emb, F.col("vec_id") % 2 == 0, pool_size=64, k_slots=4
+    ).collect()
+    # 5 queries x 4 slots, nothing dropped; every negative is a real row
+    assert len(out) == 20
+    assert {r["neg_id"] for r in out} <= set(range(10))
+
+
+def test_lang_audit_categories_partition_and_null_text_abstains(spark):
+    """Regression (round-9 review): n_agree/n_und/n_mismatch must
+    PARTITION n_docs ('und'-tagged docs the detector also abstains on
+    count once, as agreement), NULL text must abstain ('und') rather
+    than fall through the NULL-comparison CASE to a confident 'de'
+    mismatch, and NULL text contributes 0 tokens (size(NULL) is -1)."""
+    from flink_scala_spark.pipeline.text import lang_metadata_audit
+
+    rows = [
+        (1, "the and of to in is", "en"),    # agree
+        (2, "xyzzy qwerty", "en"),           # und abstention
+        (3, "el la de que y en", "en"),      # confident mismatch (es)
+        (4, "xyzzy", "und"),                 # und tag + und pred: AGREE
+        (5, None, "en"),                     # NULL text: abstain, 0 tok
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in lang_metadata_audit(docs).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["n_agree"], en["n_und"], en["n_mismatch"]) == (
+        4, 1, 2, 1
+    )
+    assert en["n_agree"] + en["n_und"] + en["n_mismatch"] == en["n_docs"]
+    und = out["und"]
+    assert (und["n_docs"], und["n_agree"], und["n_und"], und["n_mismatch"]) == (
+        1, 1, 0, 0
+    )
+    # NULL text contributed zero tokens, not -1
+    assert en["n_tokens"] == 6 + 2 + 6 + 0

@@ -282,6 +282,7 @@ BNLJ_OK = {
     "bpe_encode",            # same training loop, same per-round cross
     "skew_join_salted",      # the salt-array explode cross, by design
     "sketch_set_cardinality",  # four 1-row sketch aggregates crossed
+    "negative_pool_sampler",   # 1-row pool-count aggregate crossed
     # documented exact all-pairs BASELINE (scale path: bitext_mining_lsh
     # / bitext_mining_ann)
     "bitext_mining_margin",

@@ -2,7 +2,7 @@
 
 Builds a synthetic sf dir whose ``documents`` / ``events`` tables are
 the source tables unioned N times with shifted ids (texts/timestamps kept
-IDENTICAL, so every row gains 7 clones — the worst case for dedup
+IDENTICAL, so every row gains N-1 clones — the worst case for dedup
 state and candidate-pair growth), then times the requested catalog
 queries against it. This is the same treatment every earlier heavy
 family got (BASELINE.md stress entries); persisting the harness keeps
@@ -151,7 +151,10 @@ def main() -> int:
     # probes — a task OOM then kills one measurement, not the sweep);
     # STRESS_KEEP=1 leaves the dir behind for that reuse.
     stress = os.environ.get("STRESS_DIR") or build_stress_dir(spark, src)
-    keep = bool(os.environ.get("STRESS_DIR") or os.environ.get("STRESS_KEEP"))
+    truthy = ("1", "true", "yes")
+    keep = bool(os.environ.get("STRESS_DIR")) or (
+        os.environ.get("STRESS_KEEP", "").lower() in truthy
+    )
     print(f"stress dir: {stress}")
     try:
         for name in names:
@@ -160,13 +163,13 @@ def main() -> int:
             t0 = time.time()
             n1 = fn(spark, src).count()
             t1 = time.time()
-            n8 = fn(spark, stress).count()
+            n_rep = fn(spark, stress).count()
             t2 = time.time()
             print(
                 f"{name}: 1x {t1-t0:.2f}s ({n1} rows) -> "
-                f"{REPLICAS}x {t2-t1:.2f}s ({n8} rows), "
+                f"{REPLICAS}x {t2-t1:.2f}s ({n_rep} rows), "
                 f"wall x{(t2-t1)/max(t1-t0,1e-9):.1f}, "
-                f"rows x{n8/max(n1,1):.1f}"
+                f"rows x{n_rep/max(n1,1):.1f}"
             )
     finally:
         if not keep:

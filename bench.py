@@ -115,6 +115,11 @@ HEADLINE = [
     "lang_mismatch_audit",
     "value_percentile_rank",
     "value_winsorized_stats",
+    "interval_union_coverage",
+    "knn_label_audit",
+    "embedding_health_audit",
+    "chunk_stitch_candidates",
+    "revenue_cusum_changepoint",
 ]
 
 

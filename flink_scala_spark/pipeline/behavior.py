@@ -424,3 +424,59 @@ def value_winsorized_stats(events: DataFrame) -> DataFrame:
             ).alias("winsorized_mean_cents"),
         )
     )
+
+
+def interval_union_coverage(events: DataFrame, duration_s: int = 300) -> DataFrame:
+    """Merged-interval union coverage per user: each event claims the
+    interval ``[ts, ts + duration_s)``; overlapping/adjacent claims are
+    merged into islands and the per-user report is the union length,
+    island count, and longest island — the "how much wall-clock was
+    this user actually active" statistic that a plain count or
+    gap-session grouping cannot produce (sessions group POINTS by gap;
+    this merges INTERVALS by overlap, the textbook
+    sweep-line/gaps-and-islands kernel).
+
+    An interval starts a new island iff its start lies strictly past
+    the running max of all PRECEDING ends (running max, not lag(end):
+    an interval can be swallowed whole by an earlier, longer one, and
+    lag would reopen a still-covered island). Island ids are the
+    running sum of those flags; per island coverage = max(end) -
+    min(start). All arithmetic on epoch-seconds BIGINTs — exact.
+
+    Scale: one shuffle keyed by user_id; both windows are running
+    (ROWS UNBOUNDED PRECEDING) aggregates over each user's bounded
+    event history — no per-user arrays, no corpus-wide sort. Adjacent
+    intervals (next start == running end) merge, matching half-open
+    interval semantics.
+    """
+    from pyspark.sql import Window
+
+    iv = events.select(
+        "user_id",
+        "event_id",
+        epoch_seconds("ts").alias("s"),
+        (epoch_seconds("ts") + F.lit(int(duration_s))).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn("prev_max_e", F.max("e").over(wprev)).withColumn(
+        "new_island",
+        (F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))).cast("int"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn("island", F.sum("new_island").over(wrun))
+    islands = numbered.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len_s")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum("len_s").cast("long").alias("covered_s"),
+        F.max("len_s").cast("long").alias("max_island_s"),
+    )

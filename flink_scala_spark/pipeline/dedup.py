@@ -1021,3 +1021,56 @@ def minhash_signature_exprs(text_col: str = "text") -> list:
         mh = F.array_min(F.transform(hs, _mh_lambda(s)))
         cols.append(mh.alias(f"mh{s}"))
     return cols
+
+
+STITCH_K = 8  # words shared across a stitch boundary
+
+
+def stitch_candidates(
+    docs: DataFrame,
+    k: int = STITCH_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-stitch candidates: pairs (doc_a, doc_b) where doc_a's
+    LAST ``k`` words equal doc_b's FIRST ``k`` words — the boundary
+    artifact a chunking/sharding pipeline leaves when one document was
+    split (or two chunks overlap-stitched) and both halves entered the
+    corpus. Neither minhash nor containment catches these reliably: the
+    shared region is a fixed-size boundary, a vanishing fraction of
+    either document, so set-similarity scores stay below every
+    threshold while the pair is still a provenance duplicate.
+
+    Shape: one row-local projection per doc (split, slice, h60 of the
+    first-k and last-k grams), then ONE equi-join on the 60-bit
+    boundary hash with doc_a <> doc_b. Docs shorter than ``k`` words
+    are excluded before the join. Pair output is quadratic in the
+    population sharing one boundary gram (the same contract as every
+    banding dedup here: output-bound, never corpus²); the join itself
+    is hash-partitioned by boundary key and AQE splits skewed keys.
+    """
+    from flink_scala_spark.functions.portable import h60
+
+    w = F.split(F.col(text_col), " ")
+    base = docs.select(
+        F.col(id_col),
+        w.alias("w"),
+    ).where(F.size("w") >= int(k))
+    grams = base.select(
+        id_col,
+        h60(F.concat_ws(" ", F.slice("w", 1, int(k)))).alias("prefix_h"),
+        h60(
+            F.concat_ws(" ", F.expr(f"slice(w, size(w) - {int(k) - 1}, {int(k)})"))
+        ).alias("suffix_h"),
+    )
+    left = grams.select(
+        F.col(id_col).alias("doc_a"), F.col("suffix_h").alias("boundary_h")
+    )
+    right = grams.select(
+        F.col(id_col).alias("doc_b"), F.col("prefix_h").alias("boundary_h")
+    )
+    return (
+        left.join(right, "boundary_h")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "boundary_h")
+    )

@@ -1940,3 +1940,119 @@ def negative_pool_sample(
         (F.col("neg_id") == F.col("query_id")).alias("is_self"),
         (F.col("neg_label") == F.col("q_label")).alias("label_collision"),
     )
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+) -> DataFrame:
+    """kNN label-agreement audit — the embedding-quality report an
+    embedding-training pipeline gates on: for each query vector, the
+    majority label among its k exact cosine nearest neighbors is
+    compared to the query's own label; per true label the report gives
+    query count, agreement count, and agreement in integer ppm. A
+    healthy embedding space has high agreement; a collapsed or shuffled
+    one shows up immediately as near-random agreement.
+
+    Built on :func:`cosine_topk_vectorized` (exact path, guarded by
+    MAX_EXACT_PAIRS — past the bound it refuses naming the IVF twin, so
+    the 100 TB path is kNN over `ivf_topk` candidates). Vote
+    tie-break: larger neighbor-count wins, then the SMALLER label — a
+    total order, so the audit is partitioning-proof. The two label
+    joins are against the (vec_id, label) projection of the corpus —
+    column-pruned at the scan; the vote is a groupBy over k rows per
+    query."""
+    from pyspark.sql import Window
+
+    labels = emb.select(
+        F.col("vec_id").alias("_lid"), F.col("label").alias("_lbl")
+    )
+    topk = cosine_topk_vectorized(emb, query_pred, k=k)
+    nb = topk.join(
+        labels, topk["neighbor_id"] == labels["_lid"]
+    ).select("query_id", F.col("_lbl").alias("n_label"))
+    votes = nb.groupBy("query_id", "n_label").agg(F.count("*").alias("vn"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("vn"), F.asc("n_label")
+    )
+    winner = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"))
+    )
+    qlab = emb.where(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    joined = winner.join(qlab, "query_id")
+    return (
+        joined.groupBy("true_label")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_agree"),
+        )
+        .select(
+            "true_label",
+            "n_queries",
+            "n_agree",
+            F.expr("(1000000 * n_agree) DIV n_queries").alias("agree_ppm"),
+        )
+    )
+
+
+def embedding_health_audit(emb: DataFrame) -> DataFrame:
+    """Degenerate-vector audit — the pre-flight check before any
+    similarity stage: per label, how many vectors are all-zero (cosine
+    undefined: every downstream kernel divides by the norm) or carry a
+    non-finite component (NaN/Inf poisons every dot product it touches),
+    plus the exact norm² range and mean in integer ppm (per-row floor
+    to BIGINT BEFORE summing — partitioning-proof, cf.
+    source_reputation_filter).
+
+    Row-local flags + one map-side-combinable agg over the label key
+    space: at 100 TB this is the scan and nothing else — no shuffle of
+    vector payloads, no Python. The norm² fold is the in-order
+    portable dot (bit-identical in the oracle)."""
+    from flink_scala_spark.functions.portable import inorder_dot
+
+    nsq = inorder_dot(F.col("embedding"), F.col("embedding"))
+    inf = float("inf")
+    nonfinite = F.exists(
+        "embedding",
+        lambda x: F.isnan(x.cast("double"))
+        | (x.cast("double") == F.lit(inf))
+        | (x.cast("double") == F.lit(-inf)),
+    )
+    per = emb.select(
+        "label",
+        nsq.alias("nsq"),
+        nonfinite.cast("long").alias("bad"),
+    ).select(
+        "label",
+        "bad",
+        # flag zero vectors on the exact fold; floor AFTER flagging so
+        # a denormal-but-nonzero norm² cannot alias to the zero flag
+        (F.col("nsq") == F.lit(0.0)).cast("long").alias("is_zero"),
+        # nsq_ppm is NULL for non-finite vectors: casting a NaN/Inf
+        # double to BIGINT is engine-divergent (Spark non-ANSI
+        # saturates/zeroes, DuckDB raises) — gating on the flag keeps
+        # the stats over finite vectors only, identically in both
+        F.when(
+            F.col("bad") == 0,
+            F.floor(F.col("nsq") * F.lit(1000000.0)).cast("long"),
+        ).alias("nsq_ppm"),
+    )
+    return per.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("is_zero").alias("n_zero"),
+        F.sum("bad").alias("n_nonfinite"),
+        F.min("nsq_ppm").alias("min_nsq_ppm"),
+        F.max("nsq_ppm").alias("max_nsq_ppm"),
+        # mean over FINITE vectors; NULL (not a crash) when none are
+        F.expr(
+            "CASE WHEN count(nsq_ppm) = 0 THEN NULL"
+            " ELSE sum(nsq_ppm) DIV count(nsq_ppm) END"
+        ).alias("mean_nsq_ppm"),
+    )

@@ -4802,3 +4802,205 @@ def q_sketch_set_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_a=F.col("doc_id") % 2 == 0,
         in_b=F.col("doc_id") % 2 == 1,
     )
+
+
+# ---------------------------------------------------------------------------
+# X186: merged-interval union coverage (gaps-and-islands sweep line)
+# ---------------------------------------------------------------------------
+
+@register(
+    "interval_union_coverage",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max_e
+        FROM iv
+    ),
+    numbered AS (
+        SELECT *, sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS island
+        FROM flagged
+    ),
+    islands AS (
+        SELECT user_id, island, max(e) - min(s) AS len_s
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len_s) AS BIGINT) AS covered_s,
+           CAST(max(len_s) AS BIGINT) AS max_island_s
+    FROM islands GROUP BY 1
+    """,
+    "session", "intervals", "coverage",
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active wall-clock via interval-union merge (X186): each
+    event claims [ts, ts+300s); overlapping claims merge. The statistic
+    gap-sessions cannot produce — a session's span counts its idle
+    interior; the interval union counts only claimed seconds.
+    See pipeline/behavior.py:interval_union_coverage for the
+    sweep-line kernel and scale shape (one user_id shuffle, running
+    windows only)."""
+    from flink_scala_spark.pipeline.behavior import interval_union_coverage
+
+    return interval_union_coverage(_events(spark, sf_dir), duration_s=300)
+
+
+# ---------------------------------------------------------------------------
+# X187: kNN label-agreement audit (embedding-space quality gate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_label_audit",
+    f"""
+    WITH n AS (SELECT vec_id, label, embedding, {_NSQ} AS nsq FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 c.label AS n_label,
+                 {duck_dot('q.embedding', 'c.embedding')} / sqrt(q.nsq * c.nsq)
+                   AS cosine
+          FROM n q JOIN n c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id % 50 = 0),
+    topk AS (SELECT query_id, n_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM p) t WHERE rank <= 5),
+    votes AS (SELECT query_id, n_label, count(*) AS vn
+              FROM topk GROUP BY 1, 2),
+    winner AS (SELECT query_id, n_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY vn DESC, n_label) AS rn
+        FROM votes) t WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, label AS true_label
+          FROM embeddings WHERE vec_id % 50 = 0)
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST((1000000 * sum(CASE WHEN pred_label = true_label
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS agree_ppm
+    FROM winner JOIN q USING (query_id)
+    GROUP BY 1
+    """,
+    "similarity", "ann", "quality", "audit",
+)
+def q_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement audit (X187): majority label of each query's
+    5 exact cosine neighbors vs its own label, reported per true label
+    in integer ppm — the embedding-space health gate an embedding
+    training run is judged by. Exact path guarded by MAX_EXACT_PAIRS
+    (refuses past the bound naming the IVF twin). See
+    pipeline/similarity.py:knn_label_agreement."""
+    return similarity.knn_label_agreement(
+        _emb(spark, sf_dir), F.col("vec_id") % 50 == 0, k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# X188: embedding health audit (degenerate-vector pre-flight)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_health_audit",
+    f"""
+    WITH per AS (
+        SELECT label,
+               CAST(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END AS BIGINT) AS is_zero,
+               CAST(CASE WHEN bad THEN 1 ELSE 0 END AS BIGINT) AS bad,
+               CASE WHEN bad THEN NULL
+                    ELSE CAST(floor(nsq * 1000000.0) AS BIGINT) END AS nsq_ppm
+        FROM (
+            SELECT label, {_NSQ} AS nsq,
+                   list_aggregate(list_transform(embedding,
+                       x -> isnan(CAST(x AS DOUBLE))
+                            OR isinf(CAST(x AS DOUBLE))), 'bool_or') AS bad
+            FROM embeddings) t
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(is_zero) AS BIGINT) AS n_zero,
+           CAST(sum(bad) AS BIGINT) AS n_nonfinite,
+           CAST(min(nsq_ppm) AS BIGINT) AS min_nsq_ppm,
+           CAST(max(nsq_ppm) AS BIGINT) AS max_nsq_ppm,
+           CASE WHEN count(nsq_ppm) = 0 THEN NULL
+                ELSE CAST(sum(nsq_ppm) // count(nsq_ppm) AS BIGINT)
+           END AS mean_nsq_ppm
+    FROM per GROUP BY 1
+    """,
+    "similarity", "quality", "audit",
+)
+def q_embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-vector pre-flight audit (X188): per label — all-zero
+    vectors (undefined cosine), non-finite components (NaN/Inf poisons
+    every dot product), exact norm² range/mean in integer ppm.
+    Row-local flags + one map-side agg: at 100 TB this is the scan.
+    See pipeline/similarity.py:embedding_health_audit."""
+    return similarity.embedding_health_audit(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X189: chunk-stitch candidates (suffix->prefix boundary duplicates)
+# ---------------------------------------------------------------------------
+
+@register(
+    "chunk_stitch_candidates",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents WHERE text IS NOT NULL AND text <> ''),
+    s AS (SELECT doc_id, len(w) AS n_words, w,
+                 unnest(generate_series(1, len(w), 40)) AS start_word FROM d),
+    c AS (SELECT doc_id * 100000 + (start_word - 1) // 40 AS chunk_id,
+                 w[start_word:least(start_word + 49, n_words)] AS cw
+          FROM s),
+    g AS (SELECT chunk_id,
+                 {duck_h60("array_to_string(cw[1:10], ' ')")} AS prefix_h,
+                 {duck_h60("array_to_string(cw[len(cw)-9:len(cw)], ' ')")} AS suffix_h
+          FROM c WHERE len(cw) >= 10)
+    SELECT a.chunk_id AS doc_a, b.chunk_id AS doc_b, a.suffix_h AS boundary_h
+    FROM g a JOIN g b ON b.prefix_h = a.suffix_h AND a.chunk_id <> b.chunk_id
+    """,
+    "dedup", "provenance", "stitch",
+)
+def q_chunk_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-stitch candidate pairs (X189): unit_a's LAST 10 words equal
+    unit_b's FIRST 10 words — the split/overlap-stitch boundary
+    artifact that set-similarity dedup misses (the shared region is a
+    vanishing fraction of either unit). Run over the 50/40 overlapping
+    chunking of the corpus (chunk_documents' exact slicing, stride
+    overlap = 10 words), where the detector must re-discover every
+    consecutive-chunk adjacency — a built-in ground truth at any SF —
+    plus the cross-document stitches duplicate docs induce. Row-local
+    gram hashing + ONE equi-join on the 60-bit boundary hash. See
+    pipeline/dedup.py:stitch_candidates."""
+    w = F.split(F.col("text"), " ")
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            "doc_id",
+            w.alias("w"),
+            F.size(w).alias("n_words"),
+            F.sequence(F.lit(1), F.size(w), F.lit(40)).alias("starts"),
+        )
+    )
+    ex = base.select(
+        "doc_id", "n_words", "w",
+        F.posexplode("starts").alias("chunk_idx", "start_word"),
+    )
+    chunks = ex.select(
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("start_word"), F.lit(50))).alias(
+            "text"
+        ),
+    )
+    return dedup.stitch_candidates(chunks, k=10)

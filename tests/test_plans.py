@@ -254,6 +254,9 @@ SINGLE_PARTITION_WINDOW_OK = {
     "distribution_drift_report",
     # pool-index row_number over the fixed 64-row TakeOrdered pool
     "negative_pool_sampler",
+    # every window runs over the AGGREGATED day table (calendar-bounded
+    # ~2.4k rows at any SF), the corpus_token_budget justification
+    "revenue_cusum_changepoint",
 }
 
 # Every BroadcastNestedLoopJoin must be an INTENDED broadcast cross:

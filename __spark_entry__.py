@@ -38,13 +38,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # sit in (b)), streaming_trigger_fire_purge (re-bucketed replay), and
 # dedup_minhash_lsh/dedup_simhash (pair-enumeration rewrite); outputs
 # of all of these are verified unchanged, so these are gate re-proofs,
-# not forced re-entries; (d) 19 of the 47 remaining round-5 rows
-# (alphabetical; the other 28 are round-10's head). Everything below
+# not forced re-entries; (d) 14 of the 47 remaining round-5 rows
+# (alphabetical; the other 33 are round-10's head). Everything below
 # slot 50 stays oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
 _PRIORITY = [
     # (a) round-9 additions, no driver row yet
+    "k_anonymity_audit",
+    "right_to_erasure_audit",
+    "shuffle_skew_planner",
+    "incremental_join_maintenance",
+    "streaming_cusum_daily",
     "interval_union_coverage",
     "knn_label_audit",
     "embedding_health_audit",
@@ -93,11 +98,6 @@ _PRIORITY = [
     "event_value_quantiles",
     "events_json_props",
     "events_type_pivot",
-    "filter_threshold",
-    "hybrid_retrieval_rrf",
-    "incremental_agg_maintenance",
-    "keyed_sum",
-    "keyed_sum_salted",
 ]
 
 

@@ -120,6 +120,10 @@ HEADLINE = [
     "embedding_health_audit",
     "chunk_stitch_candidates",
     "revenue_cusum_changepoint",
+    "shuffle_skew_planner",
+    "incremental_join_maintenance",
+    "k_anonymity_audit",
+    "right_to_erasure_audit",
 ]
 
 

@@ -480,3 +480,43 @@ def interval_union_coverage(events: DataFrame, duration_s: int = 300) -> DataFra
         F.sum("len_s").cast("long").alias("covered_s"),
         F.max("len_s").cast("long").alias("max_island_s"),
     )
+
+
+def cusum_over_daily(daily: DataFrame, day_col: str, cents_col: str) -> DataFrame:
+    """Shared CUSUM-changepoint arithmetic over an already-aggregated
+    per-day table (the batch revenue scan and its live twin both feed
+    this, so the two monitors cannot diverge): cumulative deviation
+    from the floored-cents daily mean, s_t = cum_t - t*(total DIV n),
+    ranked by |s_t| (ties -> earlier day). The floored mean keeps every
+    term in BIGINT at any scale (an n*cum - t*total scaling overflows
+    int64 near 100 TB totals; total DIV n never does).
+
+    Every window here runs over the DAY-cardinality input (bounded by
+    the calendar at any SF) — the corpus_token_budget justification
+    for the unpartitioned frames."""
+    from pyspark.sql import Window
+
+    wtot = Window.partitionBy()
+    wrun = Window.partitionBy().orderBy(day_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cs = (
+        daily.withColumn("total", F.sum(cents_col).over(wtot))
+        .withColumn("n", F.count("*").over(wtot))
+        .withColumn(
+            "t", F.row_number().over(Window.partitionBy().orderBy(day_col))
+        )
+        .withColumn("cum_cents", F.sum(cents_col).over(wrun))
+        .select(
+            day_col,
+            cents_col,
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            F.expr("cum_cents - t * (total DIV n)")
+            .cast("long")
+            .alias("cusum_cents"),
+        )
+    )
+    wdev = Window.partitionBy().orderBy(
+        F.abs(F.col("cusum_cents")).desc(), F.col(day_col)
+    )
+    return cs.withColumn("dev_rank", F.row_number().over(wdev).cast("int"))

@@ -5004,3 +5004,224 @@ def q_chunk_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return dedup.stitch_candidates(chunks, k=10)
+
+
+# ---------------------------------------------------------------------------
+# X191: shuffle-skew planner (partition-sizing report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "shuffle_skew_planner",
+    f"""
+    WITH b AS (
+        SELECT B, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest([32, 256, 1024]) AS B,
+                   {duck_h60("CAST(user_id AS VARCHAR)")} AS h
+            FROM events) t
+        CROSS JOIN LATERAL (SELECT h % B AS bucket) x
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT B, CAST(count(*) AS BIGINT) AS used_buckets,
+                   CAST(sum(cnt) AS BIGINT) AS total_rows,
+                   CAST(max(cnt) AS BIGINT) AS max_rows
+            FROM b GROUP BY 1),
+    hc AS (SELECT B, cnt,
+                  sum(1) OVER (PARTITION BY B ORDER BY cnt
+                               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM b),
+    p99 AS (SELECT hc.B, CAST(min(hc.cnt) AS BIGINT) AS p99_rows
+            FROM hc JOIN tot ON tot.B = hc.B
+            WHERE hc.cum >= (99 * tot.used_buckets + 99) // 100
+            GROUP BY 1)
+    SELECT t.B AS n_buckets, t.used_buckets, t.total_rows, t.max_rows,
+           p.p99_rows,
+           CAST((1000000 * t.max_rows * t.used_buckets) // t.total_rows
+                AS BIGINT) AS skew_ppm
+    FROM tot t JOIN p99 p ON p.B = t.B
+    """,
+    "ops", "planning", "skew",
+)
+def q_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew planner (X191): for candidate shuffle widths
+    B ∈ {{32, 256, 1024}}, hash-bucket the join/agg key (h60(user_id)
+    % B — the engine's deterministic shuffle function) and report per
+    width: buckets used, max and p99 bucket population, and the skew
+    ratio max/avg in integer ppm — the report that decides, BEFORE a
+    100 TB run, whether a key needs salting and what
+    spark.sql.shuffle.partitions should be. The cumulative-count p99 is
+    a histogram SELECTION over the ≤B bucket-count rows.
+
+    Scale: the corpus is scanned once with a 3x literal fan-out
+    (map-side combine collapses it to ≤ 32+256+1024 groups before the
+    only shuffle); every window/join after that runs on ≤1312 rows."""
+    from flink_scala_spark.functions import h60
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).select(
+        h60(F.col("user_id").cast("string")).alias("h"),
+        F.explode(F.array(F.lit(32), F.lit(256), F.lit(1024))).alias("B"),
+    )
+    b = ev.groupBy("B", (F.col("h") % F.col("B")).alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = b.groupBy("B").agg(
+        F.count("*").alias("used_buckets"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_rows"),
+    )
+    wc = W.partitionBy("B").orderBy("cnt").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    hc = b.withColumn("cum", F.sum(F.lit(1)).over(wc))
+    p99 = (
+        hc.join(tot, "B")
+        .where(F.col("cum") >= F.expr("(99 * used_buckets + 99) DIV 100"))
+        .groupBy("B")
+        .agg(F.min("cnt").alias("p99_rows"))
+    )
+    return (
+        tot.join(p99, "B")
+        .select(
+            F.col("B").cast("int").alias("n_buckets"),
+            F.col("used_buckets").cast("long").alias("used_buckets"),
+            F.col("total_rows").cast("long").alias("total_rows"),
+            F.col("max_rows").cast("long").alias("max_rows"),
+            F.col("p99_rows").cast("long").alias("p99_rows"),
+            F.expr(
+                "(1000000 * max_rows * used_buckets) DIV total_rows"
+            ).alias("skew_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X194: k-anonymity audit (quasi-identifier re-identification risk)
+# ---------------------------------------------------------------------------
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH cls AS (
+        SELECT event_type,
+               CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS INT)
+                 AS dow,
+               CAST(floor(value / 100.0) AS BIGINT) AS value_band,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    thr AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT CAST(thr.k AS INT) AS k,
+           CAST(count(*) FILTER (WHERE cls.class_size < thr.k) AS BIGINT)
+             AS classes_below,
+           CAST(coalesce(sum(cls.class_size)
+                         FILTER (WHERE cls.class_size < thr.k), 0) AS BIGINT)
+             AS rows_at_risk,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(cls.class_size) AS BIGINT) AS n_rows
+    FROM cls CROSS JOIN thr
+    GROUP BY 1
+    """,
+    "governance", "privacy", "audit",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (X194) — the re-identification risk report a
+    data-governance gate runs before a corpus ships: rows are grouped
+    into equivalence classes by quasi-identifier (event_type, day of
+    week, coarse value band), and for each policy threshold k ∈
+    {{2,5,10}} the report counts classes and rows whose class is
+    smaller than k (those rows are re-identifiable within < k
+    candidates). All integer-exact.
+
+    Scale: ONE map-side-combinable agg to the bounded QI class table;
+    the threshold sweep is a 3x fan-out over that small frame, never
+    the corpus."""
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    cls = ev.groupBy(
+        "event_type",
+        ((F.floor(epoch_seconds("ts") / 86400)) % 7).cast("int").alias("dow"),
+        F.floor(F.col("value") / 100.0).cast("long").alias("value_band"),
+    ).agg(F.count("*").alias("class_size"))
+    thr = cls.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(2,), (5,), (10,)], "k int")
+        )
+    )
+    return thr.groupBy("k").agg(
+        F.sum((F.col("class_size") < F.col("k")).cast("long")).alias(
+            "classes_below"
+        ),
+        F.sum(
+            F.when(F.col("class_size") < F.col("k"), F.col("class_size")).otherwise(
+                F.lit(0)
+            )
+        ).alias("rows_at_risk"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X195: right-to-erasure roundtrip (GDPR delete with audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "right_to_erasure_audit",
+    """
+    WITH before AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_before
+        FROM events GROUP BY 1
+    ),
+    kept AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(event_id) AS BIGINT) AS sum_kept_ids
+        FROM events WHERE user_id % 1000 <> 7 GROUP BY 1
+    )
+    SELECT b.event_type, b.n_before, k.n_kept,
+           CAST(b.n_before - k.n_kept AS BIGINT) AS n_erased,
+           k.sum_kept_ids
+    FROM before b JOIN kept k USING (event_type)
+    """,
+    "governance", "privacy", "maintenance",
+)
+def q_right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure roundtrip (X195): physically DELETE every row
+    of the erased user set (user_id % 1000 = 7 — the deletion-request
+    batch) by rewriting the snapshot, then audit from the RE-READ
+    output — per event type, rows before, rows kept (counted from the
+    rewritten files, not the plan that produced them), rows erased,
+    and an id-sum receipt over the kept rows. Equal to the oracle iff
+    the rewrite kept exactly the non-erased rows — the compaction
+    roundtrip's content contract applied to the GDPR delete.
+
+    Scale: the rewrite is one filtered scan-and-write (the
+    copy-on-write delete every parquet lakehouse runs); the audit is
+    two map-side-combinable aggs. The erased-user predicate is
+    row-local — no join against a deletion list here, though at 100 TB
+    a large deletion set would ride a broadcast/bloom semi-join
+    (cf. bloom_semi_join) on the same shape."""
+    from flink_scala_spark.operators import maintenance
+
+    ev = _events(spark, sf_dir)
+    base = maintenance.scratch_dir("right_to_erasure", sf_dir)
+    dst = maintenance.fresh_subdir(base, "kept")
+    ev.where(F.col("user_id") % 1000 != 7).write.mode("overwrite").parquet(dst)
+    kept = (
+        spark.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("event_id").alias("sum_kept_ids"),
+        )
+    )
+    before = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("n_before"))
+    return before.join(kept, "event_type").select(
+        "event_type",
+        "n_before",
+        "n_kept",
+        (F.col("n_before") - F.col("n_kept")).cast("long").alias("n_erased"),
+        "sum_kept_ids",
+    )

@@ -1276,29 +1276,83 @@ def q_revenue_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar — ~2.4k rows at ANY scale factor), which is the same
     metadata-cardinality justification as corpus_token_budget's global
     window."""
+    from flink_scala_spark.pipeline.behavior import cusum_over_daily
+
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("order_day")
     ).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("day_cents")
     )
-    wtot = Window.partitionBy()
-    wrun = Window.partitionBy().orderBy("order_day").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    return cusum_over_daily(daily, "order_day", "day_cents")
+
+
+# ---------------------------------------------------------------------------
+# X192: incremental maintenance of a JOIN view (delta propagation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "incremental_join_maintenance",
+    """
+    WITH a_old AS (SELECT * FROM orders   WHERE o_orderkey % 10 <> 0),
+    d_a   AS (SELECT * FROM orders   WHERE o_orderkey % 10 =  0),
+    b_old AS (SELECT * FROM customer WHERE c_custkey  % 100 <> 0),
+    d_b   AS (SELECT * FROM customer WHERE c_custkey  % 100 =  0),
+    v_old AS (
+        SELECT c_nationkey, count(*) AS cnt,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM a_old JOIN b_old ON o_custkey = c_custkey GROUP BY 1
+    ),
+    v_new AS (
+        SELECT c_nationkey, count(*) AS cnt,
+               sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
     )
-    cs = (
-        daily.withColumn("total", F.sum("day_cents").over(wtot))
-        .withColumn("n", F.count("*").over(wtot))
-        .withColumn("t", F.row_number().over(Window.partitionBy().orderBy("order_day")))
-        .withColumn("cum_cents", F.sum("day_cents").over(wrun))
-        .select(
-            "order_day",
-            "day_cents",
-            F.col("cum_cents").cast("long").alias("cum_cents"),
-            F.expr("cum_cents - t * (total DIV n)").cast("long").alias("cusum_cents"),
+    SELECT n.c_nationkey,
+           CAST(n.cnt - COALESCE(o.cnt, 0) AS BIGINT) AS delta_orders,
+           CAST(n.cents - COALESCE(o.cents, 0) AS BIGINT) AS delta_cents
+    FROM v_new n LEFT JOIN v_old o ON o.c_nationkey = n.c_nationkey
+    WHERE n.cnt - COALESCE(o.cnt, 0) > 0
+    """,
+    "maintenance", "ivm", "join",
+)
+def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (X192) — the
+    delta-propagation identity every materialized enriched-fact table
+    runs on: with inserts ΔA (new orders) and ΔB (new customers), the
+    view delta is EXACTLY ΔA⋈B_old ∪ A_new⋈ΔB (the two legs are
+    disjoint because B_old ∩ ΔB = ∅), so the view is maintained
+    without ever recomputing A⋈B. The Spark side computes ONLY the
+    delta legs; the oracle computes the SEMANTIC SPEC — full new view
+    minus full old view — so the gate proves the identity itself, not
+    a shared formula.
+
+    Scale: leg 1 joins the small insert batch against the dim (cost ∝
+    |ΔA|); leg 2 scans the fact once filtered to the changed-dim keys
+    (a semi-joinable predicate — at 100 TB the ΔB key set rides a
+    runtime filter, cf. bloom_semi_join). Complements
+    incremental_agg_maintenance (X-agg twin) on the JOIN axis; X172's
+    complement: the companion that keeps enriched facts fresh at delta
+    cost. Splits partition on o_orderkey/c_custkey, so replays/retries
+    land rows in the same side deterministically."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    a_old = orders.where(F.col("o_orderkey") % 10 != 0)
+    d_a = orders.where(F.col("o_orderkey") % 10 == 0)
+    b_old = cust.where(F.col("c_custkey") % 100 != 0)
+    d_b = cust.where(F.col("c_custkey") % 100 == 0)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    leg1 = d_a.join(b_old, d_a["o_custkey"] == b_old["c_custkey"]).select(
+        "c_nationkey", cents.alias("cents")
+    )
+    leg2 = orders.join(d_b, orders["o_custkey"] == d_b["c_custkey"]).select(
+        "c_nationkey", cents.alias("cents")
+    )
+    return (
+        leg1.unionByName(leg2)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("delta_orders"),
+            F.sum("cents").alias("delta_cents"),
         )
     )
-    wdev = Window.partitionBy().orderBy(
-        F.abs(F.col("cusum_cents")).desc(), F.col("order_day")
-    )
-    return cs.withColumn("dev_rank", F.row_number().over(wdev).cast("int"))

@@ -2152,3 +2152,65 @@ def q_streaming_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(d) / F.lit(2.0)).alias("tv_term"),
         (d * d / F.col("p_base")).alias("chi2_term"),
     )
+
+
+@register(
+    "streaming_cusum_daily",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    ),
+    e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                     AS day_start,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL),
+    daily AS (SELECT day_start, CAST(sum(cents) AS BIGINT) AS day_cents
+              FROM e, wm WHERE day_start + 86400 <= w GROUP BY 1),
+    tot AS (SELECT CAST(sum(day_cents) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n FROM daily),
+    idx AS (
+        SELECT day_start, day_cents,
+               row_number() OVER (ORDER BY day_start) AS t,
+               sum(day_cents) OVER (ORDER BY day_start
+                   ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM daily
+    ),
+    cs AS (
+        SELECT day_start, day_cents,
+               CAST(cum_cents AS BIGINT) AS cum_cents,
+               CAST(cum_cents - t * (tot.total // tot.n) AS BIGINT)
+                 AS cusum_cents
+        FROM idx CROSS JOIN tot
+    )
+    SELECT day_start, day_cents, cum_cents, cusum_cents,
+           CAST(row_number() OVER (ORDER BY abs(cusum_cents) DESC, day_start)
+                AS INT) AS dev_rank
+    FROM cs
+    """,
+    "streaming", "changepoint", "monitoring",
+)
+def q_streaming_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`revenue_cusum_changepoint`'s live twin (X193): per CLOSED event
+    day (the drift/MAD monitors' watermark rule), the day's exact cents
+    total, then the CUSUM changepoint scan over the closed-day table —
+    continuous mean-shift monitoring as a streaming query.
+
+    Streaming state is ONE windowed sum per day (bounded by the
+    calendar, the smallest state any monitor here carries); the
+    changepoint arithmetic runs post-stream on the bounded day table
+    via the SAME behavior.cusum_over_daily kernel as the batch scan,
+    so the two monitors cannot diverge."""
+    from flink_scala_spark.pipeline.behavior import cusum_over_daily
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .select("ts", F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.sum("cents").alias("day_cents"))
+    )
+    closed = run_bounded(daily, "append").select(
+        F.col("window.start").cast("long").alias("day_start"), "day_cents"
+    )
+    return cusum_over_daily(closed, "day_start", "day_cents")

@@ -1402,3 +1402,148 @@ def test_revenue_cusum_floored_mean_semantics(spark, sf_dir):
     assert out[20240101]["dev_rank"] == 1
     assert out[20240102]["dev_rank"] == 2
     assert out[20240103]["dev_rank"] == 3
+
+
+def test_shuffle_skew_planner_matches_python_reference(spark, sf_dir):
+    """Recompute the B=32 row with plain-Python md5 bucketing over the
+    same parquet table: used buckets, max/p99 population, and the
+    integer skew ratio must agree exactly."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    rows = duckdb.connect().execute(
+        f"SELECT user_id FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    cnt = Counter()
+    for (uid,) in rows:
+        h = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16)
+        cnt[h % 32] += 1
+    used = len(cnt)
+    sizes = sorted(cnt.values())
+    total = sum(sizes)
+    # p99 = smallest count with cumulative bucket tally >= ceil(.99*used)
+    need = (99 * used + 99) // 100
+    cum = 0
+    p99 = None
+    for c in sizes:
+        cum += 1
+        if cum >= need:
+            p99 = c
+            break
+    out = {
+        r["n_buckets"]: r
+        for r in QUERIES["shuffle_skew_planner"].fn(spark, sf_dir).collect()
+    }
+    r32 = out[32]
+    assert r32["used_buckets"] == used
+    assert r32["total_rows"] == total
+    assert r32["max_rows"] == sizes[-1]
+    assert r32["p99_rows"] == p99
+    assert r32["skew_ppm"] == (1_000_000 * sizes[-1] * used) // total
+
+
+def test_incremental_join_maintenance_identity(spark, sf_dir):
+    """The delta legs must equal full-new-view minus full-old-view —
+    the IVM identity — computed here independently in Spark (the
+    catalog oracle proves it against DuckDB; this pins it against a
+    second in-engine formulation)."""
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+
+    def view(o, c):
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("cnt"), F.sum(cents).alias("cents"))
+        )
+
+    old = view(
+        orders.where(F.col("o_orderkey") % 10 != 0),
+        cust.where(F.col("c_custkey") % 100 != 0),
+    )
+    new = view(orders, cust)
+    expected = {
+        r["c_nationkey"]: (r["d_cnt"], r["d_cents"])
+        for r in new.alias("n")
+        .join(old.alias("o"), "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            (F.col("n.cnt") - F.coalesce(F.col("o.cnt"), F.lit(0))).alias("d_cnt"),
+            (F.col("n.cents") - F.coalesce(F.col("o.cents"), F.lit(0))).alias(
+                "d_cents"
+            ),
+        )
+        .collect()
+        if r["d_cnt"] > 0
+    }
+    got = {
+        r["c_nationkey"]: (r["delta_orders"], r["delta_cents"])
+        for r in QUERIES["incremental_join_maintenance"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_k_anonymity_audit_hand_checked(spark, monkeypatch):
+    """Four rows in one QI class, one singleton: at k=2 the singleton's
+    class (1 class, 1 row) is at risk; at k=5 the 4-row class joins it;
+    at k=10 everything is below."""
+    from datetime import datetime, timezone
+
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    same_day = datetime(2024, 1, 1, 12, 0, tzinfo=timezone.utc).replace(tzinfo=None)
+    rows = [
+        # QI = (click, dow of 2024-01-01, band 1): 4 rows
+        (1, same_day, 10, "click", 150.0, None),
+        (2, same_day, 11, "click", 151.0, None),
+        (3, same_day, 12, "click", 152.0, None),
+        (4, same_day, 13, "click", 153.0, None),
+        # singleton QI
+        (5, same_day, 14, "view", 950.0, None),
+        # NULL value: excluded entirely
+        (6, same_day, 15, "view", None, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(
+        tables, "load",
+        lambda sp, d, name, _orig=tables.load: ev if name == "events" else _orig(sp, d, name),
+    )
+    out = {r["k"]: r for r in QUERIES["k_anonymity_audit"].fn(spark, "unused").collect()}
+    assert out[2]["classes_below"] == 1 and out[2]["rows_at_risk"] == 1
+    assert out[5]["classes_below"] == 2 and out[5]["rows_at_risk"] == 5
+    assert out[10]["classes_below"] == 2 and out[10]["rows_at_risk"] == 5
+    assert out[2]["n_classes"] == 2 and out[2]["n_rows"] == 5
+
+
+def test_right_to_erasure_rewrite_contains_no_erased_rows(spark, sf_dir):
+    """The audit numbers come from the RE-READ snapshot; this pins the
+    stronger content contract — no row of any erased user survives in
+    the rewritten files themselves."""
+    import os
+
+    from flink_scala_spark.operators import maintenance
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    QUERIES["right_to_erasure_audit"].fn(spark, sf_dir).collect()
+    base = maintenance.scratch_dir("right_to_erasure", sf_dir)
+    subdirs = [
+        os.path.join(base, d) for d in os.listdir(base) if d.startswith("kept_")
+    ]
+    assert subdirs
+    latest = max(subdirs, key=os.path.getmtime)
+    kept = spark.read.parquet(latest)
+    assert kept.where(F.col("user_id") % 1000 == 7).count() == 0
+    assert kept.count() > 0

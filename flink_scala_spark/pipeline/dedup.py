@@ -1074,3 +1074,75 @@ def stitch_candidates(
         .where(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b", "boundary_h")
     )
+
+
+SWEEP_CONFIGS = ((8, 1), (4, 2), (2, 4))  # (bands, rows) over NUM_HASHES=8
+
+
+def lsh_parameter_sweep(
+    docs: DataFrame,
+    configs=SWEEP_CONFIGS,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """LSH banding-parameter sweep — the tuning report a dedup run is
+    sized by: for each (bands, rows-per-band) split of the SAME
+    signature table, the candidate-pair count the banding would emit
+    and how many survive exact verification at ``threshold`` —
+    i.e. recall knob vs verify-join cost, measured on the actual
+    corpus instead of the textbook s-curve. More bands of fewer rows
+    (8x1) catches low-similarity pairs at high candidate cost; fewer
+    bands of more rows (2x4) is cheap but high-threshold.
+
+    One profile pass (signatures + verify sets, persisted — it feeds
+    every config's band table and both sides of every verify join);
+    per config the pipeline is the production banding + the guarded
+    pair enumeration, aggregated to ONE row before the union. Pair
+    work is output-bound per config, exactly like the dedup operators
+    themselves."""
+    prof = doc_profiles(docs, text_col, n=n, num_hashes=num_hashes).persist()
+    sigs = prof.select("doc_id", *[f"mh{s}" for s in range(num_hashes)])
+    a = prof.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"),
+        F.col("n").cast("long").alias("na"),
+    )
+    b = prof.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"),
+        F.col("n").cast("long").alias("nb"),
+    )
+    out = None
+    for bands, rows in configs:
+        assert bands * rows == num_hashes, (bands, rows, num_hashes)
+        cand = candidate_pairs_from_bands(lsh_band_table(sigs, bands, rows))
+        scored = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .withColumn(
+                "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+            )
+            .withColumn(
+                "jaccard",
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+            )
+        )
+        agg = scored.agg(
+            F.count("*").alias("n_candidates"),
+            F.coalesce(
+                F.sum((F.col("jaccard") >= F.lit(threshold)).cast("long")),
+                F.lit(0),
+            ).alias("n_verified"),
+        ).select(
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(rows).cast("int").alias("rows_per_band"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_verified").cast("long").alias("n_verified"),
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN NULL"
+                " ELSE (1000000 * n_verified) DIV n_candidates END"
+            ).alias("precision_ppm"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -5225,3 +5225,83 @@ def q_right_to_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_before") - F.col("n_kept")).cast("long").alias("n_erased"),
         "sum_kept_ids",
     )
+
+
+# ---------------------------------------------------------------------------
+# X196: LSH banding-parameter sweep (dedup tuning report)
+# ---------------------------------------------------------------------------
+
+def _sweep_band_selects(bands: int, rows: int) -> str:
+    return "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS key FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+
+
+def _sweep_config_ctes(tag: str, bands: int, rows: int) -> str:
+    return f"""
+    bands_{tag} AS (
+      {_sweep_band_selects(bands, rows)}),
+    cand_{tag} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands_{tag} a JOIN bands_{tag} b
+                     ON a.band = b.band AND a.key = b.key
+                    AND a.doc_id < b.doc_id),
+    agg_{tag} AS (
+        SELECT CAST({bands} AS INT) AS bands,
+               CAST({rows} AS INT) AS rows_per_band,
+               CAST((SELECT count(*) FROM cand_{tag}) AS BIGINT)
+                 AS n_candidates,
+               CAST((SELECT count(*) FROM (
+                   SELECT c.doc_a, c.doc_b, count(*) AS common,
+                          min(ca.n) AS na, min(cb.n) AS nb
+                   FROM cand_{tag} c
+                   JOIN hs sa ON sa.doc_id = c.doc_a
+                   JOIN hs sb ON sb.doc_id = c.doc_b AND sb.h1 = sa.h1
+                   JOIN cnt ca ON ca.doc_id = c.doc_a
+                   JOIN cnt cb ON cb.doc_id = c.doc_b
+                   GROUP BY 1, 2
+                 ) t WHERE CAST(common AS DOUBLE)
+                           / CAST(na + nb - common AS DOUBLE) >= 0.5)
+                 AS BIGINT) AS n_verified
+    )"""
+
+
+_SWEEP_CTES = ",".join(
+    _sweep_config_ctes(f"c{i}", b, r)
+    for i, (b, r) in enumerate(dedup.SWEEP_CONFIGS)
+)
+_SWEEP_UNION = "\n    UNION ALL ".join(
+    f"SELECT * FROM agg_c{i}" for i in range(len(dedup.SWEEP_CONFIGS))
+)
+
+
+@register(
+    "lsh_parameter_planner",
+    f"""
+    WITH {_SH_CTE}, {_HX_CTE},
+    sig AS (SELECT doc_id,
+        {_MH_COLS}
+        FROM hx GROUP BY doc_id),
+    hs AS (SELECT DISTINCT doc_id, h1 FROM hx),
+    cnt AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
+    {_SWEEP_CTES}
+    SELECT bands, rows_per_band, n_candidates, n_verified,
+           CASE WHEN n_candidates = 0 THEN NULL
+                ELSE CAST((1000000 * n_verified) // n_candidates AS BIGINT)
+           END AS precision_ppm
+    FROM ({_SWEEP_UNION}) u
+    """,
+    "dedup", "planning", "lsh",
+)
+def q_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter sweep (X196): candidate volume and
+    verified precision for each (bands x rows) split of the 8-hash
+    signature — the measured tuning report that sizes a production
+    dedup run (the skew planner's sibling on the dedup axis). See
+    pipeline/dedup.py:lsh_parameter_sweep."""
+    return dedup.lsh_parameter_sweep(_docs(spark, sf_dir), threshold=0.5)

@@ -1547,3 +1547,28 @@ def test_right_to_erasure_rewrite_contains_no_erased_rows(spark, sf_dir):
     kept = spark.read.parquet(latest)
     assert kept.where(F.col("user_id") % 1000 == 7).count() == 0
     assert kept.count() > 0
+
+
+def test_lsh_sweep_production_config_matches_dedup_op(spark, sf_dir):
+    """The sweep's (4 bands x 2 rows) row IS the production
+    dedup_minhash_lsh configuration — its verified count must equal
+    that operator's output row count, and candidate counts must be
+    monotone in band count (more, narrower bands never emit fewer
+    candidates)."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    sweep = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in dedup.lsh_parameter_sweep(docs, threshold=0.5).collect()
+    }
+    n_prod = dedup.minhash_lsh_dedup(docs, threshold=0.5).count()
+    assert sweep[(4, 2)]["n_verified"] == n_prod
+    assert (
+        sweep[(8, 1)]["n_candidates"]
+        >= sweep[(4, 2)]["n_candidates"]
+        >= sweep[(2, 4)]["n_candidates"]
+    )
+    for row in sweep.values():
+        assert row["n_verified"] <= row["n_candidates"]

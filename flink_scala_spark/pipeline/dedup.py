@@ -293,6 +293,36 @@ def verified_jaccard(cand: DataFrame, shingles: DataFrame, threshold: float) -> 
     )
 
 
+def jaccard_scored_pairs(cand: DataFrame, prof: DataFrame) -> DataFrame:
+    """Exact-verification scoring shared by the production dedup
+    (:func:`_minhash_pairs`) and the parameter sweep
+    (:func:`lsh_parameter_sweep`): join candidate (doc_a, doc_b) pairs
+    to the profile's hashed shingle sets and score exact common-count
+    and Jaccard. Single source so the sweep's precision numbers can
+    never drift from the dedup they predict.
+
+    No broadcast hint on ``cand``: the candidate frame scales with
+    duplication density (the 64x stress measured 11M pairs), so AQE's
+    size check decides — broadcast while genuinely small, shuffle join
+    when the corpus is clone-heavy."""
+    a = prof.select(
+        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"),
+        F.col("n").cast("long").alias("na"),
+    )
+    b = prof.select(
+        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"),
+        F.col("n").cast("long").alias("nb"),
+    )
+    paired = cand.join(a, "doc_a").join(b, "doc_b")
+    return paired.withColumn(
+        "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+    ).withColumn(
+        "jaccard",
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+    )
+
+
 def _minhash_pairs(
     docs: DataFrame,
     text_col: str,
@@ -308,29 +338,9 @@ def _minhash_pairs(
     prof = doc_profiles(docs, text_col, n=n, num_hashes=num_hashes).persist()
     sigs = prof.select("doc_id", *[f"mh{s}" for s in range(num_hashes)])
     cand = candidate_pairs_from_bands(lsh_band_table(sigs, bands, num_hashes // bands))
-    a = prof.select(
-        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"),
-        F.col("n").cast("long").alias("na"),
-    )
-    b = prof.select(
-        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"),
-        F.col("n").cast("long").alias("nb"),
-    )
-    # no broadcast hint: the candidate frame scales with duplication
-    # density (the 64x stress measured 11M pairs), so AQE's size
-    # check decides — broadcast while genuinely small, shuffle join
-    # when the corpus is clone-heavy
-    paired = cand.join(a, "doc_a").join(b, "doc_b")
-    scored = paired.withColumn(
-        "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
-    ).withColumn(
-        "jaccard",
-        F.col("common").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
-    )
-    out = scored.where(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "common", "jaccard"
-    )
+    out = jaccard_scored_pairs(cand, prof).where(
+        F.col("jaccard") >= threshold
+    ).select("doc_a", "doc_b", "common", "jaccard")
     return out, prof
 
 
@@ -1030,50 +1040,64 @@ def stitch_candidates(
     docs: DataFrame,
     k: int = STITCH_K,
     text_col: str = "text",
-    id_col: str = "doc_id",
+    id_cols: tuple = ("doc_id",),
+    words_col: str | None = None,
 ) -> DataFrame:
-    """Chunk-stitch candidates: pairs (doc_a, doc_b) where doc_a's
-    LAST ``k`` words equal doc_b's FIRST ``k`` words — the boundary
-    artifact a chunking/sharding pipeline leaves when one document was
-    split (or two chunks overlap-stitched) and both halves entered the
-    corpus. Neither minhash nor containment catches these reliably: the
-    shared region is a fixed-size boundary, a vanishing fraction of
-    either document, so set-similarity scores stay below every
-    threshold while the pair is still a provenance duplicate.
+    """Chunk-stitch candidates: pairs (a, b) where unit a's LAST ``k``
+    words equal unit b's FIRST ``k`` words — the boundary artifact a
+    chunking/sharding pipeline leaves when one document was split (or
+    two chunks overlap-stitched) and both halves entered the corpus.
+    Neither minhash nor containment catches these reliably: the shared
+    region is a fixed-size boundary, a vanishing fraction of either
+    document, so set-similarity scores stay below every threshold while
+    the pair is still a provenance duplicate.
 
-    Shape: one row-local projection per doc (split, slice, h60 of the
+    Units are identified by ``id_cols`` VERBATIM (each output pair
+    carries ``<col>_a`` / ``<col>_b`` for every id column) — composite
+    ids like (doc_id, chunk_idx) never get packed into one synthesized
+    integer, so there is no width to overflow and no namespace to
+    collide. ``words_col`` skips the split when the caller already
+    holds the word array (the chunked form would otherwise concat_ws
+    only to immediately re-split).
+
+    Shape: one row-local projection per unit (slice + h60 of the
     first-k and last-k grams), then ONE equi-join on the 60-bit
-    boundary hash with doc_a <> doc_b. Docs shorter than ``k`` words
-    are excluded before the join. Pair output is quadratic in the
-    population sharing one boundary gram (the same contract as every
-    banding dedup here: output-bound, never corpus²); the join itself
-    is hash-partitioned by boundary key and AQE splits skewed keys.
+    boundary hash with a <> b on the full id tuple. Units shorter than
+    ``k`` words are excluded before the join. Pair output is quadratic
+    in the population sharing one boundary gram (the same contract as
+    every banding dedup here: output-bound, never corpus²); the join
+    itself is hash-partitioned by boundary key and AQE splits skewed
+    keys.
     """
+    from functools import reduce
+
     from flink_scala_spark.functions.portable import h60
 
-    w = F.split(F.col(text_col), " ")
-    base = docs.select(
-        F.col(id_col),
-        w.alias("w"),
-    ).where(F.size("w") >= int(k))
+    ids = list(id_cols)
+    w = F.col(words_col) if words_col else F.split(F.col(text_col), " ")
+    base = docs.select(*ids, w.alias("w")).where(F.size("w") >= int(k))
     grams = base.select(
-        id_col,
+        *ids,
         h60(F.concat_ws(" ", F.slice("w", 1, int(k)))).alias("prefix_h"),
         h60(
             F.concat_ws(" ", F.expr(f"slice(w, size(w) - {int(k) - 1}, {int(k)})"))
         ).alias("suffix_h"),
     )
     left = grams.select(
-        F.col(id_col).alias("doc_a"), F.col("suffix_h").alias("boundary_h")
+        *[F.col(c).alias(f"{c}_a") for c in ids],
+        F.col("suffix_h").alias("boundary_h"),
     )
     right = grams.select(
-        F.col(id_col).alias("doc_b"), F.col("prefix_h").alias("boundary_h")
+        *[F.col(c).alias(f"{c}_b") for c in ids],
+        F.col("prefix_h").alias("boundary_h"),
     )
-    return (
-        left.join(right, "boundary_h")
-        .where(F.col("doc_a") != F.col("doc_b"))
-        .select("doc_a", "doc_b", "boundary_h")
+    not_self = reduce(
+        lambda acc, c: acc | (F.col(f"{c}_a") != F.col(f"{c}_b")),
+        ids[1:],
+        F.col(f"{ids[0]}_a") != F.col(f"{ids[0]}_b"),
     )
+    out_cols = [f"{c}_a" for c in ids] + [f"{c}_b" for c in ids] + ["boundary_h"]
+    return left.join(right, "boundary_h").where(not_self).select(*out_cols)
 
 
 SWEEP_CONFIGS = ((8, 1), (4, 2), (2, 4))  # (bands, rows) over NUM_HASHES=8
@@ -1104,30 +1128,11 @@ def lsh_parameter_sweep(
     themselves."""
     prof = doc_profiles(docs, text_col, n=n, num_hashes=num_hashes).persist()
     sigs = prof.select("doc_id", *[f"mh{s}" for s in range(num_hashes)])
-    a = prof.select(
-        F.col("doc_id").alias("doc_a"), F.col("shset").alias("set_a"),
-        F.col("n").cast("long").alias("na"),
-    )
-    b = prof.select(
-        F.col("doc_id").alias("doc_b"), F.col("shset").alias("set_b"),
-        F.col("n").cast("long").alias("nb"),
-    )
     out = None
     for bands, rows in configs:
         assert bands * rows == num_hashes, (bands, rows, num_hashes)
         cand = candidate_pairs_from_bands(lsh_band_table(sigs, bands, rows))
-        scored = (
-            cand.join(a, "doc_a")
-            .join(b, "doc_b")
-            .withColumn(
-                "common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
-            )
-            .withColumn(
-                "jaccard",
-                F.col("common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
-            )
-        )
+        scored = jaccard_scored_pairs(cand, prof)
         agg = scored.agg(
             F.count("*").alias("n_candidates"),
             F.coalesce(

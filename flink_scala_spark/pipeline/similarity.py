@@ -2035,12 +2035,15 @@ def embedding_health_audit(emb: DataFrame) -> DataFrame:
         # flag zero vectors on the exact fold; floor AFTER flagging so
         # a denormal-but-nonzero norm² cannot alias to the zero flag
         (F.col("nsq") == F.lit(0.0)).cast("long").alias("is_zero"),
-        # nsq_ppm is NULL for non-finite vectors: casting a NaN/Inf
-        # double to BIGINT is engine-divergent (Spark non-ANSI
-        # saturates/zeroes, DuckDB raises) — gating on the flag keeps
-        # the stats over finite vectors only, identically in both
+        # nsq_ppm is NULL for non-finite vectors AND for finite norms
+        # past 9e12: casting a double whose *1e6 scaling leaves int64
+        # range is engine-divergent (Spark non-ANSI saturates/zeroes,
+        # DuckDB raises), and a finite garbage component of ~1e10 is
+        # exactly the degenerate input this audit exists to catch —
+        # such vectors still count in n_vecs (and in n_nonfinite when
+        # non-finite); only the norm stats exclude them.
         F.when(
-            F.col("bad") == 0,
+            (F.col("bad") == 0) & (F.col("nsq") <= F.lit(9.0e12)),
             F.floor(F.col("nsq") * F.lit(1000000.0)).cast("long"),
         ).alias("nsq_ppm"),
     )

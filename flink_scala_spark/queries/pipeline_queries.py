@@ -4917,7 +4917,7 @@ def q_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label,
                CAST(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END AS BIGINT) AS is_zero,
                CAST(CASE WHEN bad THEN 1 ELSE 0 END AS BIGINT) AS bad,
-               CASE WHEN bad THEN NULL
+               CASE WHEN bad OR nsq > 9000000000000.0 THEN NULL
                     ELSE CAST(floor(nsq * 1000000.0) AS BIGINT) END AS nsq_ppm
         FROM (
             SELECT label, {_NSQ} AS nsq,
@@ -4959,15 +4959,18 @@ def q_embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM documents WHERE text IS NOT NULL AND text <> ''),
     s AS (SELECT doc_id, len(w) AS n_words, w,
                  unnest(generate_series(1, len(w), 40)) AS start_word FROM d),
-    c AS (SELECT doc_id * 100000 + (start_word - 1) // 40 AS chunk_id,
+    c AS (SELECT doc_id, CAST((start_word - 1) // 40 AS INT) AS chunk_idx,
                  w[start_word:least(start_word + 49, n_words)] AS cw
           FROM s),
-    g AS (SELECT chunk_id,
+    g AS (SELECT doc_id, chunk_idx,
                  {duck_h60("array_to_string(cw[1:10], ' ')")} AS prefix_h,
                  {duck_h60("array_to_string(cw[len(cw)-9:len(cw)], ' ')")} AS suffix_h
           FROM c WHERE len(cw) >= 10)
-    SELECT a.chunk_id AS doc_a, b.chunk_id AS doc_b, a.suffix_h AS boundary_h
-    FROM g a JOIN g b ON b.prefix_h = a.suffix_h AND a.chunk_id <> b.chunk_id
+    SELECT a.doc_id AS doc_id_a, a.chunk_idx AS chunk_idx_a,
+           b.doc_id AS doc_id_b, b.chunk_idx AS chunk_idx_b,
+           a.suffix_h AS boundary_h
+    FROM g a JOIN g b ON b.prefix_h = a.suffix_h
+     AND (a.doc_id <> b.doc_id OR a.chunk_idx <> b.chunk_idx)
     """,
     "dedup", "provenance", "stitch",
 )
@@ -4979,7 +4982,9 @@ def q_chunk_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunking of the corpus (chunk_documents' exact slicing, stride
     overlap = 10 words), where the detector must re-discover every
     consecutive-chunk adjacency — a built-in ground truth at any SF —
-    plus the cross-document stitches duplicate docs induce. Row-local
+    plus the cross-document stitches duplicate docs induce. Units
+    carry their (doc_id, chunk_idx) identity verbatim — no synthesized
+    packed id to overflow or collide at any document length. Row-local
     gram hashing + ONE equi-join on the 60-bit boundary hash. See
     pipeline/dedup.py:stitch_candidates."""
     w = F.split(F.col("text"), " ")
@@ -4998,12 +5003,13 @@ def q_chunk_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("starts").alias("chunk_idx", "start_word"),
     )
     chunks = ex.select(
-        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("doc_id"),
-        F.concat_ws(" ", F.slice(F.col("w"), F.col("start_word"), F.lit(50))).alias(
-            "text"
-        ),
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.slice(F.col("w"), F.col("start_word"), F.lit(50)).alias("cw"),
     )
-    return dedup.stitch_candidates(chunks, k=10)
+    return dedup.stitch_candidates(
+        chunks, k=10, id_cols=("doc_id", "chunk_idx"), words_col="cw"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5035,7 +5041,7 @@ def q_chunk_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1)
     SELECT t.B AS n_buckets, t.used_buckets, t.total_rows, t.max_rows,
            p.p99_rows,
-           CAST((1000000 * t.max_rows * t.used_buckets) // t.total_rows
+           CAST((1000000 * t.max_rows) // (t.total_rows // t.used_buckets)
                 AS BIGINT) AS skew_ppm
     FROM tot t JOIN p99 p ON p.B = t.B
     """,
@@ -5087,8 +5093,16 @@ def q_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rows").cast("long").alias("total_rows"),
             F.col("max_rows").cast("long").alias("max_rows"),
             F.col("p99_rows").cast("long").alias("p99_rows"),
+            # ppm of max/avg with avg = total DIV used, divided BEFORE
+            # the ppm multiply: the (1e6 * max * used) DIV total form
+            # overflows int64 once max*used passes 9.2e12 — reachable
+            # on exactly the 100 TB corpus this report sizes — and the
+            # overflow is engine-divergent (Spark wraps, DuckDB
+            # raises). 1e6*max alone stays under int64 for any max up
+            # to 9.2e12 rows per bucket; avg >= 1 because used counts
+            # nonempty buckets.
             F.expr(
-                "(1000000 * max_rows * used_buckets) DIV total_rows"
+                "(1000000 * max_rows) DIV (total_rows DIV used_buckets)"
             ).alias("skew_ppm"),
         )
     )

@@ -1326,12 +1326,16 @@ def test_embedding_health_audit_flags_zero_and_nonfinite(spark):
         (2, [float("nan")] + [0.5] * 63, 0),
         (3, [float("inf")] + [0.5] * 63, 0),
         (4, [1.0] + [0.0] * 63, 1),
+        # finite but out of ppm range (norm² ~1e20 > 9e12): the exact
+        # degenerate input the audit catches — counted in n_vecs, norm
+        # stats exclude it (a *1e6 BIGINT cast would be engine-divergent)
+        (5, [1.0e10] + [0.0] * 63, 0),
     ]
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
     out = {r["label"]: r for r in similarity.embedding_health_audit(emb).collect()}
-    assert out[0]["n_vecs"] == 3
+    assert out[0]["n_vecs"] == 4
     assert out[0]["n_zero"] == 1
     assert out[0]["n_nonfinite"] == 2
     # norm stats cover FINITE vectors only (the zero vector): casting a
@@ -1363,7 +1367,7 @@ def test_stitch_candidates_boundary_semantics(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.stitch_candidates(docs, k=8).collect()
-    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    pairs = {(r["doc_id_a"], r["doc_id_b"]) for r in out}
     assert pairs == {(1, 2)}
 
 
@@ -1443,7 +1447,7 @@ def test_shuffle_skew_planner_matches_python_reference(spark, sf_dir):
     assert r32["total_rows"] == total
     assert r32["max_rows"] == sizes[-1]
     assert r32["p99_rows"] == p99
-    assert r32["skew_ppm"] == (1_000_000 * sizes[-1] * used) // total
+    assert r32["skew_ppm"] == (1_000_000 * sizes[-1]) // (total // used)
 
 
 def test_incremental_join_maintenance_identity(spark, sf_dir):

@@ -286,6 +286,8 @@ BNLJ_OK = {
     "skew_join_salted",      # the salt-array explode cross, by design
     "sketch_set_cardinality",  # four 1-row sketch aggregates crossed
     "negative_pool_sampler",   # 1-row pool-count aggregate crossed
+    "k_anonymity_audit",       # 3-row threshold frame crossed onto the
+                               # bounded QI class table, by design
     # documented exact all-pairs BASELINE (scale path: bitext_mining_lsh
     # / bitext_mining_ann)
     "bitext_mining_margin",

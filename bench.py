@@ -124,6 +124,9 @@ HEADLINE = [
     "incremental_join_maintenance",
     "k_anonymity_audit",
     "right_to_erasure_audit",
+    "join_cardinality_planner",
+    "embedding_covariance_report",
+    "event_lag_features",
 ]
 
 

@@ -5319,3 +5319,111 @@ def q_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup run (the skew planner's sibling on the dedup axis). See
     pipeline/dedup.py:lsh_parameter_sweep."""
     return dedup.lsh_parameter_sweep(_docs(spark, sf_dir), threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# X198: exact embedding covariance report (whitening / PCA prep)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_covariance_report",
+    """
+    WITH p AS (
+        SELECT i.i, j.j,
+               CAST(floor(CAST(embedding[i.i] AS DOUBLE)
+                          * CAST(embedding[j.j] AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS prod_ppm
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        WHERE j.j >= i.i
+    )
+    SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(prod_ppm) AS BIGINT) AS sum_prod_ppm
+    FROM p GROUP BY 1, 2
+    """,
+    "similarity", "statistics", "covariance",
+)
+def q_embedding_covariance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact second-moment (Gram) report over the embedding corpus
+    (X198) — the accumulation a whitening/PCA prep step reduces to:
+    for every dimension pair i <= j, the count and the sum of per-row
+    products floored to integer ppm BEFORE summing, so the aggregate
+    is BIGINT-exact and partitioning/order-proof (a raw double sum
+    would differ run-to-run under Spark's non-deterministic partial
+    aggregation order; the moment matrix itself is recovered
+    downstream as sum_prod_ppm/1e6/n).
+
+    Scale: the 2080-pair fan-out is row-local (the scan dominates) and
+    map-side combine collapses it to 2080 groups — the shuffle carries
+    2080 rows per partition regardless of corpus size. No driver
+    collect, no 64x64 matrix on any single task's critical path."""
+    emb = _emb(spark, sf_dir)
+    pairs = [(i, j) for i in range(1, similarity.DIM + 1)
+             for j in range(i, similarity.DIM + 1)]
+    pair_df = spark.createDataFrame(pairs, "dim_i int, dim_j int")
+    ex = emb.crossJoin(F.broadcast(pair_df)).select(
+        "dim_i",
+        "dim_j",
+        F.floor(
+            F.element_at("embedding", F.col("dim_i")).cast("double")
+            * F.element_at("embedding", F.col("dim_j")).cast("double")
+            * F.lit(1000000.0)
+        ).cast("long").alias("prod_ppm"),
+    )
+    return ex.groupBy("dim_i", "dim_j").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("prod_ppm").alias("sum_prod_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X199: per-event lag features (sequence feature engineering)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_lag_features",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS seq_idx,
+           lag(event_type) OVER w AS prev_type,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap_s,
+           CAST(count(*) OVER (PARTITION BY user_id
+                               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+                               ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)
+                AS BIGINT) AS prior_burst
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+    """,
+    "features", "sequence", "lag",
+)
+def q_event_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event lag features (X199) — the feature-engineering
+    projection a next-event model trains on: per user in event-time
+    order, the event's sequence index, previous event type, gap to the
+    previous event in whole seconds, and the count of events in the
+    preceding 10-row burst window. First event per user gets NULL
+    prev_type/gap_s and prior_burst 0 — identically in both engines.
+
+    Scale: ONE shuffle keyed by user_id; every feature is a running /
+    bounded-frame window over each user's own history — no self-join,
+    no corpus-wide sort."""
+    from flink_scala_spark.functions.portable import epoch_seconds
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", epoch_seconds("ts").alias("ts_l")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_l", "event_id")
+    burst = w.rowsBetween(-9, -1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("seq_idx"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        (F.col("ts_l") - F.lag("ts_l").over(w)).cast("long").alias("gap_s"),
+        F.count("*").over(burst).cast("long").alias("prior_burst"),
+    )

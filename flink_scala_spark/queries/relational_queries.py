@@ -1356,3 +1356,57 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("cents").alias("delta_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X197: join-cardinality planner (pre-join blowup detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_cardinality_planner",
+    """
+    WITH a AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na
+               FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
+          FROM lineitem GROUP BY 1),
+    j AS (SELECT a.k, a.na, b.nb, a.na * b.nb AS prod
+          FROM a JOIN b ON b.k = a.k)
+    SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+           CAST(sum(prod) AS BIGINT) AS exact_join_rows,
+           CAST(max(prod) AS BIGINT) AS max_key_product,
+           CAST(max(nb) AS BIGINT) AS max_fanout_b,
+           CAST((SELECT count(*) FROM a) AS BIGINT) AS keys_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS keys_b
+    FROM j
+    """,
+    "ops", "planning", "join",
+)
+def q_join_cardinality_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality planner (X197): the EXACT output size of
+    orders ⋈ lineitem computed WITHOUT running the join — per-key
+    count tables joined on the key, then sum/max of the count
+    products. This is the pre-flight that catches a fan-out blowup
+    (max_key_product) and sizes shuffle partitions for the real join;
+    the skew/LSH planners' sibling on the join axis.
+
+    Scale: two map-side-combinable aggs collapse both fact tables to
+    their key cardinality before the only join; nothing row-level is
+    ever joined. The count-table join shuffles |keys| rows, not |rows|."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("na")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("nb"))
+    j = a.join(b, "k").select(
+        "na", "nb", (F.col("na") * F.col("nb")).alias("prod")
+    )
+    agg = j.agg(
+        F.count("*").cast("long").alias("matched_keys"),
+        F.sum("prod").alias("exact_join_rows"),
+        F.max("prod").alias("max_key_product"),
+        F.max("nb").alias("max_fanout_b"),
+    )
+    ka = a.agg(F.count("*").cast("long").alias("keys_a"))
+    kb = b.agg(F.count("*").cast("long").alias("keys_b"))
+    return agg.crossJoin(F.broadcast(ka)).crossJoin(F.broadcast(kb))

@@ -1576,3 +1576,86 @@ def test_lsh_sweep_production_config_matches_dedup_op(spark, sf_dir):
     )
     for row in sweep.values():
         assert row["n_verified"] <= row["n_candidates"]
+
+
+def test_join_cardinality_planner_predicts_actual_join_size(spark, sf_dir):
+    """exact_join_rows (computed from count tables, never the join)
+    must equal the row count of the actual orders x lineitem join."""
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    orders = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    actual = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+    row = QUERIES["join_cardinality_planner"].fn(spark, sf_dir).collect()[0]
+    assert row["exact_join_rows"] == actual
+    assert row["max_key_product"] <= actual
+    assert row["matched_keys"] <= min(row["keys_a"], row["keys_b"])
+
+
+def test_embedding_covariance_matches_python_reference(spark):
+    """Hand-check the (1,1), (1,2), (2,2) Gram entries against plain
+    Python on a two-vector frame, including the per-row ppm floor that
+    makes the sum order-proof (floor of a NEGATIVE product rounds
+    toward -inf in both engines)."""
+    import math
+
+    from flink_scala_spark.queries.catalog import QUERIES
+    import flink_scala_spark.tables as tables
+
+    v1 = [0.5, -0.25] + [0.0] * 62
+    v2 = [1.5, 2.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [(1, v1, 0), (2, v2, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    orig = tables.load
+    try:
+        tables.load = lambda sp, d, n, _o=orig: emb if n == "embeddings" else _o(sp, d, n)
+        out = {
+            (r["dim_i"], r["dim_j"]): r["sum_prod_ppm"]
+            for r in QUERIES["embedding_covariance_report"].fn(spark, "unused").collect()
+        }
+    finally:
+        tables.load = orig
+
+    def expect(i, j):
+        return sum(
+            math.floor(v[i - 1] * v[j - 1] * 1_000_000.0) for v in (v1, v2)
+        )
+
+    assert out[(1, 1)] == expect(1, 1)
+    assert out[(1, 2)] == expect(1, 2)   # includes floor(-0.125e6) = -125000
+    assert out[(2, 2)] == expect(2, 2)
+    assert len(out) == 64 * 65 // 2
+
+
+def test_event_lag_features_first_event_semantics(spark, monkeypatch):
+    """First event per user: NULL prev_type, NULL gap_s, prior_burst 0;
+    second event 5s later: gap_s=5, prior_burst=1."""
+    from datetime import datetime, timezone
+
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0), 1, "view", 1.0, None),
+            (2, ts(5), 1, "click", 1.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(
+        tables, "load",
+        lambda sp, d, n, _o=tables.load: ev if n == "events" else _o(sp, d, n),
+    )
+    out = {r["event_id"]: r for r in QUERIES["event_lag_features"].fn(spark, "x").collect()}
+    assert out[1]["prev_type"] is None and out[1]["gap_s"] is None
+    assert out[1]["prior_burst"] == 0 and out[1]["seq_idx"] == 1
+    assert out[2]["prev_type"] == "view" and out[2]["gap_s"] == 5
+    assert out[2]["prior_burst"] == 1 and out[2]["seq_idx"] == 2

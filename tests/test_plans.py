@@ -288,6 +288,10 @@ BNLJ_OK = {
     "negative_pool_sampler",   # 1-row pool-count aggregate crossed
     "k_anonymity_audit",       # 3-row threshold frame crossed onto the
                                # bounded QI class table, by design
+    "embedding_covariance_report",  # fixed 2080-row literal dim-pair
+                                    # frame crossed onto the scan
+    "join_cardinality_planner",     # two 1-row key-count aggregates
+                                    # crossed onto the 1-row report
     # documented exact all-pairs BASELINE (scale path: bitext_mining_lsh
     # / bitext_mining_ann)
     "bitext_mining_margin",

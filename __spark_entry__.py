@@ -38,8 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sit in (b)), streaming_trigger_fire_purge (re-bucketed replay), and
 # dedup_minhash_lsh/dedup_simhash (pair-enumeration rewrite); outputs
 # of all of these are verified unchanged, so these are gate re-proofs,
-# not forced re-entries; (d) 10 of the 47 remaining round-5 rows
-# (alphabetical; the other 37 are round-10's head). Everything below
+# not forced re-entries; (d) 8 of the 47 remaining round-5 rows
+# (alphabetical; the other 39 are round-10's head). Everything below
 # slot 50 stays oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
@@ -51,6 +51,8 @@ _PRIORITY = [
     "join_cardinality_planner",
     "embedding_covariance_report",
     "event_lag_features",
+    "customer_ltv_cohorts",
+    "streaming_k_anonymity_daily",
     "shuffle_skew_planner",
     "incremental_join_maintenance",
     "streaming_cusum_daily",
@@ -96,8 +98,6 @@ _PRIORITY = [
     "compaction_roundtrip",
     "connect_co_map",
     "corpus_budget_sampler",
-    "corpus_token_budget",
-    "dedup_clusters",
 ]
 
 

@@ -127,6 +127,7 @@ HEADLINE = [
     "join_cardinality_planner",
     "embedding_covariance_report",
     "event_lag_features",
+    "customer_ltv_cohorts",
 ]
 
 

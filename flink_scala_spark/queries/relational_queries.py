@@ -1410,3 +1410,84 @@ def q_join_cardinality_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ka = a.agg(F.count("*").cast("long").alias("keys_a"))
     kb = b.agg(F.count("*").cast("long").alias("keys_b"))
     return agg.crossJoin(F.broadcast(ka)).crossJoin(F.broadcast(kb))
+
+
+# ---------------------------------------------------------------------------
+# X200: customer-LTV cohort curves
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_ltv_cohorts",
+    """
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+                 AS mon,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    first AS (SELECT o_custkey, min(mon) AS cohort_mon FROM o GROUP BY 1),
+    j AS (SELECT o.o_custkey, f.cohort_mon,
+                 o.mon - f.cohort_mon AS month_offset, o.cents
+          FROM o JOIN first f USING (o_custkey)),
+    cell AS (
+        SELECT cohort_mon, month_offset,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM j GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_mon AS BIGINT) AS cohort_mon,
+           CAST(month_offset AS BIGINT) AS month_offset,
+           n_active, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort_mon ORDER BY month_offset
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents
+    FROM cell
+    """,
+    "analytics", "cohort", "ltv",
+)
+def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-LTV cohort curves (X200): customers grouped by
+    first-order month; per (cohort, month offset) the active-customer
+    count, revenue cents, and the cohort's CUMULATIVE revenue — the
+    curve a lifetime-value model is fit to. Months as a linear index
+    (y*12+m-1) so offsets subtract exactly; revenue floored to cents
+    per order BEFORE summing (BIGINT-exact, partitioning-proof).
+
+    Scale: one agg to the customer key space for cohort assignment,
+    one fact-side join against it (AQE decides the strategy), one agg
+    to the (cohort x offset) grid; the running window covers only that
+    calendar-bounded grid. The cohort_retention twin on the ORDERS
+    axis, extended with money."""
+    orders = _t(spark, sf_dir, "orders")
+    mon = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    o = orders.select(
+        "o_custkey",
+        mon.alias("mon"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mon").alias("cohort_mon"))
+    j = o.join(first, "o_custkey").select(
+        "o_custkey",
+        "cohort_mon",
+        (F.col("mon") - F.col("cohort_mon")).alias("month_offset"),
+        "cents",
+    )
+    cell = j.groupBy("cohort_mon", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active"),
+        F.sum("cents").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("cohort_mon")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        F.col("cohort_mon").cast("long").alias("cohort_mon"),
+        F.col("month_offset").cast("long").alias("month_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cents").cast("long").alias("cents"),
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )

@@ -2214,3 +2214,64 @@ def q_streaming_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window.start").cast("long").alias("day_start"), "day_cents"
     )
     return cusum_over_daily(closed, "day_start", "day_cents")
+
+
+@register(
+    "streaming_k_anonymity_daily",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    ),
+    cls AS (
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                   AS day_start,
+               event_type,
+               CAST(floor(value / 100.0) AS BIGINT) AS value_band,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2, 3
+    ),
+    closed AS (SELECT cls.* FROM cls, wm WHERE day_start + 86400 <= w)
+    SELECT day_start,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE class_size < 5) AS BIGINT)
+             AS classes_below_5,
+           CAST(coalesce(sum(class_size) FILTER (WHERE class_size < 5), 0)
+                AS BIGINT) AS rows_at_risk_5
+    FROM closed GROUP BY 1
+    """,
+    "streaming", "governance", "privacy",
+)
+def q_streaming_k_anonymity_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`k_anonymity_audit` live per watermark-closed day (X201, 39th
+    live streaming entry): equivalence classes by (event type, value
+    band) within each closed day, reporting class count and the rows
+    re-identifiable within < 5 candidates — the privacy monitor as a
+    continuous query. Day-of-week drops out of the QI (constant within
+    a day); the policy threshold is fixed at k=5 so the stream carries
+    ONE windowed count per (day, type, band) — state bounded by the QI
+    domain per day, the same tier as the drift/MAD/CUSUM monitors."""
+    ev = sources.file_replay(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("value").isNotNull())
+        .select(
+            "ts",
+            "event_type",
+            F.floor(F.col("value") / 100.0).cast("long").alias("value_band"),
+        )
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"), "event_type", "value_band")
+        .agg(F.count("*").alias("class_size"))
+    )
+    closed = run_bounded(daily, "append").select(
+        F.col("window.start").cast("long").alias("day_start"), "class_size"
+    )
+    return closed.groupBy("day_start").agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum("class_size").cast("long").alias("n_rows"),
+        F.sum((F.col("class_size") < 5).cast("long")).alias("classes_below_5"),
+        F.sum(
+            F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(F.lit(0))
+        ).alias("rows_at_risk_5"),
+    )

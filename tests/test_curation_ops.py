@@ -1659,3 +1659,38 @@ def test_event_lag_features_first_event_semantics(spark, monkeypatch):
     assert out[1]["prior_burst"] == 0 and out[1]["seq_idx"] == 1
     assert out[2]["prev_type"] == "view" and out[2]["gap_s"] == 5
     assert out[2]["prior_burst"] == 1 and out[2]["seq_idx"] == 2
+
+
+def test_customer_ltv_cohorts_offsets_and_cumulative(spark, monkeypatch):
+    """Customer first orders Jan-2024 (cohort), orders again Mar-2024:
+    offsets 0 and 2, cumulative revenue adds up; a second customer
+    starting Mar-2024 forms its own cohort at offset 0."""
+    from datetime import datetime
+
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    rows = [
+        (1, 10, "F", 10.00, datetime(2024, 1, 5), "1-URGENT"),
+        (2, 10, "F", 20.00, datetime(2024, 3, 20), "1-URGENT"),
+        (3, 20, "F", 7.50, datetime(2024, 3, 1), "1-URGENT"),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    monkeypatch.setattr(
+        tables, "load",
+        lambda sp, d, n, _o=tables.load: orders if n == "orders" else _o(sp, d, n),
+    )
+    out = {
+        (r["cohort_mon"], r["month_offset"]): r
+        for r in QUERIES["customer_ltv_cohorts"].fn(spark, "x").collect()
+    }
+    jan = 2024 * 12 + 0
+    mar = 2024 * 12 + 2
+    assert out[(jan, 0)]["cents"] == 1000 and out[(jan, 0)]["cum_cents"] == 1000
+    assert out[(jan, 2)]["cents"] == 2000 and out[(jan, 2)]["cum_cents"] == 3000
+    assert out[(mar, 0)]["cents"] == 750 and out[(mar, 0)]["n_active"] == 1
+    assert len(out) == 3

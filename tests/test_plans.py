@@ -477,6 +477,7 @@ STREAMING_PLAN_PINS = {
     "streaming_drift_report": {"SSS": 1},
     "streaming_value_mad_daily": {"SSS": 1},
     "streaming_cusum_daily": {"SSS": 1},
+    "streaming_k_anonymity_daily": {"SSS": 1},
     # static PQ index served in foreachBatch: ZERO streaming state by
     # design (the index is a broadcast artifact, not store rows)
     "streaming_ann_pq_serving": {},

@@ -1027,3 +1027,108 @@ def test_temperature_mixture_stable_under_repartitioning(spark, rows, npart):
         assert target_n == (total // 2) * w // sum_w
         assert keep_ppm == min(10**6, target_n * 10**6 // n_docs)
         assert 0 <= n_kept <= n_docs
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(1, 4),            # user_id
+        st.integers(0, 5000),         # start second
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(interval_rows)
+def test_interval_union_coverage_matches_python_sweep(spark, rows):
+    """The windowed gaps-and-islands kernel must equal a plain-Python
+    interval-union sweep for arbitrary overlapping/adjacent/swallowed
+    claims (the class of inputs where lag(end) formulations break)."""
+    from datetime import datetime, timezone
+
+    from flink_scala_spark.pipeline.behavior import interval_union_coverage
+
+    dur = 300
+
+    def py_union(starts):
+        ivs = sorted((s, s + dur) for s in starts)
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        return (
+            len(islands),
+            sum(e - s for s, e in islands),
+            max(e - s for s, e in islands),
+        )
+
+    base = 1_700_000_000
+    data = [
+        (i + 1, uid, datetime.fromtimestamp(base + s, tz=timezone.utc).replace(tzinfo=None))
+        for i, (uid, s) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(data, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_s"], r["max_island_s"])
+        for r in interval_union_coverage(ev, dur).collect()
+    }
+    expected = {}
+    by_user = {}
+    for uid, s in rows:
+        by_user.setdefault(uid, []).append(s)
+    for uid, starts in by_user.items():
+        expected[uid] = py_union(starts)
+    assert got == expected
+
+
+cusum_rows = st.lists(
+    st.tuples(
+        st.integers(0, 400),          # day offset
+        st.integers(1, 10**7),        # cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**SETTINGS)
+@given(cusum_rows)
+def test_cusum_over_daily_matches_python_reference(spark, rows):
+    """cusum_over_daily == a plain-Python fold with the floored mean,
+    including the (abs desc, day asc) dev_rank tie-break, for
+    arbitrary day tables."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark.pipeline.behavior import cusum_over_daily
+
+    daily_map = defaultdict(int)
+    for day, cents in rows:
+        daily_map[day] += cents
+    daily = spark.createDataFrame(
+        [(d, c) for d, c in daily_map.items()], "order_day int, day_cents long"
+    )
+    out = {
+        r["order_day"]: (r["cum_cents"], r["cusum_cents"], r["dev_rank"])
+        for r in cusum_over_daily(daily, "order_day", "day_cents").collect()
+    }
+    days = sorted(daily_map)
+    total = sum(daily_map.values())
+    n = len(days)
+    mean = total // n
+    cum = 0
+    expect = {}
+    for t, d in enumerate(days, start=1):
+        cum += daily_map[d]
+        expect[d] = (cum, cum - t * mean)
+    ranks = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted(days, key=lambda d: (-abs(expect[d][1]), d))
+        )
+    }
+    assert out == {d: (expect[d][0], expect[d][1], ranks[d]) for d in days}

@@ -5041,7 +5041,9 @@ def q_chunk_stitch_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1)
     SELECT t.B AS n_buckets, t.used_buckets, t.total_rows, t.max_rows,
            p.p99_rows,
-           CAST((1000000 * t.max_rows) // (t.total_rows // t.used_buckets)
+           CAST((1000000 * t.max_rows // t.total_rows) * t.used_buckets
+                + ((1000000 * t.max_rows % t.total_rows) * t.used_buckets)
+                  // t.total_rows
                 AS BIGINT) AS skew_ppm
     FROM tot t JOIN p99 p ON p.B = t.B
     """,
@@ -5093,16 +5095,21 @@ def q_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rows").cast("long").alias("total_rows"),
             F.col("max_rows").cast("long").alias("max_rows"),
             F.col("p99_rows").cast("long").alias("p99_rows"),
-            # ppm of max/avg with avg = total DIV used, divided BEFORE
-            # the ppm multiply: the (1e6 * max * used) DIV total form
-            # overflows int64 once max*used passes 9.2e12 — reachable
-            # on exactly the 100 TB corpus this report sizes — and the
-            # overflow is engine-divergent (Spark wraps, DuckDB
-            # raises). 1e6*max alone stays under int64 for any max up
-            # to 9.2e12 rows per bucket; avg >= 1 because used counts
-            # nonempty buckets.
+            # EXACT floor(1e6*max*used/total) via the split
+            # (A DIV t)*u + ((A MOD t)*u) DIV t with A = 1e6*max: the
+            # naive (1e6*max*used) DIV total overflows int64 once
+            # max*used passes 9.2e12 — reachable on exactly the 100 TB
+            # corpus this report sizes — and the overflow is
+            # engine-divergent (Spark wraps, DuckDB raises). Here
+            # 1e6*max <= 9.2e18 for any max up to 9.2e12 rows/bucket,
+            # and (A MOD t)*u < total*used — safe to a 9e15-row corpus
+            # at width 1024. (A plain pre-divide by the floored average
+            # was tried first; it overstates skew up to 2x when the
+            # average bucket population is small.)
             F.expr(
-                "(1000000 * max_rows) DIV (total_rows DIV used_buckets)"
+                "(1000000 * max_rows DIV total_rows) * used_buckets"
+                " + ((1000000 * max_rows % total_rows) * used_buckets)"
+                "   DIV total_rows"
             ).alias("skew_ppm"),
         )
     )
@@ -5327,20 +5334,24 @@ def q_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_covariance_report",
-    """
+    f"""
     WITH p AS (
         SELECT i.i, j.j,
-               CAST(floor(CAST(embedding[i.i] AS DOUBLE)
-                          * CAST(embedding[j.j] AS DOUBLE)
-                          * 1000000.0) AS BIGINT) AS prod_ppm
+               CASE WHEN abs(CAST(embedding[i.i] AS DOUBLE)
+                            * CAST(embedding[j.j] AS DOUBLE)) <= 9000000000000.0
+                    THEN CAST(floor(CAST(embedding[i.i] AS DOUBLE)
+                                    * CAST(embedding[j.j] AS DOUBLE)
+                                    * 1000000.0) AS BIGINT)
+               END AS prod_ppm
         FROM embeddings
-        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
-        CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j
+        CROSS JOIN (SELECT unnest(range(1, {similarity.DIM + 1})) AS i) i
+        CROSS JOIN (SELECT unnest(range(1, {similarity.DIM + 1})) AS j) j
         WHERE j.j >= i.i
     )
     SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(prod_ppm) AS BIGINT) AS sum_prod_ppm
+           CAST(count(prod_ppm) AS BIGINT) AS n_scored,
+           CAST(coalesce(sum(prod_ppm), 0) AS BIGINT) AS sum_prod_ppm
     FROM p GROUP BY 1, 2
     """,
     "similarity", "statistics", "covariance",
@@ -5363,18 +5374,27 @@ def q_embedding_covariance_report(spark: SparkSession, sf_dir: str) -> DataFrame
     pairs = [(i, j) for i in range(1, similarity.DIM + 1)
              for j in range(i, similarity.DIM + 1)]
     pair_df = spark.createDataFrame(pairs, "dim_i int, dim_j int")
+    prod = (
+        F.element_at("embedding", F.col("dim_i")).cast("double")
+        * F.element_at("embedding", F.col("dim_j")).cast("double")
+    )
+    # products gate on |p| <= 9e12 before the *1e6 BIGINT floor: past
+    # that (or NaN/Inf — both fail the comparison in BOTH engines,
+    # DuckDB orders NaN above every value) the cast is
+    # engine-divergent, the same rule as embedding_health_audit's
+    # norm gate. n counts all vectors; n_scored the representable ones.
     ex = emb.crossJoin(F.broadcast(pair_df)).select(
         "dim_i",
         "dim_j",
-        F.floor(
-            F.element_at("embedding", F.col("dim_i")).cast("double")
-            * F.element_at("embedding", F.col("dim_j")).cast("double")
-            * F.lit(1000000.0)
-        ).cast("long").alias("prod_ppm"),
+        F.when(
+            F.abs(prod) <= F.lit(9.0e12),
+            F.floor(prod * F.lit(1000000.0)).cast("long"),
+        ).alias("prod_ppm"),
     )
     return ex.groupBy("dim_i", "dim_j").agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("prod_ppm").alias("sum_prod_ppm"),
+        F.count("prod_ppm").cast("long").alias("n_scored"),
+        F.coalesce(F.sum("prod_ppm"), F.lit(0)).cast("long").alias("sum_prod_ppm"),
     )
 
 

@@ -1369,15 +1369,15 @@ def q_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
                FROM orders GROUP BY 1),
     b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
           FROM lineitem GROUP BY 1),
-    j AS (SELECT a.k, a.na, b.nb, a.na * b.nb AS prod
-          FROM a JOIN b ON b.k = a.k)
-    SELECT CAST(count(*) AS BIGINT) AS matched_keys,
-           CAST(sum(prod) AS BIGINT) AS exact_join_rows,
-           CAST(max(prod) AS BIGINT) AS max_key_product,
+    f AS (SELECT a.na, b.nb FROM a FULL JOIN b ON b.k = a.k)
+    SELECT CAST(count(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS matched_keys,
+           CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS exact_join_rows,
+           CAST(max(na * nb) AS BIGINT) AS max_key_product,
            CAST(max(nb) AS BIGINT) AS max_fanout_b,
-           CAST((SELECT count(*) FROM a) AS BIGINT) AS keys_a,
-           CAST((SELECT count(*) FROM b) AS BIGINT) AS keys_b
-    FROM j
+           CAST(count(na) AS BIGINT) AS keys_a,
+           CAST(count(nb) AS BIGINT) AS keys_b
+    FROM f
     """,
     "ops", "planning", "join",
 )
@@ -1390,26 +1390,30 @@ def q_join_cardinality_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     the skew/LSH planners' sibling on the join axis.
 
     Scale: two map-side-combinable aggs collapse both fact tables to
-    their key cardinality before the only join; nothing row-level is
-    ever joined. The count-table join shuffles |keys| rows, not |rows|."""
+    their key cardinality, ONE full-outer join of the two count
+    tables, ONE aggregate over it — each fact table is scanned exactly
+    once (a separate keys_a/keys_b branch would re-scan both; the
+    conditional counts recover every statistic from the single joined
+    frame). max_fanout_b is the b-side histogram max over ALL keys,
+    matched or not."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     a = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
         F.count("*").alias("na")
     )
     b = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("nb"))
-    j = a.join(b, "k").select(
-        "na", "nb", (F.col("na") * F.col("nb")).alias("prod")
+    f = a.join(b, "k", "full")
+    prod = F.col("na") * F.col("nb")
+    return f.agg(
+        F.count(
+            F.when(F.col("na").isNotNull() & F.col("nb").isNotNull(), 1)
+        ).cast("long").alias("matched_keys"),
+        F.coalesce(F.sum(prod), F.lit(0)).cast("long").alias("exact_join_rows"),
+        F.max(prod).cast("long").alias("max_key_product"),
+        F.max("nb").cast("long").alias("max_fanout_b"),
+        F.count("na").cast("long").alias("keys_a"),
+        F.count("nb").cast("long").alias("keys_b"),
     )
-    agg = j.agg(
-        F.count("*").cast("long").alias("matched_keys"),
-        F.sum("prod").alias("exact_join_rows"),
-        F.max("prod").alias("max_key_product"),
-        F.max("nb").alias("max_fanout_b"),
-    )
-    ka = a.agg(F.count("*").cast("long").alias("keys_a"))
-    kb = b.agg(F.count("*").cast("long").alias("keys_b"))
-    return agg.crossJoin(F.broadcast(ka)).crossJoin(F.broadcast(kb))
 
 
 # ---------------------------------------------------------------------------

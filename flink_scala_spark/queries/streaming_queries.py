@@ -1961,7 +1961,12 @@ def q_streaming_ann_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_value_mad_daily",
     """
     WITH wm AS (
-        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+        -- watermark basis = the rows the stream's watermark node
+        -- sees: the NULL-value filter sits BEFORE withWatermark, so
+        -- a corpus whose max-ts row has NULL value must not close
+        -- extra days here
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w
+        FROM events WHERE value IS NOT NULL
     ),
     e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
                      AS day_start,
@@ -2034,7 +2039,12 @@ def q_streaming_value_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_drift_report",
     """
     WITH wm AS (
-        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+        -- watermark basis = the rows the stream's watermark node
+        -- sees: the NULL-value filter sits BEFORE withWatermark, so
+        -- a corpus whose max-ts row has NULL value must not close
+        -- extra days here
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w
+        FROM events WHERE value IS NOT NULL
     ),
     e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
                      AS day_start,
@@ -2158,7 +2168,12 @@ def q_streaming_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_cusum_daily",
     """
     WITH wm AS (
-        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+        -- watermark basis = the rows the stream's watermark node
+        -- sees: the NULL-value filter sits BEFORE withWatermark, so
+        -- a corpus whose max-ts row has NULL value must not close
+        -- extra days here
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w
+        FROM events WHERE value IS NOT NULL
     ),
     e AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
                      AS day_start,
@@ -2220,7 +2235,12 @@ def q_streaming_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_k_anonymity_daily",
     """
     WITH wm AS (
-        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+        -- watermark basis = the rows the stream's watermark node
+        -- sees: the NULL-value filter sits BEFORE withWatermark, so
+        -- a corpus whose max-ts row has NULL value must not close
+        -- extra days here
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w
+        FROM events WHERE value IS NOT NULL
     ),
     cls AS (
         SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400

@@ -1447,7 +1447,8 @@ def test_shuffle_skew_planner_matches_python_reference(spark, sf_dir):
     assert r32["total_rows"] == total
     assert r32["max_rows"] == sizes[-1]
     assert r32["p99_rows"] == p99
-    assert r32["skew_ppm"] == (1_000_000 * sizes[-1]) // (total // used)
+    # the engine's split form equals the exact big-int ratio
+    assert r32["skew_ppm"] == (1_000_000 * sizes[-1] * used) // total
 
 
 def test_incremental_join_maintenance_identity(spark, sf_dir):
@@ -1605,14 +1606,19 @@ def test_embedding_covariance_matches_python_reference(spark):
 
     v1 = [0.5, -0.25] + [0.0] * 62
     v2 = [1.5, 2.0] + [0.0] * 62
+    # out-of-range garbage: dim0² ~1e20 > 9e12 — its dim-0 products are
+    # excluded from the ppm sums (engine-divergent cast) but the vector
+    # still counts in n; its in-range products (0*anything) still score
+    v3 = [1.0e10] + [0.0] * 63
     emb = spark.createDataFrame(
-        [(1, v1, 0), (2, v2, 0)], "vec_id long, embedding array<float>, label int"
+        [(1, v1, 0), (2, v2, 0), (3, v3, 0)],
+        "vec_id long, embedding array<float>, label int",
     )
     orig = tables.load
     try:
         tables.load = lambda sp, d, n, _o=orig: emb if n == "embeddings" else _o(sp, d, n)
         out = {
-            (r["dim_i"], r["dim_j"]): r["sum_prod_ppm"]
+            (r["dim_i"], r["dim_j"]): r
             for r in QUERIES["embedding_covariance_report"].fn(spark, "unused").collect()
         }
     finally:
@@ -1623,9 +1629,13 @@ def test_embedding_covariance_matches_python_reference(spark):
             math.floor(v[i - 1] * v[j - 1] * 1_000_000.0) for v in (v1, v2)
         )
 
-    assert out[(1, 1)] == expect(1, 1)
-    assert out[(1, 2)] == expect(1, 2)   # includes floor(-0.125e6) = -125000
-    assert out[(2, 2)] == expect(2, 2)
+    assert out[(1, 1)]["sum_prod_ppm"] == expect(1, 1)
+    assert out[(1, 1)]["n"] == 3 and out[(1, 1)]["n_scored"] == 2
+    # includes floor(-0.125e6) = -125000; v3's (1,2) product is
+    # 1e10 * 0.0 = 0.0 — in range, contributes 0, so still scored
+    assert out[(1, 2)]["sum_prod_ppm"] == expect(1, 2)
+    assert out[(1, 2)]["n_scored"] == 3
+    assert out[(2, 2)]["sum_prod_ppm"] == expect(2, 2)
     assert len(out) == 64 * 65 // 2
 
 
@@ -1694,3 +1704,55 @@ def test_customer_ltv_cohorts_offsets_and_cumulative(spark, monkeypatch):
     assert out[(jan, 2)]["cents"] == 2000 and out[(jan, 2)]["cum_cents"] == 3000
     assert out[(mar, 0)]["cents"] == 750 and out[(mar, 0)]["n_active"] == 1
     assert len(out) == 3
+
+
+def test_daily_monitor_watermark_ignores_null_value_rows(spark, tmp_path):
+    """Regression (round-9 second review): the daily monitors filter
+    `value IS NOT NULL` BEFORE withWatermark, so the stream's watermark
+    never advances on NULL-value rows — if the corpus's max-ts row has
+    NULL value, a day the unfiltered max would close stays OPEN. The
+    oracle must use the same basis; Spark and DuckDB must agree on the
+    closed-day set for exactly this corpus."""
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    day = 86400
+    d0 = 1_704_153_600  # 2024-01-02 00:00 UTC
+    rows = [
+        (1, d0 + 100, 1, "view", 10.0, "{}"),          # day 0
+        (2, d0 + day + 100, 1, "view", 20.0, "{}"),     # day 1: flushes day 0
+        # max-ts row carries NULL value: the stream watermark must NOT
+        # advance to it (day 1 stays open in BOTH engines)
+        (3, d0 + 3 * day, 2, "click", None, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_l long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("ts_l").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    os.makedirs(sf)
+    shutil.copy(
+        glob.glob(str(tmp_path / "raw") + "/*.parquet")[0],
+        os.path.join(sf, "events.parquet"),
+    )
+    got = QUERIES["streaming_cusum_daily"].fn(spark, sf).collect()
+    assert {r["day_start"] for r in got} == {d0}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    oracle = con.execute(QUERIES["streaming_cusum_daily"].oracle).fetchall()
+    assert {r[0] for r in oracle} == {d0}
+    assert got[0]["day_cents"] == oracle[0][1] == 1000

@@ -38,8 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sit in (b)), streaming_trigger_fire_purge (re-bucketed replay), and
 # dedup_minhash_lsh/dedup_simhash (pair-enumeration rewrite); outputs
 # of all of these are verified unchanged, so these are gate re-proofs,
-# not forced re-entries; (d) 8 of the 47 remaining round-5 rows
-# (alphabetical; the other 39 are round-10's head). Everything below
+# not forced re-entries; (d) 6 of the 47 remaining round-5 rows
+# (alphabetical; the other 41 are round-10's head). Everything below
 # slot 50 stays oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
@@ -53,6 +53,8 @@ _PRIORITY = [
     "event_lag_features",
     "customer_ltv_cohorts",
     "streaming_k_anonymity_daily",
+    "user_transition_matrix",
+    "customer_rfm_segments",
     "shuffle_skew_planner",
     "incremental_join_maintenance",
     "streaming_cusum_daily",
@@ -96,8 +98,6 @@ _PRIORITY = [
     "bitext_mining_lsh",
     "bitext_mining_margin",
     "compaction_roundtrip",
-    "connect_co_map",
-    "corpus_budget_sampler",
 ]
 
 

@@ -128,6 +128,8 @@ HEADLINE = [
     "embedding_covariance_report",
     "event_lag_features",
     "customer_ltv_cohorts",
+    "user_transition_matrix",
+    "customer_rfm_segments",
 ]
 
 

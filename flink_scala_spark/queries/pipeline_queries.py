@@ -5447,3 +5447,60 @@ def q_event_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_l") - F.lag("ts_l").over(w)).cast("long").alias("gap_s"),
         F.count("*").over(burst).cast("long").alias("prior_burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X202: behavior transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+@register(
+    "user_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+                 AS prev_type
+        FROM events
+    ),
+    t AS (SELECT prev_type, event_type AS next_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+            FROM t GROUP BY 1)
+    SELECT t.prev_type, t.next_type, t.n,
+           CAST((1000000 * t.n) // tot.n_from AS BIGINT) AS share_ppm
+    FROM t JOIN tot USING (prev_type)
+    """,
+    "behavior", "markov", "sequence",
+)
+def q_user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior transition matrix (X202): consecutive
+    (prev event type -> next event type) counts per user history, with
+    each transition's share of its source row in integer ppm — the
+    empirical Markov kernel a next-action model is initialized from
+    (the aggregate sibling of event_lag_features' per-row projection).
+
+    Scale: one user_id shuffle for the lag, one map-side-combinable
+    agg to the (type x type) grid — bounded by the type vocabulary,
+    not the corpus; the row-share join runs on that tiny grid."""
+    from flink_scala_spark.functions.portable import epoch_seconds
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", epoch_seconds("ts").alias("ts_l")
+    )
+    w = W.partitionBy("user_id").orderBy("ts_l", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return t.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(1000000 * n) DIV n_from").alias("share_ppm"),
+    )

@@ -1495,3 +1495,158 @@ def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("cents"),
         F.sum("cents").over(w).cast("long").alias("cum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X203: RFM customer segmentation (exact quartile thresholds)
+# ---------------------------------------------------------------------------
+
+def _rfm_thresholds(metric: str) -> str:
+    """Quartile thresholds for one RFM metric via integer histogram
+    selection: pXX = smallest value whose cumulative customer count
+    reaches ceil(q*n/4)."""
+    return f"""
+    h_{metric} AS (SELECT {metric} AS v, CAST(count(*) AS BIGINT) AS cnt
+                   FROM rfm GROUP BY 1),
+    c_{metric} AS (SELECT v, sum(cnt) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM h_{metric}),
+    t_{metric} AS (SELECT
+        (SELECT min(v) FROM c_{metric}, nc WHERE cum >= (nc.n + 3) // 4)
+          AS p25,
+        (SELECT min(v) FROM c_{metric}, nc WHERE cum >= (2 * nc.n + 3) // 4)
+          AS p50,
+        (SELECT min(v) FROM c_{metric}, nc WHERE cum >= (3 * nc.n + 3) // 4)
+          AS p75)"""
+
+
+@register(
+    "customer_rfm_segments",
+    f"""
+    WITH maxd AS (
+        SELECT CAST(max(epoch(o_orderdate)) // 86400 AS BIGINT) AS d
+        FROM orders
+    ),
+    rfm AS (
+        SELECT o_custkey,
+               maxd.d - CAST(max(epoch(o_orderdate)) // 86400 AS BIGINT)
+                 AS recency,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary
+        FROM orders, maxd GROUP BY 1, maxd.d
+    ),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+    {_rfm_thresholds('recency')},
+    {_rfm_thresholds('frequency')},
+    {_rfm_thresholds('monetary')},
+    seg AS (
+        SELECT CAST(1 + CAST(recency > t_recency.p25 AS INT)
+                      + CAST(recency > t_recency.p50 AS INT)
+                      + CAST(recency > t_recency.p75 AS INT) AS INT) AS r_q,
+               CAST(1 + CAST(frequency > t_frequency.p25 AS INT)
+                      + CAST(frequency > t_frequency.p50 AS INT)
+                      + CAST(frequency > t_frequency.p75 AS INT) AS INT) AS f_q,
+               CAST(1 + CAST(monetary > t_monetary.p25 AS INT)
+                      + CAST(monetary > t_monetary.p50 AS INT)
+                      + CAST(monetary > t_monetary.p75 AS INT) AS INT) AS m_q,
+               monetary
+        FROM rfm CROSS JOIN t_recency CROSS JOIN t_frequency
+                 CROSS JOIN t_monetary
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary) AS BIGINT) AS sum_cents
+    FROM seg GROUP BY 1, 2, 3
+    """,
+    "analytics", "segmentation", "rfm",
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (X203): per customer — recency (days since
+    last order, against the corpus max day), frequency (orders), and
+    monetary (exact cents) — each bucketed into quartiles by EXACT
+    integer histogram selection (the winsorized-stats kernel shape:
+    pXX = smallest value whose cumulative count reaches ceil(q*n/4),
+    so the thresholds are data values, not interpolations), then the
+    customer count and revenue of each (R,F,M) cell — the classic
+    marketing segmentation grid.
+
+    Scale: one orders agg to the customer key space, three
+    domain-bounded histograms over it, three 1-row threshold frames
+    broadcast back, one agg to the <= 64-cell grid. No percentile
+    window over the customer table."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    oday = F.floor(
+        F.col("o_orderdate").cast("timestamp").cast("long") / 86400
+    ).cast("long")
+    per = orders.select(
+        "o_custkey",
+        oday.alias("oday"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    maxd = per.agg(F.max("oday").alias("d"))
+    rfm = (
+        per.groupBy("o_custkey")
+        .agg(
+            F.max("oday").alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum("cents").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            (F.col("d") - F.col("last_day")).alias("recency"),
+            "frequency",
+            "monetary",
+        )
+    )
+
+    def thresholds(df, metric):
+        # fully lazy: n rides a 1-row broadcast instead of a driver
+        # count() action, so the operator stays a single plan
+        h = df.groupBy(F.col(metric).alias("v")).agg(F.count("*").alias("cnt"))
+        wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+        c = h.withColumn("cum", F.sum("cnt").over(wc)).crossJoin(
+            F.broadcast(df.agg(F.count("*").alias("n")))
+        )
+        out = c.agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 3) DIV 4"), F.col("v"))
+            ).alias("p25"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(2 * n + 3) DIV 4"), F.col("v"))
+            ).alias("p50"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(3 * n + 3) DIV 4"), F.col("v"))
+            ).alias("p75"),
+        )
+        return out.select(
+            F.col("p25").alias(f"{metric}_p25"),
+            F.col("p50").alias(f"{metric}_p50"),
+            F.col("p75").alias(f"{metric}_p75"),
+        )
+
+    seg = rfm
+    for m in ("recency", "frequency", "monetary"):
+        seg = seg.crossJoin(F.broadcast(thresholds(rfm, m)))
+    bucket = lambda m: (
+        F.lit(1)
+        + (F.col(m) > F.col(f"{m}_p25")).cast("int")
+        + (F.col(m) > F.col(f"{m}_p50")).cast("int")
+        + (F.col(m) > F.col(f"{m}_p75")).cast("int")
+    ).cast("int")
+    return (
+        seg.select(
+            bucket("recency").alias("r_q"),
+            bucket("frequency").alias("f_q"),
+            bucket("monetary").alias("m_q"),
+            "monetary",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("monetary").cast("long").alias("sum_cents"),
+        )
+    )

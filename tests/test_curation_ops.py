@@ -1756,3 +1756,61 @@ def test_daily_monitor_watermark_ignores_null_value_rows(spark, tmp_path):
     oracle = con.execute(QUERIES["streaming_cusum_daily"].oracle).fetchall()
     assert {r[0] for r in oracle} == {d0}
     assert got[0]["day_cents"] == oracle[0][1] == 1000
+
+
+def test_transition_matrix_counts_and_shares(spark, monkeypatch):
+    """view->click, view->click, click->view for one user: shares are
+    exact ppm fractions of each source row; the first event produces
+    no transition."""
+    from datetime import datetime, timezone
+
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    def ts(sec):
+        return datetime.fromtimestamp(1_700_000_000 + sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(0), 1, "view", 1.0, None),
+            (2, ts(1), 1, "click", 1.0, None),
+            (3, ts(2), 1, "view", 1.0, None),
+            (4, ts(3), 1, "click", 1.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(
+        tables, "load",
+        lambda sp, d, n, _o=tables.load: ev if n == "events" else _o(sp, d, n),
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): r
+        for r in QUERIES["user_transition_matrix"].fn(spark, "x").collect()
+    }
+    assert out[("view", "click")]["n"] == 2
+    assert out[("view", "click")]["share_ppm"] == 1_000_000
+    assert out[("click", "view")]["n"] == 1
+    assert out[("click", "view")]["share_ppm"] == 1_000_000
+    assert len(out) == 2
+
+
+def test_rfm_segments_partition_all_customers(spark, sf_dir):
+    """Segment cells must partition the customer base exactly: cell
+    customer counts sum to the number of ordering customers, cell cents
+    sum to total order cents, and every bucket id lies in 1..4."""
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    orders = tables.load(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    total_cents = orders.select(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    ).collect()[0]["c"]
+    rows = QUERIES["customer_rfm_segments"].fn(spark, sf_dir).collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert sum(r["sum_cents"] for r in rows) == total_cents
+    for r in rows:
+        assert 1 <= r["r_q"] <= 4 and 1 <= r["f_q"] <= 4 and 1 <= r["m_q"] <= 4

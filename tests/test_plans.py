@@ -257,6 +257,9 @@ SINGLE_PARTITION_WINDOW_OK = {
     # every window runs over the AGGREGATED day table (calendar-bounded
     # ~2.4k rows at any SF), the corpus_token_budget justification
     "revenue_cusum_changepoint",
+    # the quartile-threshold cum windows run over per-metric VALUE
+    # HISTOGRAMS (domain-bounded), never the customer table
+    "customer_rfm_segments",
 }
 
 # Every BroadcastNestedLoopJoin must be an INTENDED broadcast cross:
@@ -292,6 +295,9 @@ BNLJ_OK = {
                                     # frame crossed onto the scan
     "join_cardinality_planner",     # two 1-row key-count aggregates
                                     # crossed onto the 1-row report
+    "customer_rfm_segments",        # 1-row max-day + three 1-row
+                                    # quartile-threshold frames crossed
+                                    # onto the customer agg
     # documented exact all-pairs BASELINE (scale path: bitext_mining_lsh
     # / bitext_mining_ann)
     "bitext_mining_margin",

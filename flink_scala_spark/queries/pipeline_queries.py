@@ -5100,12 +5100,13 @@ def q_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             # naive (1e6*max*used) DIV total overflows int64 once
             # max*used passes 9.2e12 — reachable on exactly the 100 TB
             # corpus this report sizes — and the overflow is
-            # engine-divergent (Spark wraps, DuckDB raises). Here
-            # 1e6*max <= 9.2e18 for any max up to 9.2e12 rows/bucket,
-            # and (A MOD t)*u < total*used — safe to a 9e15-row corpus
-            # at width 1024. (A plain pre-divide by the floored average
-            # was tried first; it overstates skew up to 2x when the
-            # average bucket population is small.)
+            # engine-divergent (Spark wraps, DuckDB raises). Envelope
+            # of the split: exact while max_rows <= 9.2e12 (the A term)
+            # AND total*used <= 9.2e18 (the remainder term) — both hold
+            # to ~1e12-row fact tables at width 1024; a single bucket
+            # beyond 9.2e12 rows still overflows A itself. (A plain
+            # pre-divide by the floored average was tried first; it
+            # overstates skew up to 2x at small average populations.)
             F.expr(
                 "(1000000 * max_rows DIV total_rows) * used_buckets"
                 " + ((1000000 * max_rows % total_rows) * used_buckets)"
@@ -5338,7 +5339,7 @@ def q_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT i.i, j.j,
                CASE WHEN abs(CAST(embedding[i.i] AS DOUBLE)
-                            * CAST(embedding[j.j] AS DOUBLE)) <= 9000000000000.0
+                            * CAST(embedding[j.j] AS DOUBLE)) <= 100.0
                     THEN CAST(floor(CAST(embedding[i.i] AS DOUBLE)
                                     * CAST(embedding[j.j] AS DOUBLE)
                                     * 1000000.0) AS BIGINT)
@@ -5378,16 +5379,20 @@ def q_embedding_covariance_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.element_at("embedding", F.col("dim_i")).cast("double")
         * F.element_at("embedding", F.col("dim_j")).cast("double")
     )
-    # products gate on |p| <= 9e12 before the *1e6 BIGINT floor: past
-    # that (or NaN/Inf — both fail the comparison in BOTH engines,
-    # DuckDB orders NaN above every value) the cast is
-    # engine-divergent, the same rule as embedding_health_audit's
-    # norm gate. n counts all vectors; n_scored the representable ones.
+    # products gate on |p| <= 100 before the *1e6 BIGINT floor —
+    # two bounds at once: (a) representability (NaN/Inf/huge doubles
+    # cast engine-divergently; NaN/Inf fail the comparison identically
+    # in both engines), and (b) the SUM envelope: admitted prod_ppm is
+    # <= 1e8, so the per-pair BIGINT sum stays exact to 9.2e10 vectors
+    # — a per-product 9e12 gate would let two near-limit garbage rows
+    # overflow the sum. |p| <= 100 is generous for any normalized /
+    # health-audited embedding space (unit vectors have |p| <= 1).
+    # n counts all vectors; n_scored the admitted ones.
     ex = emb.crossJoin(F.broadcast(pair_df)).select(
         "dim_i",
         "dim_j",
         F.when(
-            F.abs(prod) <= F.lit(9.0e12),
+            F.abs(prod) <= F.lit(100.0),
             F.floor(prod * F.lit(1000000.0)).cast("long"),
         ).alias("prod_ppm"),
     )
@@ -5469,7 +5474,9 @@ def q_event_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
             FROM t GROUP BY 1)
     SELECT t.prev_type, t.next_type, t.n,
-           CAST((1000000 * t.n) // tot.n_from AS BIGINT) AS share_ppm
+           CAST((t.n // tot.n_from) * 1000000
+                + ((t.n % tot.n_from) * 1000000) // tot.n_from
+                AS BIGINT) AS share_ppm
     FROM t JOIN tot USING (prev_type)
     """,
     "behavior", "markov", "sequence",
@@ -5502,5 +5509,12 @@ def q_user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         F.col("n").cast("long").alias("n"),
-        F.expr("(1000000 * n) DIV n_from").alias("share_ppm"),
+        # exact (A DIV t)*1e6 + ((A MOD t)*1e6) DIV t split (the
+        # shuffle_skew_planner rule): the naive 1e6*n wraps in Spark /
+        # raises in DuckDB once n passes 9.2e12; the split is exact
+        # while n_from <= 9.2e12 — comfortably above the ~1-2e12 total
+        # events of the 100 TB design point
+        F.expr(
+            "(n DIV n_from) * 1000000 + ((n % n_from) * 1000000) DIV n_from"
+        ).alias("share_ppm"),
     )

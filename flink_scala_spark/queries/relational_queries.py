@@ -1578,9 +1578,9 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = _t(spark, sf_dir, "orders")
-    oday = F.floor(
-        F.col("o_orderdate").cast("timestamp").cast("long") / 86400
-    ).cast("long")
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    oday = F.floor(epoch_seconds("o_orderdate") / 86400).cast("long")
     per = orders.select(
         "o_custkey",
         oday.alias("oday"),
@@ -1604,12 +1604,14 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def thresholds(df, metric):
-        # fully lazy: n rides a 1-row broadcast instead of a driver
-        # count() action, so the operator stays a single plan
+        # fully lazy AND single-lineage: n = sum over the histogram
+        # itself (a second unpartitioned window over the bounded value
+        # histogram), so no separate count branch re-derives the
+        # customer aggregation per metric
         h = df.groupBy(F.col(metric).alias("v")).agg(F.count("*").alias("cnt"))
         wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
-        c = h.withColumn("cum", F.sum("cnt").over(wc)).crossJoin(
-            F.broadcast(df.agg(F.count("*").alias("n")))
+        c = h.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+            "n", F.sum("cnt").over(W.partitionBy())
         )
         out = c.agg(
             F.min(

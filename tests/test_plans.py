@@ -293,8 +293,6 @@ BNLJ_OK = {
                                # bounded QI class table, by design
     "embedding_covariance_report",  # fixed 2080-row literal dim-pair
                                     # frame crossed onto the scan
-    "join_cardinality_planner",     # two 1-row key-count aggregates
-                                    # crossed onto the 1-row report
     "customer_rfm_segments",        # 1-row max-day + three 1-row
                                     # quartile-threshold frames crossed
                                     # onto the customer agg

@@ -257,8 +257,12 @@ SINGLE_PARTITION_WINDOW_OK = {
     # every window runs over the AGGREGATED day table (calendar-bounded
     # ~2.4k rows at any SF), the corpus_token_budget justification
     "revenue_cusum_changepoint",
-    # the quartile-threshold cum windows run over per-metric VALUE
-    # HISTOGRAMS (domain-bounded), never the customer table
+    # the only unpartitioned quartile-threshold windows run over
+    # per-metric level-1 BIN tables (recency: calendar days ~2.5k;
+    # frequency: orders/customer ~50; monetary: $1,000-wide cents bins,
+    # <= domain/1e5 rows) — hard-bounded regardless of customer count;
+    # the within-bin rank windows are bin-partitioned (<= 1e5 distinct
+    # integer values per partition by construction)
     "customer_rfm_segments",
 }
 
@@ -320,6 +324,123 @@ def _batch_antipatterns(name: str, plan: str) -> list[str]:
     ):
         bad.append("SinglePartition+Window")
     return bad
+
+
+# --- Key-skew window lint (round 10) ------------------------------------
+#
+# The SinglePartition+Window sweep above cannot see KEY-level skew: a
+# window partitioned by a low-cardinality column (event_type has 5
+# values, lang/source/band a handful) over corpus-scale input funnels
+# 1/k of the corpus through one task at 100 TB — plan-legal, scale-
+# fatal. That is exactly how the round-9 value_deciles ntile funnel
+# and the customer_rfm_segments monetary window slipped through. This
+# lint walks the OPTIMIZED logical plan: a Window whose partition keys
+# are all known-low-cardinality columns is an offender unless its
+# child subtree is bounded (contains an Aggregate or GlobalLimit — the
+# repo's histogram/top-k reduction patterns) or the entry carries a
+# written justification below.
+
+LOW_CARDINALITY_COLS = {
+    "event_type",  # 5 values in events
+    "lang",        # handful of language codes
+    "source",      # handful of corpus sources
+    "band",        # LSH band index (fixed small constant)
+    "l_returnflag",
+    "l_linestatus",
+    "o_orderstatus",
+    "o_orderpriority",
+}
+
+KEY_SKEW_WINDOW_OK = {
+    # exact per-type quantiles by rank selection over RAW events —
+    # kept deliberately as the EXACT baseline; its docstring names the
+    # GK-certified sketch (event_value_quantiles_certified, X125) as
+    # the 100 TB path, the documented exact/sketch twin pattern
+    "event_value_quantiles",
+    # same group_quantiles kernel run WITH the riding GK sketch + its
+    # rank-bound certificate — the exact branch IS the checker here
+    "approx_quantiles_certified",
+    # rn <= 20 plans as WindowGroupLimit: each map task keeps its own
+    # top-20 per type BEFORE the shuffle, so the per-type funnel task
+    # receives <= 20 * num_map_partitions rows, not the corpus (the
+    # physical shape test_topn_uses_window_group_limit pins)
+    "sample_events_per_type",
+}
+
+
+def _walk_logical(node):
+    yield node, node.getClass().getSimpleName()
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_logical(ch.apply(i))
+
+
+def _subtree_bounded(node):
+    return any(
+        ("Aggregate" in cls) or ("GlobalLimit" in cls)
+        for _, cls in _walk_logical(node)
+    )
+
+
+def _keyskew_window_offenders(df) -> list[str]:
+    """Names of low-cardinality partition-key sets for each Window in
+    df's optimized logical plan whose input is not a bounded frame."""
+    import re
+
+    out = []
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node, cls in _walk_logical(plan):
+        if cls != "Window":
+            continue
+        ps = node.partitionSpec()
+        cols: set[str] = set()
+        for i in range(ps.size()):
+            cols |= {
+                m.group(1)
+                for m in re.finditer(
+                    r"([A-Za-z_][A-Za-z0-9_]*)#\d+", ps.apply(i).toString()
+                )
+            }
+        if not cols or not cols <= LOW_CARDINALITY_COLS:
+            continue
+        ch = node.children()
+        if any(_subtree_bounded(ch.apply(i)) for i in range(ch.size())):
+            continue
+        out.append("Window[" + ",".join(sorted(cols)) + "]")
+    return out
+
+
+def test_no_keyskew_window_in_any_batch_plan(spark, sf_dir):
+    """Round-10 lint (verdict item 3): no batch catalog query may run
+    a Window partitioned ONLY by known-low-cardinality columns over an
+    unbounded (non-aggregated, non-limited) child — the key-skew
+    funnel that is invisible to the SinglePartition sweep."""
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        bad = _keyskew_window_offenders(spec.fn(spark, sf_dir))
+        if bad and name not in KEY_SKEW_WINDOW_OK:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
+def test_keyskew_lint_catches_ntile_funnel(spark, sf_dir):
+    """Meta-test: the detector must fire on the exact shape round 9
+    shipped (per-type ntile over raw events) and stay silent on the
+    round-10 histogram-CDF rebuild that replaced it."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    funnel = ev.select(
+        "event_type", "value", F.ntile(10).over(w).alias("decile")
+    ).groupBy("event_type", "decile").count()
+    assert _keyskew_window_offenders(funnel) == ["Window[event_type]"]
+    assert _keyskew_window_offenders(QUERIES["value_deciles"].fn(spark, sf_dir)) == []
 
 
 def test_antipattern_sweep_catches_dropped_join_key(spark, sf_dir):
@@ -562,6 +683,9 @@ def test_plan_allowlists_contain_only_live_catalog_entries():
     assert BNLJ_OK <= set(QUERIES), sorted(BNLJ_OK - set(QUERIES))
     assert SINGLE_PARTITION_WINDOW_OK <= set(QUERIES), sorted(
         SINGLE_PARTITION_WINDOW_OK - set(QUERIES)
+    )
+    assert KEY_SKEW_WINDOW_OK <= set(QUERIES), sorted(
+        KEY_SKEW_WINDOW_OK - set(QUERIES)
     )
     # bench.py has the same silent-filter failure mode: a typo'd
     # HEADLINE name would just drop that query from the benchmark

@@ -520,3 +520,147 @@ def cusum_over_daily(daily: DataFrame, day_col: str, cents_col: str) -> DataFram
         F.abs(F.col("cusum_cents")).desc(), F.col(day_col)
     )
     return cs.withColumn("dev_rank", F.row_number().over(wdev).cast("int"))
+
+
+def rolling_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Per event day, EXACT distinct users active in the trailing
+    ``window_days`` days (inclusive) plus that day's own distinct count
+    — the sliding-distinct dashboard number that is famously
+    shuffle-hostile at scale because COUNT(DISTINCT) does not decompose
+    across overlapping windows.
+
+    Shape: corpus → ONE distinct to (user, day) grain; each (user, day)
+    row fans out to the <= window_days later days it can serve (a
+    bounded x7 fan-out of the ALREADY-REDUCED day grain, never the
+    corpus); a second user-keyed distinct collapses multi-day users per
+    target day; target days are then restricted to days that actually
+    occur (semi-join against the bounded day grid). Both distincts
+    shuffle on user_id — a corpus-scaling key, no low-cardinality
+    funnel. The HLL twin (rolling_distinct_users_hll) is the
+    sketch-state path this exact form audits."""
+    ud = events.select(
+        "user_id", F.floor(epoch_seconds("ts") / _DAY).cast("long").alias("d")
+    ).distinct()
+    grid = ud.select("d").distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
+        ).alias("td"),
+    ).distinct()
+    roll = (
+        fan.join(grid.select(F.col("d").alias("td")), "td", "leftsemi")
+        .groupBy("td")
+        .agg(F.count("*").cast("long").alias(f"users_{window_days}d"))
+    )
+    one = ud.groupBy("d").agg(F.count("*").cast("long").alias("users_1d"))
+    return roll.join(one, roll["td"] == one["d"]).select(
+        (F.col("td") * _DAY).cast("long").alias("day_s"),
+        "users_1d",
+        f"users_{window_days}d",
+    )
+
+
+def rolling_distinct_users_hll(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """The 100 TB path for rolling_distinct_users: ONE corpus scan
+    builds a fixed-size Datasketches HLL sketch per day
+    (``hll_sketch_agg``); the rolling union then MERGES the day-grain
+    sketches (``hll_union_agg`` over a bounded x7 fan-out of the day
+    table) — distinct-counting work per window is O(sketch), not
+    O(users). Because the raw estimate is engine-specific, the
+    oracle-able projection emits the EXACT rolling count plus the
+    within-5% certificate (the approx_ndv_hll / X124 resolution): the
+    union sketch is genuinely built and its estimate genuinely checked.
+
+    Scale: the corpus is touched exactly once (the per-day sketch agg,
+    map-side combinable); everything downstream is day-grain. The
+    exact branch exists only to AUDIT the sketch — at true 100 TB one
+    keeps the sketch branch alone."""
+    day_sk = (
+        events.select(
+            "user_id", F.floor(epoch_seconds("ts") / _DAY).cast("long").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    grid = day_sk.select("d")
+    fan = day_sk.select(
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.lit(window_days - 1))
+        ).alias("td"),
+        "sk",
+    )
+    est = (
+        fan.join(grid.select(F.col("d").alias("td")), "td", "leftsemi")
+        .groupBy("td")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("approx_users")
+        )
+        .select((F.col("td") * _DAY).cast("long").alias("day_s"), "approx_users")
+    )
+    exact = rolling_distinct_users(events, window_days).select(
+        "day_s", F.col(f"users_{window_days}d").alias("exact_users")
+    )
+    return exact.join(est, "day_s").select(
+        "day_s",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")) * 20
+            <= F.col("exact_users")
+        ).alias("estimate_within_5pct"),
+    )
+
+
+def daily_mean_trend(events: DataFrame) -> DataFrame:
+    """Per-type OLS trend of the daily mean value vs day index —
+    distributed linear regression via exact integer sufficient
+    statistics: the corpus reduces in ONE map-side-combinable agg to
+    (type, day, total_cents, n); y = the floored daily mean cents
+    (total DIV n — both operands non-negative, so Spark truncation ==
+    DuckDB floor); x = day - min(day of type), because with ABSOLUTE
+    epoch days (~2e4) the n*Sxy term overflows int64 once daily means
+    reach ~1e7 cents — shifted, the envelope is n*Sxy <= span^3 * y
+    ~ 2.5e3^3 * y, BIGINT-safe for daily mean cents up to ~5.9e8
+    ($5.9M/event; the events domain is <= 1e5 cents).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) and intercept =
+    (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2) are each ONE IEEE division of
+    two exact BIGINTs — bit-identical in any engine. Single-day types
+    (den = 0) emit NULL slope/intercept identically."""
+    daily = (
+        events.where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(epoch_seconds("ts") / _DAY).cast("long").alias("d"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("cents").alias("tot"), F.count("*").alias("cnt"))
+        .withColumn("y", F.expr("tot DIV cnt"))
+    )
+    d0 = daily.groupBy("event_type").agg(F.min("d").alias("d0"))
+    xy = daily.join(d0, "event_type").select(
+        "event_type", (F.col("d") - F.col("d0")).alias("x"), "y"
+    )
+    st = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    inum = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return st.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("slope_cents_per_day"),
+        F.when(
+            den != 0, inum.cast("double") / den.cast("double")
+        ).alias("intercept_cents"),
+    )

@@ -5518,3 +5518,128 @@ def q_user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n DIV n_from) * 1000000 + ((n % n_from) * 1000000) DIV n_from"
         ).alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X204/X205: rolling 7-day distinct users (exact + HLL-union sketch)
+# ---------------------------------------------------------------------------
+
+_ROLLING_UD = """
+    ud AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+           FROM events),
+    grid AS (SELECT DISTINCT d FROM ud),
+    fan AS (SELECT DISTINCT user_id, d + r AS td
+            FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS r) offs),
+    roll AS (SELECT td, CAST(count(*) AS BIGINT) AS users_7d
+             FROM fan WHERE td IN (SELECT d FROM grid) GROUP BY 1)
+"""
+
+
+@register(
+    "rolling_distinct_users",
+    f"""
+    WITH {_ROLLING_UD},
+    one AS (SELECT d, CAST(count(*) AS BIGINT) AS users_1d FROM ud GROUP BY 1)
+    SELECT CAST(roll.td * 86400 AS BIGINT) AS day_s, one.users_1d, roll.users_7d
+    FROM roll JOIN one ON one.d = roll.td
+    """,
+    "analytics", "sliding-distinct",
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (X204): the exact
+    sliding-distinct dashboard metric. COUNT(DISTINCT) does not
+    decompose across overlapping windows, so the classic formulations
+    either re-scan the corpus per window (7x the IO) or window-join the
+    raw events (7x shuffle of the corpus). Here the corpus reduces ONCE
+    to (user, day) grain; the bounded x7 fan-out and second distinct
+    run on that reduced grain, both shuffled on user_id — a
+    corpus-scaling key, no low-cardinality funnel. The HLL twin
+    (rolling_distinct_users_hll) is the O(sketch)-per-day 100 TB path
+    this exact form audits."""
+    from flink_scala_spark.pipeline import behavior
+
+    return behavior.rolling_distinct_users(_events(spark, sf_dir))
+
+
+@register(
+    "rolling_distinct_users_hll",
+    f"""
+    WITH {_ROLLING_UD}
+    SELECT CAST(td * 86400 AS BIGINT) AS day_s,
+           users_7d AS exact_users,
+           TRUE AS estimate_within_5pct
+    FROM roll
+    """,
+    "analytics", "sliding-distinct", "sketch",
+)
+def q_rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X204 at sketch cost (X205): one corpus scan builds a fixed-size
+    Datasketches HLL per day; the rolling 7-day union merges DAY-GRAIN
+    sketches (hll_union_agg), so per-window distinct work is O(sketch),
+    not O(users). The raw estimate is engine-specific (Datasketches
+    binary layout), so the oracle-able projection emits the exact
+    rolling count plus the within-5% certificate the DuckDB oracle pins
+    literally TRUE (default lgK=12 ~ 1.6% RSE; the union of <= 7
+    mergeable sketches preserves the bound) — the approx_ndv_hll (X124)
+    resolution applied to sliding windows."""
+    from flink_scala_spark.pipeline import behavior
+
+    return behavior.rolling_distinct_users_hll(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X206: daily-mean OLS trend (distributed regression via exact stats)
+# ---------------------------------------------------------------------------
+
+@register(
+    "value_trend_ols",
+    """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 // CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    xy AS (
+        SELECT event_type, d - min(d) OVER (PARTITION BY event_type) AS x, y
+        FROM daily
+    ),
+    st AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM xy GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_day,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS intercept_cents
+    FROM st
+    """,
+    "analytics", "regression", "trend",
+)
+def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed OLS (X206): per-type linear trend of the daily mean
+    value, fit from exact integer sufficient statistics (n, Sx, Sy,
+    Sxy, Sxx) — the normal-equations form that makes linear regression
+    a single map-side-combinable aggregate at any scale. slope and
+    intercept are each ONE IEEE division of two exact BIGINTs, so the
+    fit is hash-exact across engines (no libm, no iterative solver).
+
+    Scale: corpus -> (type, day) in one agg; everything after runs on
+    the calendar-bounded day table (the min-day shift join is
+    type-grain). See behavior.daily_mean_trend for the BIGINT
+    envelope."""
+    from flink_scala_spark.pipeline import behavior
+
+    return behavior.daily_mean_trend(_events(spark, sf_dir))

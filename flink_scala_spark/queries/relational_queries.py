@@ -1726,3 +1726,111 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary").cast("long").alias("sum_cents"),
         )
     )
+
+
+@register(
+    "product_type_profit",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(sum({_REV}
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS INT)
+                      * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    "relational", "q9",
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (adapted: no partsupp table in the driver testdata, so
+    supply cost is the 60%-of-retail proxy priced from part): profit on
+    'red' parts by supplier nation x order year — the 5-table profit
+    rollup whose planning hazards are (a) the p_name filter must reach
+    the part scan BEFORE the join and (b) only nation may broadcast
+    (part/supplier/orders all scale with SF — round-9 broadcast
+    policy). All money arithmetic stays DECIMAL until the final cast,
+    so the sum is exact in both engines."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("int")
+        * F.lit(0.6).cast("decimal(2,1)")
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(_rev_col() - cost).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS o_date_s,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(q.total_qty AS BIGINT) AS total_qty
+    FROM (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 250) q
+      JOIN orders o ON o.o_orderkey = q.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    "relational", "q18",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: customers who placed very-large-volume orders
+    (order's summed quantity > 250). The classic HAVING-subquery plan:
+    ONE map-side-combinable lineitem aggregate produces the qualifying
+    order keys WITH their quantity (no second lineitem scan, no IN
+    subquery re-evaluation); the survivors (~1% of orders) then join
+    orders and customer. Quantities are integer-valued, so the
+    BIGINT sum and threshold are exact."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    return (
+        q.join(o, q["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            epoch_seconds("o_orderdate").alias("o_date_s"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )

@@ -1814,3 +1814,111 @@ def test_rfm_segments_partition_all_customers(spark, sf_dir):
     assert sum(r["sum_cents"] for r in rows) == total_cents
     for r in rows:
         assert 1 <= r["r_q"] <= 4 and 1 <= r["f_q"] <= 4 and 1 <= r["m_q"] <= 4
+
+
+def test_rolling_distinct_users_window_semantics(spark, monkeypatch):
+    """A user active on days 0 and 2 counts ONCE in every trailing
+    7-day window covering both; a day with no events gets no row even
+    when earlier activity would fall inside its window."""
+    from datetime import datetime, timezone
+
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    def ts(day, sec=0):
+        return datetime.fromtimestamp(
+            day * 86400 + sec, tz=timezone.utc
+        ).replace(tzinfo=None)
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(20000, 10), 1, "view", 1.0, None),
+            (2, ts(20002, 20), 1, "view", 1.0, None),   # same user, day+2
+            (3, ts(20002, 30), 2, "click", 1.0, None),  # second user day+2
+            (4, ts(20020, 0), 3, "view", 1.0, None),    # far-away day
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(
+        tables, "load",
+        lambda sp, d, n, _o=tables.load: ev if n == "events" else _o(sp, d, n),
+    )
+    out = {
+        r["day_s"] // 86400: r
+        for r in QUERIES["rolling_distinct_users"].fn(spark, "x").collect()
+    }
+    # days 20001, 20003..20008 have no events -> no rows
+    assert set(out) == {20000, 20002, 20020}
+    assert out[20000]["users_1d"] == 1 and out[20000]["users_7d"] == 1
+    # user 1 active on 20000 AND 20002 counts once; user 2 joins
+    assert out[20002]["users_1d"] == 2 and out[20002]["users_7d"] == 2
+    assert out[20020]["users_1d"] == 1 and out[20020]["users_7d"] == 1
+    # HLL twin: exact branch identical, certificate true on tiny input
+    hll = {
+        r["day_s"] // 86400: r
+        for r in QUERIES["rolling_distinct_users_hll"].fn(spark, "x").collect()
+    }
+    assert {d: r["exact_users"] for d, r in hll.items()} == {
+        20000: 1, 20002: 2, 20020: 1
+    }
+    assert all(r["estimate_within_5pct"] for r in hll.values())
+
+
+def test_value_trend_ols_exact_fit(spark, monkeypatch):
+    """Daily means 100, 200, 300 cents on days 0,1,2 fit slope=100,
+    intercept=100 exactly; a single-day type yields NULL slope."""
+    from datetime import datetime, timezone
+
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    def ts(day):
+        return datetime.fromtimestamp(day * 86400, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts(100), 1, "view", 1.00, None),
+            (2, ts(101), 1, "view", 2.00, None),
+            (3, ts(102), 1, "view", 3.00, None),
+            (4, ts(100), 1, "click", 9.00, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    monkeypatch.setattr(
+        tables, "load",
+        lambda sp, d, n, _o=tables.load: ev if n == "events" else _o(sp, d, n),
+    )
+    out = {
+        r["event_type"]: r
+        for r in QUERIES["value_trend_ols"].fn(spark, "x").collect()
+    }
+    assert out["view"]["n_days"] == 3
+    assert out["view"]["slope_cents_per_day"] == 100.0
+    assert out["view"]["intercept_cents"] == 100.0
+    assert out["click"]["n_days"] == 1
+    assert out["click"]["slope_cents_per_day"] is None
+    assert out["click"]["intercept_cents"] is None
+
+
+def test_large_volume_customers_threshold_edge(spark, sf_dir):
+    """Every reported order's quantity must exceed 250, and the
+    reported total must equal an independent per-order recount."""
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    rows = QUERIES["large_volume_customers"].fn(spark, sf_dir).collect()
+    assert rows, "sf fixture should contain qualifying orders"
+    li = tables.load(spark, sf_dir, "lineitem")
+    recount = {
+        r["l_orderkey"]: r["q"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .collect()
+    }
+    for r in rows:
+        assert r["total_qty"] > 250
+        assert recount[r["o_orderkey"]] == r["total_qty"]

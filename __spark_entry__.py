@@ -30,74 +30,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-9 rotation: (a) the eight round-9 additions (no driver row
-# yet); (b) the ten r4-era survivors earmarked by the round-8 verdict
-# (after this round every entry has >= round-5 gate evidence); (c) the
-# plan-changed queries with pre-round-8 evidence — five of the
-# fourteen de-hinted broadcast queries (the other nine have r8 rows or
-# sit in (b)), streaming_trigger_fire_purge (re-bucketed replay), and
-# dedup_minhash_lsh/dedup_simhash (pair-enumeration rewrite); outputs
-# of all of these are verified unchanged, so these are gate re-proofs,
-# not forced re-entries; (d) 6 of the 47 remaining round-5 rows
-# (alphabetical; the other 41 are round-10's head). Everything below
-# slot 50 stays oracle-checked at sf0.001 on every pytest run
+# Round-10 rotation: (a) the eight round-10 additions (no driver row
+# yet); (b) customer_rfm_segments — its quartile-threshold kernel was
+# rebuilt this round (two-level bin selection), so the driver re-proves
+# the changed plan; (c) ALL 41 entries whose latest driver-green row is
+# round 5 (the full stale tail — after this round no entry's latest
+# driver row predates round 6; value_deciles sits here and doubles as
+# the gate re-proof of its round-10 histogram-CDF rebuild). Everything
+# below slot 50 stays oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
 _PRIORITY = [
-    # (a) round-9 additions, no driver row yet
-    "k_anonymity_audit",
-    "right_to_erasure_audit",
-    "lsh_parameter_planner",
-    "join_cardinality_planner",
-    "embedding_covariance_report",
-    "event_lag_features",
-    "customer_ltv_cohorts",
-    "streaming_k_anonymity_daily",
-    "user_transition_matrix",
+    # (a) round-10 additions, no driver row yet
+    "rolling_distinct_users",
+    "rolling_distinct_users_hll",
+    "value_trend_ols",
+    "product_type_profit",
+    "large_volume_customers",
+    "revenue_gini",
+    "snapshot_diff_audit",
+    "streaming_rolling_distinct_daily",
+    # (b) plan changed this round
     "customer_rfm_segments",
-    "shuffle_skew_planner",
-    "incremental_join_maintenance",
-    "streaming_cusum_daily",
-    "interval_union_coverage",
-    "knn_label_audit",
-    "embedding_health_audit",
-    "chunk_stitch_candidates",
-    "revenue_cusum_changepoint",
-    "dedup_substring_scrub",
-    "value_mad_outlier_report",
-    "negative_pool_sampler",
-    "sequence_packing_bins",
-    "lang_mismatch_audit",
-    "streaming_value_mad_daily",
-    "value_percentile_rank",
-    "value_winsorized_stats",
-    # (b) the ten r4-era survivors
-    "bracketed_revenue",
-    "dataset_split_leakage_safe",
-    "forecast_revenue_change",
-    "local_supplier_volume",
-    "nation_market_share",
-    "nation_trade_flow",
-    "range_join_binned",
-    "revenue_cube",
-    "ship_latency_priority_counts",
+    # (c) the full round-5 stale tail (41, alphabetical)
+    "connect_co_map",
+    "corpus_budget_sampler",
+    "corpus_token_budget",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "event_value_quantiles",
+    "events_json_props",
+    "events_type_pivot",
+    "filter_threshold",
+    "hybrid_retrieval_rrf",
+    "incremental_agg_maintenance",
+    "keyed_sum",
+    "keyed_sum_salted",
+    "latest_event_per_key",
+    "length_outliers",
+    "lineitem_pricing_summary",
+    "multimodal_features",
+    "ngram_lm_score",
+    "order_dashboard_rollup",
+    "ordered_fold",
+    "ordered_fold_general",
+    "orders_without_recent_shipments",
+    "rising_streak_alarm",
+    "running_sum",
+    "sensor_parse",
+    "sliding_window_counts",
+    "source_reputation_filter",
+    "split_contamination_audit",
+    "streaming_dedup_events",
+    "streaming_dedup_minhash",
+    "streaming_dedup_minhash_ttl",
+    "streaming_interval_join",
+    "streaming_latest_event",
+    "streaming_token_budget",
+    "top_events_per_user",
+    "tumbling_window_counts",
+    "tumbling_window_min_by",
+    "tumbling_window_unique_users",
+    "unified_backfill_daily",
     "value_deciles",
-    # (c) plan-changed with pre-r8 evidence
-    "revenue_by_region_parttype",
-    "min_cost_supplier_per_part",
-    "promo_revenue_share",
-    "returned_revenue_top_customers",
-    "part_supplier_diversity",
-    "streaming_trigger_fire_purge",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # (d) 24 stalest round-5 rows (alphabetical)
-    "ann_ivf_index_incremental",
-    "ann_pq_refined",
-    "arg_min_row",
-    "bitext_mining_lsh",
-    "bitext_mining_margin",
-    "compaction_roundtrip",
+    "word_count",
+    "zorder_roundtrip",
 ]
 
 

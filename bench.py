@@ -130,6 +130,14 @@ HEADLINE = [
     "customer_ltv_cohorts",
     "user_transition_matrix",
     "customer_rfm_segments",
+    # round 10
+    "rolling_distinct_users",
+    "rolling_distinct_users_hll",
+    "value_trend_ols",
+    "product_type_profit",
+    "large_volume_customers",
+    "revenue_gini",
+    "snapshot_diff_audit",
 ]
 
 

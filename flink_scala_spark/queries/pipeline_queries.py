@@ -5643,3 +5643,113 @@ def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_scala_spark.pipeline import behavior
 
     return behavior.daily_mean_trend(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X208: snapshot diff audit (table-version change accounting)
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff_audit",
+    """
+    WITH v1 AS (SELECT doc_id, lang, source, n_chars FROM documents),
+    v2 AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN doc_id % 13 = 5 THEN n_chars + 11
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT doc_id + 10000000, lang, source, n_chars
+        FROM documents WHERE doc_id % 19 = 7
+    ),
+    j AS (SELECT a.doc_id AS aid, b.doc_id AS bid,
+                 a.lang AS al, b.lang AS bl,
+                 a.source AS asrc, b.source AS bsrc,
+                 a.n_chars AS an, b.n_chars AS bn
+          FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+    SELECT CASE WHEN aid IS NULL THEN 'added'
+                WHEN bid IS NULL THEN 'removed'
+                WHEN al IS DISTINCT FROM bl
+                  OR asrc IS DISTINCT FROM bsrc
+                  OR an IS DISTINCT FROM bn THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(coalesce(bn, 0) - coalesce(an, 0)) AS BIGINT)
+             AS chars_delta
+    FROM j GROUP BY 1
+    """,
+    "data-management", "snapshot-diff",
+)
+def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot version diff (X208): two table versions staged to
+    parquet (v2 deterministically deletes doc_id%17==3, bumps n_chars
+    on doc_id%13==5, and appends shifted-id rows for doc_id%19==7),
+    re-read and diffed by ONE co-partitioned full-outer join on the
+    key — the added/removed/changed/unchanged accounting every
+    lakehouse release audit runs, expressed at engine level. Row
+    classification uses null-safe comparisons so NULL column values
+    diff correctly; chars_delta is the net content change per class.
+
+    Scale: the diff is one key-equi full-outer join (both sides
+    co-partition on doc_id, AQE-sized) + one map-side-combinable agg
+    to the 4-row class table. The audit reads the RE-READ files, not
+    the in-memory lineage — the compaction_roundtrip content
+    contract."""
+    import os
+
+    from flink_scala_spark.operators import maintenance
+
+    base = maintenance.scratch_dir("snapshot_diff", sf_dir)
+    v1p = os.path.join(base, "v1")
+    v2p = os.path.join(base, "v2")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    maintenance.stage_once(
+        v1p, lambda tmp: docs.write.mode("overwrite").parquet(tmp)
+    )
+
+    def write_v2(tmp: str) -> None:
+        kept = docs.where(F.col("doc_id") % 17 != 3).withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 13 == 5, F.col("n_chars") + 11
+            ).otherwise(F.col("n_chars")),
+        )
+        added = docs.where(F.col("doc_id") % 19 == 7).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        kept.unionByName(added).write.mode("overwrite").parquet(tmp)
+
+    maintenance.stage_once(v2p, write_v2)
+    a = spark.read.parquet(v1p)
+    b = spark.read.parquet(v2p)
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    differs = (
+        ~F.col("a.lang").eqNullSafe(F.col("b.lang"))
+        | ~F.col("a.source").eqNullSafe(F.col("b.source"))
+        | ~F.col("a.n_chars").eqNullSafe(F.col("b.n_chars"))
+    )
+    cls = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            cls.alias("change_type"),
+            (
+                F.coalesce(F.col("b.n_chars"), F.lit(0))
+                - F.coalesce(F.col("a.n_chars"), F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("delta").cast("long").alias("chars_delta"),
+        )
+    )

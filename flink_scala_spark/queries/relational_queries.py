@@ -1834,3 +1834,109 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_qty").cast("long").alias("total_qty"),
         )
     )
+
+
+@register(
+    "revenue_gini",
+    """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS v
+        FROM orders GROUP BY 1
+    ),
+    h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM per GROUP BY 1),
+    c AS (SELECT v, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS n
+          FROM h),
+    tot AS (
+        SELECT max(n) AS n,
+               CAST(sum(CAST(v AS HUGEINT) * cnt) AS HUGEINT) AS t,
+               CAST(sum(CAST(v AS HUGEINT) * cnt
+                        * (2 * (cum - cnt) + cnt + 1)) AS HUGEINT) AS s2,
+               CAST(sum(CAST(v AS HUGEINT)
+                        * least(cnt, greatest(0, cum - (n - n // 10))))
+                    AS HUGEINT) AS stp
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(t AS BIGINT) AS total_cents,
+           CAST((s2 - (n + 1) * t) * 1000000 // (n * t) AS BIGINT) AS gini_ppm,
+           CAST(stp * 1000000 // t AS BIGINT) AS top_decile_share_ppm
+    FROM tot
+    """,
+    "analytics", "concentration", "gini",
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (X207): exact Gini coefficient and
+    top-decile revenue share of customer lifetime spend, in ppm —
+    computed WITHOUT sorting the customer table. The rank sum of a
+    tied-value group is closed-form (cnt*(2*below + cnt + 1) = twice
+    the rank sum), so Gini's S = sum(i * v_i) needs only each distinct
+    value's strictly-below count — which comes from the same two-level
+    (fixed-width bin, value) histogram CDF as customer_rfm_segments:
+    the only unpartitioned windows run over hard-bounded bin tables.
+
+    Exactness across engines: products reach ~n^2*v, past BIGINT at
+    scale, so the Spark side accumulates DECIMAL(38,0) and the DuckDB
+    oracle HUGEINT; the final ratios use integral `div` (exact in both,
+    all operands non-negative: ranks and values sorted ascending give
+    2S >= (n+1)T by the Chebyshev sum inequality). Outputs are plain
+    BIGINT ppm."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    per = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("v")
+    )
+    h2 = (
+        per.select("v")
+        .withColumn("b", F.expr("v DIV 100000"))
+        .groupBy("b", "v")
+        .agg(F.count("*").alias("cnt"))
+    )
+    h1 = h2.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+    w1 = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c1 = (
+        h1.withColumn("bcum", F.sum("bcnt").over(w1))
+        .withColumn("n", F.sum("bcnt").over(W.partitionBy()))
+        .select("b", (F.col("bcum") - F.col("bcnt")).alias("bbelow"), "n")
+    )
+    w2 = W.partitionBy("b").orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c2 = h2.withColumn("vcum", F.sum("cnt").over(w2))
+    j = (
+        c2.join(c1, "b")
+        .withColumn("cum", F.col("bbelow") + F.col("vcum"))
+        .withColumn("below", F.col("cum") - F.col("cnt"))
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    agg = j.agg(
+        F.max("n").alias("n"),
+        F.sum(vd * F.col("cnt")).alias("t"),
+        F.sum(
+            vd * F.col("cnt") * (2 * F.col("below") + F.col("cnt") + 1)
+        ).alias("s2"),
+        F.sum(
+            vd
+            * F.least(
+                F.col("cnt"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("cum") - F.expr("n - n DIV 10"),
+                ),
+            )
+        ).alias("stp"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("t").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((s2 - (n + 1) * t) * 1000000 div (n * t) AS LONG)"
+        ).alias("gini_ppm"),
+        F.expr("CAST(stp * 1000000 div t AS LONG)").alias(
+            "top_decile_share_ppm"
+        ),
+    )

@@ -2295,3 +2295,83 @@ def q_streaming_k_anonymity_daily(spark: SparkSession, sf_dir: str) -> DataFrame
             F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(F.lit(0))
         ).alias("rows_at_risk_5"),
     )
+
+
+@register(
+    "streaming_rolling_distinct_daily",
+    """
+    WITH wm AS (
+        SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
+    ),
+    ud AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+           FROM events),
+    grid AS (SELECT DISTINCT d FROM ud),
+    fan AS (SELECT DISTINCT user_id, d + r AS td
+            FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS r) offs),
+    roll AS (SELECT td, CAST(count(*) AS BIGINT) AS exact_users_7d
+             FROM fan WHERE td IN (SELECT d FROM grid) GROUP BY 1)
+    SELECT CAST(td * 86400 AS BIGINT) AS day_start,
+           exact_users_7d,
+           TRUE AS estimate_within_5pct
+    FROM roll, wm WHERE td * 86400 + 86400 <= wm.w
+    """,
+    "streaming", "sliding-distinct", "sketch",
+)
+def q_streaming_rolling_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`rolling_distinct_users_hll` live (X209, 40th live entry): the
+    stream maintains ONE fixed-size Datasketches HLL per closed event
+    day (a single windowed agg — O(sketch) state per day regardless of
+    user cardinality, the production sliding-distinct shape); the
+    rolling 7-day union then MERGES the emitted day-grain sketches
+    post-stream (HLL register merge is an elementwise max, so the
+    estimate is partitioning- and merge-order-proof). The exact branch
+    is a post-hoc batch audit over the same files (the X159
+    exact-branch-is-the-checker contract), restricted to the days the
+    stream's watermark actually closed; the projection emits the exact
+    rolling count plus the within-5% certificate the oracle pins
+    literally TRUE."""
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import behavior
+
+    ev = sources.file_replay(spark, sf_dir, "events")
+    daily = (
+        ev.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    closed = run_bounded(daily, "append").select(
+        F.expr("CAST(window.start AS LONG) DIV 86400").alias("d"), "sk"
+    )
+    grid = closed.select("d")
+    fan = closed.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6))).alias("td"),
+        "sk",
+    )
+    est = (
+        fan.join(grid.select(F.col("d").alias("td")), "td", "leftsemi")
+        .groupBy("td")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("approx_users")
+        )
+    )
+    batch = tables.load(spark, sf_dir, "events")
+    wm = batch.agg((F.max(epoch_seconds("ts")) - 10).alias("w"))
+    exact = behavior.rolling_distinct_users(batch).select(
+        "day_s", F.col("users_7d").alias("exact_users_7d")
+    )
+    return (
+        exact.join(est, exact["day_s"] == est["td"] * 86400)
+        .crossJoin(F.broadcast(wm))
+        .where(F.col("day_s") + 86400 <= F.col("w"))
+        .select(
+            F.col("day_s").alias("day_start"),
+            "exact_users_7d",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users_7d")) * 20
+                <= F.col("exact_users_7d")
+            ).alias("estimate_within_5pct"),
+        )
+    )

@@ -1922,3 +1922,62 @@ def test_large_volume_customers_threshold_edge(spark, sf_dir):
     for r in rows:
         assert r["total_qty"] > 250
         assert recount[r["o_orderkey"]] == r["total_qty"]
+
+
+def test_revenue_gini_known_distribution(spark, monkeypatch):
+    """Four customers with lifetime cents 100,100,300,500: S = sum of
+    rank*value over the ascending sort with closed-form tie handling
+    = 1*100+2*100+3*300+4*500 = 3200 (tied 100s share ranks 1,2 —
+    either order gives the same S), T=1000, n=4 ->
+    gini = (2*3200 - 5*1000) / (4*1000) = 0.35; top decile (n DIV 10
+    = 0 -> top 0 customers... k = n - 0 = 4 -> ranks > 4: none) = 0."""
+    import datetime
+
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    d = datetime.date(1995, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 1, d, 1.00),
+            (2, 2, d, 1.00),
+            (3, 3, d, 3.00),
+            (4, 4, d, 5.00),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    monkeypatch.setattr(
+        tables, "load",
+        lambda sp, dd, n, _o=tables.load: orders if n == "orders" else _o(sp, dd, n),
+    )
+    row = QUERIES["revenue_gini"].fn(spark, "x").collect()[0]
+    assert row["n_customers"] == 4
+    assert row["total_cents"] == 1000
+    assert row["gini_ppm"] == 350_000
+    assert row["top_decile_share_ppm"] == 0
+
+
+def test_snapshot_diff_classes_partition_both_versions(spark, sf_dir):
+    """added+changed+unchanged must equal |v2|, removed+changed+
+    unchanged must equal |v1|, and the chars_delta rows must recompose
+    the two versions' total n_chars difference exactly."""
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    docs = tables.load(spark, sf_dir, "documents")
+    n_v1 = docs.count()
+    n_removed_src = docs.where(F.col("doc_id") % 17 == 3).count()
+    n_added = docs.where(F.col("doc_id") % 19 == 7).count()
+    n_v2 = n_v1 - n_removed_src + n_added
+    out = {
+        r["change_type"]: r
+        for r in QUERIES["snapshot_diff_audit"].fn(spark, sf_dir).collect()
+    }
+    got_v2 = sum(out[k]["n_rows"] for k in ("added", "changed", "unchanged") if k in out)
+    got_v1 = sum(out[k]["n_rows"] for k in ("removed", "changed", "unchanged") if k in out)
+    assert got_v2 == n_v2 and got_v1 == n_v1
+    assert out["added"]["n_rows"] == n_added
+    # every changed row bumped n_chars by exactly +11
+    if "changed" in out:
+        assert out["changed"]["chars_delta"] == 11 * out["changed"]["n_rows"]

@@ -264,6 +264,10 @@ SINGLE_PARTITION_WINDOW_OK = {
     # the within-bin rank windows are bin-partitioned (<= 1e5 distinct
     # integer values per partition by construction)
     "customer_rfm_segments",
+    # same two-level kernel: the unpartitioned cum window runs over the
+    # $1,000-wide monetary BIN table only; rank arithmetic within bins
+    # is bin-partitioned
+    "revenue_gini",
 }
 
 # Every BroadcastNestedLoopJoin must be an INTENDED broadcast cross:
@@ -590,6 +594,9 @@ STREAMING_PLAN_PINS = {
     "streaming_interval_join_full_outer": {"SYM": 1},
     "streaming_dedup_then_window": {"DEDUP": 1, "SSS": 1},
     "streaming_approx_ndv_hll": {"DEDUP": 1, "SSS": 1},
+    # one windowed HLL-sketch agg is the ONLY stream state; the rolling
+    # union and exact audit run post-stream on the closed-day frame
+    "streaming_rolling_distinct_daily": {"SSS": 1},
     "streaming_value_quantiles": {"SSS": 1},
     "streaming_join_then_window": {"SYM": 1, "SSS": 1},
     "streaming_rising_alarm_tws": {"TWS": 1},

@@ -31,13 +31,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
 # Round-10 rotation: (a) the eight round-10 additions (no driver row
-# yet); (b) customer_rfm_segments — its quartile-threshold kernel was
-# rebuilt this round (two-level bin selection), so the driver re-proves
-# the changed plan; (c) ALL 41 entries whose latest driver-green row is
-# round 5 (the full stale tail — after this round no entry's latest
-# driver row predates round 6; value_deciles sits here and doubles as
-# the gate re-proof of its round-10 histogram-CDF rebuild). Everything
-# below slot 50 stays oracle-checked at sf0.001 on every pytest run
+# yet); (b) value_deciles — rebuilt this round on the histogram-CDF
+# kernel, so the driver re-proves the changed plan (verdict item 2's
+# "passing CORRECTNESS entry"); (c) ALL 41 entries whose latest
+# driver-green row is round 5 (the full stale tail — after this round
+# no entry's latest driver row predates round 6). That fills the head
+# exactly: customer_rfm_segments' round-10 threshold rebuild (byte-
+# identical selected values, r9 driver row) is instead re-proven by
+# the end-of-round full-registry oracle sweeps at sf0.01 AND sf0.1
+# recorded in BASELINE.md. Everything below slot 50 stays
+# oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
 _PRIORITY = [
@@ -51,7 +54,7 @@ _PRIORITY = [
     "snapshot_diff_audit",
     "streaming_rolling_distinct_daily",
     # (b) plan changed this round
-    "customer_rfm_segments",
+    "value_deciles",
     # (c) the full round-5 stale tail (41, alphabetical)
     "connect_co_map",
     "corpus_budget_sampler",
@@ -92,7 +95,6 @@ _PRIORITY = [
     "tumbling_window_min_by",
     "tumbling_window_unique_users",
     "unified_backfill_daily",
-    "value_deciles",
     "word_count",
     "zorder_roundtrip",
 ]

@@ -220,3 +220,48 @@ def group_quantiles_certified(
     return out.select(
         key, "n", *[f"p{p}" for p in ps], cert.alias("within_gk_bound")
     )
+
+
+def binned_value_cdf(df: DataFrame, value_col: str, bin_width: int) -> DataFrame:
+    """Two-level exact CDF over the distinct values of a non-negative
+    integer column — the scale-safe rank-selection substrate shared by
+    customer_rfm_segments' quartile thresholds and revenue_gini's
+    Lorenz sums (round 10; factored out after the closing review found
+    the kernel duplicated).
+
+    Level 1 groups values into fixed-width integer bins, so the ONLY
+    unpartitioned window runs over the bin table — hard-bounded at
+    <= domain/bin_width rows regardless of input cardinality. Level 2
+    ranks values WITHIN each bin (window partitioned by bin; <=
+    bin_width distinct integer values per partition by construction).
+    Because b1 < b2 implies every value of b1 < every value of b2,
+    bin-below + within-bin cumulative IS the global cumulative.
+
+    Returns one row per distinct value: ``v``, ``cnt`` (occurrences),
+    ``cum`` (values <= v), ``below`` (values < v), ``n`` (total rows —
+    constant, carried per row so downstream arithmetic stays
+    single-lineage, no count branch or 1-row cross join)."""
+    h2 = (
+        df.select(F.col(value_col).alias("v"))
+        .withColumn("b", F.expr(f"v DIV {bin_width}"))
+        .groupBy("b", "v")
+        .agg(F.count("*").alias("cnt"))
+    )
+    h1 = h2.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
+    w1 = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c1 = (
+        h1.withColumn("bcum", F.sum("bcnt").over(w1))
+        .withColumn("n", F.sum("bcnt").over(Window.partitionBy()))
+        .select("b", (F.col("bcum") - F.col("bcnt")).alias("bbelow"), "n")
+    )
+    w2 = Window.partitionBy("b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c2 = h2.withColumn("vcum", F.sum("cnt").over(w2))
+    return (
+        c2.join(c1, "b")
+        .withColumn("cum", F.col("bbelow") + F.col("vcum"))
+        .select("v", "cnt", "cum", (F.col("cum") - F.col("cnt")).alias("below"), "n")
+    )

@@ -1653,35 +1653,14 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # verdict flagged the old single-level form: for monetary the
         # value histogram is ~customer-cardinality at test scale, so
         # its unpartitioned cum window funneled an unbounded frame
-        # through one task). Level 1 groups values into fixed-width
-        # integer bins, so the ONLY unpartitioned window runs over the
-        # bin table — hard-bounded at <= domain/bin_width rows
-        # regardless of customer count. Level 2 ranks values WITHIN
-        # each bin (window partitioned by bin; <= bin_width distinct
-        # integer values per partition by construction). Global rank
-        # of a value = bin's below-count + within-bin cumulative — the
+        # through one task). The shared binned_value_cdf kernel bounds
+        # every window (level-1 bins unpartitioned but <=
+        # domain/bin_width rows; level-2 ranks bin-partitioned); the
         # selected p25/p50/p75 are byte-identical to the one-level
         # form, so the oracle is unchanged.
-        h2 = (
-            df.select(F.col(metric).alias("v"))
-            .withColumn("b", F.expr(f"v DIV {bin_width}"))
-            .groupBy("b", "v")
-            .agg(F.count("*").alias("cnt"))
-        )
-        h1 = h2.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
-        w1 = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
-        c1 = (
-            h1.withColumn("bcum", F.sum("bcnt").over(w1))
-            .withColumn("n", F.sum("bcnt").over(W.partitionBy()))
-            .select("b", (F.col("bcum") - F.col("bcnt")).alias("bbelow"), "n")
-        )
-        w2 = W.partitionBy("b").orderBy("v").rowsBetween(
-            W.unboundedPreceding, W.currentRow
-        )
-        c2 = h2.withColumn("vcum", F.sum("cnt").over(w2))
-        joined = c2.join(c1, "b").withColumn(
-            "cum", F.col("bbelow") + F.col("vcum")
-        )
+        from flink_scala_spark.operators.aggregations import binned_value_cdf
+
+        joined = binned_value_cdf(df, metric, bin_width)
         out = joined.agg(
             F.min(
                 F.when(F.col("cum") >= F.expr("(n + 3) DIV 4"), F.col("v"))
@@ -1884,34 +1863,13 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     all operands non-negative: ranks and values sorted ascending give
     2S >= (n+1)T by the Chebyshev sum inequality). Outputs are plain
     BIGINT ppm."""
-    orders = _t(spark, sf_dir, "orders")
-    from pyspark.sql import Window as W
+    from flink_scala_spark.operators.aggregations import binned_value_cdf
 
+    orders = _t(spark, sf_dir, "orders")
     per = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("v")
     )
-    h2 = (
-        per.select("v")
-        .withColumn("b", F.expr("v DIV 100000"))
-        .groupBy("b", "v")
-        .agg(F.count("*").alias("cnt"))
-    )
-    h1 = h2.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
-    w1 = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
-    c1 = (
-        h1.withColumn("bcum", F.sum("bcnt").over(w1))
-        .withColumn("n", F.sum("bcnt").over(W.partitionBy()))
-        .select("b", (F.col("bcum") - F.col("bcnt")).alias("bbelow"), "n")
-    )
-    w2 = W.partitionBy("b").orderBy("v").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    c2 = h2.withColumn("vcum", F.sum("cnt").over(w2))
-    j = (
-        c2.join(c1, "b")
-        .withColumn("cum", F.col("bbelow") + F.col("vcum"))
-        .withColumn("below", F.col("cum") - F.col("cnt"))
-    )
+    j = binned_value_cdf(per, "v", 100_000)
     vd = F.col("v").cast("decimal(38,0)")
     agg = j.agg(
         F.max("n").alias("n"),

@@ -228,8 +228,14 @@ def test_no_scale_antipatterns_in_any_batch_plan(spark, sf_dir):
     for name, spec in QUERIES.items():
         if name.startswith("streaming_"):
             continue
-        plan = _plan(spec.fn(spark, sf_dir))
-        bad = _batch_antipatterns(name, plan)
+        # one construction per query: the formatted-plan antipatterns
+        # and the round-10 key-skew window lint share the DataFrame
+        # (several builders stage parquet / run real actions inside
+        # fn, so a second full-catalog loop would pay that twice)
+        df = spec.fn(spark, sf_dir)
+        bad = _batch_antipatterns(name, _plan(df))
+        if name not in KEY_SKEW_WINDOW_OK:
+            bad += [f"KeySkew:{w}" for w in _keyskew_window_offenders(df)]
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
@@ -414,19 +420,9 @@ def _keyskew_window_offenders(df) -> list[str]:
     return out
 
 
-def test_no_keyskew_window_in_any_batch_plan(spark, sf_dir):
-    """Round-10 lint (verdict item 3): no batch catalog query may run
-    a Window partitioned ONLY by known-low-cardinality columns over an
-    unbounded (non-aggregated, non-limited) child — the key-skew
-    funnel that is invisible to the SinglePartition sweep."""
-    offenders = {}
-    for name, spec in QUERIES.items():
-        if name.startswith("streaming_"):
-            continue
-        bad = _keyskew_window_offenders(spec.fn(spark, sf_dir))
-        if bad and name not in KEY_SKEW_WINDOW_OK:
-            offenders[name] = bad
-    assert not offenders, offenders
+# The key-skew lint itself runs inside test_no_scale_antipatterns_in_
+# any_batch_plan's single catalog loop (one DataFrame construction per
+# query); the meta-test below proves the detector fires.
 
 
 def test_keyskew_lint_catches_ntile_funnel(spark, sf_dir):

@@ -3391,9 +3391,18 @@ def q_corpus_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhausted; the crossing document is admitted, everything after it
     dropped. This is the op that turns X132's mixture REPORT into an
     actionable dataset: downsampling over-represented buckets to a
-    target mixture without rand() and without a second pass. One
-    bucket-keyed window (cumulative tokens in hash order) over a
-    row-local token count; the per-bucket caps ride the same shuffle."""
+    target mixture without rand() and without a second pass.
+
+    The cumulative sum is the DISTRIBUTED two-phase prefix sum
+    (late_data_accounting's pattern — round 10: the tightened key-skew
+    lint caught the old single-window form funneling each (lang,
+    source) bucket's whole corpus slice through one task): h60 is
+    uniform over [0, 2^60), so chunk = h DIV 2^47 yields <= 8192
+    hash-ORDERED chunks per bucket; phase 1 cumsums WITHIN (bucket,
+    chunk) partitions (8192x finer, no funnel), phase 2 runs one
+    window over the <= 8192-row-per-bucket chunk-total table, and
+    cum = earlier-chunks prefix + within-chunk cumulative — exactly
+    the old output (chunk order is monotone in h), oracle unchanged."""
     from flink_scala_spark.functions import h60
     from pyspark.sql import Window as W
 
@@ -3404,17 +3413,34 @@ def q_corpus_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.size(F.split("text", " ")).cast("long").alias("toks"),
         h60(F.col("doc_id").cast("string")).alias("h"),
-    )
+    ).withColumn("chunk", F.expr(f"h DIV {1 << 47}"))
     cap = per.groupBy("lang", "source").agg(
         F.expr("sum(toks) DIV 2").alias("cap_toks")
     )
-    w = (
-        W.partitionBy("lang", "source")
+    w_in = (
+        W.partitionBy("lang", "source", "chunk")
         .orderBy("h", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    ranked = per.join(cap, ["lang", "source"]).withColumn(
-        "cum_toks", F.sum("toks").over(w)
+    phase1 = per.withColumn("cum_in", F.sum("toks").over(w_in))
+    chunk_tot = per.groupBy("lang", "source", "chunk").agg(
+        F.sum("toks").alias("ctoks")
+    )
+    w_ch = (
+        W.partitionBy("lang", "source")
+        .orderBy("chunk")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunk_pre = chunk_tot.select(
+        "lang",
+        "source",
+        "chunk",
+        F.coalesce(F.sum("ctoks").over(w_ch), F.lit(0)).alias("prev_toks"),
+    )
+    ranked = (
+        phase1.join(chunk_pre, ["lang", "source", "chunk"])
+        .join(cap, ["lang", "source"])
+        .withColumn("cum_toks", F.col("prev_toks") + F.col("cum_in"))
     )
     return ranked.where(
         F.col("cum_toks") - F.col("toks") < F.col("cap_toks")

@@ -2297,22 +2297,21 @@ def q_streaming_k_anonymity_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+from flink_scala_spark.queries.pipeline_queries import _ROLLING_UD  # noqa: E402
+
+
 @register(
     "streaming_rolling_distinct_daily",
-    """
+    # the ud/grid/fan/roll CTE block is THE shared rolling-distinct
+    # definition (pipeline_queries._ROLLING_UD) — the live monitor's
+    # oracle and the two batch twins pin one ground truth
+    f"""
     WITH wm AS (
         SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 10 AS w FROM events
     ),
-    ud AS (SELECT DISTINCT user_id,
-                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
-           FROM events),
-    grid AS (SELECT DISTINCT d FROM ud),
-    fan AS (SELECT DISTINCT user_id, d + r AS td
-            FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS r) offs),
-    roll AS (SELECT td, CAST(count(*) AS BIGINT) AS exact_users_7d
-             FROM fan WHERE td IN (SELECT d FROM grid) GROUP BY 1)
+    {_ROLLING_UD}
     SELECT CAST(td * 86400 AS BIGINT) AS day_start,
-           exact_users_7d,
+           users_7d AS exact_users_7d,
            TRUE AS estimate_within_5pct
     FROM roll, wm WHERE td * 86400 + 86400 <= wm.w
     """,

@@ -385,11 +385,66 @@ def _walk_logical(node):
         yield from _walk_logical(ch.apply(i))
 
 
+# Columns whose cardinality scales WITH the corpus: an Aggregate whose
+# grouping keys include one of these reduces the corpus to a
+# corpus-scaling grain (users, docs, orders, ...), NOT to a bounded
+# frame — windowing such an output by a low-card key is still the
+# funnel (the round-9 customer_rfm_segments monetary histogram was
+# exactly this: grouped by a ~customer-cardinality value).
+HIGH_CARDINALITY_COLS = {
+    "user_id",
+    "event_id",
+    "doc_id",
+    "vec_id",
+    "query_id",
+    "o_orderkey",
+    "o_custkey",
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "c_custkey",
+    "s_suppkey",
+    "p_partkey",
+    "text",
+    "payload",
+    "monetary",
+}
+
+
+def _agg_grouping_cols(node) -> set[str]:
+    import re
+
+    cols: set[str] = set()
+    ge = node.groupingExpressions()
+    for i in range(ge.size()):
+        cols |= {
+            m.group(1)
+            for m in re.finditer(
+                r"([A-Za-z_][A-Za-z0-9_]*)#\d+", ge.apply(i).toString()
+            )
+        }
+    return cols
+
+
 def _subtree_bounded(node):
-    return any(
-        ("Aggregate" in cls) or ("GlobalLimit" in cls)
-        for _, cls in _walk_logical(node)
-    )
+    """Is every row source below ``node`` reduced to a bounded frame?
+
+    True only when EVERY leaf path passes through a bounding operator
+    (round-10 review tightened this from 'an Aggregate exists anywhere
+    below', which blessed corpus-scale sides that merely JOINED an
+    aggregated dimension). An Aggregate bounds its subtree only if no
+    grouping key is a known corpus-scaling column — a groupBy(user_id)
+    output is user-cardinality, not bounded, no matter what sits under
+    it. GlobalLimit always bounds."""
+    cls = node.getClass().getSimpleName()
+    if "GlobalLimit" in cls:
+        return True
+    if cls == "Aggregate":
+        return not (_agg_grouping_cols(node) & HIGH_CARDINALITY_COLS)
+    ch = node.children()
+    if ch.size() == 0:
+        return False
+    return all(_subtree_bounded(ch.apply(i)) for i in range(ch.size()))
 
 
 def _keyskew_window_offenders(df) -> list[str]:
@@ -441,6 +496,26 @@ def test_keyskew_lint_catches_ntile_funnel(spark, sf_dir):
     ).groupBy("event_type", "decile").count()
     assert _keyskew_window_offenders(funnel) == ["Window[event_type]"]
     assert _keyskew_window_offenders(QUERIES["value_deciles"].fn(spark, sf_dir)) == []
+    # corpus-scaling Aggregate output (user grain) windowed by a
+    # low-card key must STILL fire — groupBy(user_id) does not bound
+    per_user = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.sum("value").alias("s"))
+        .withColumn(
+            "r", F.rank().over(W.partitionBy("event_type").orderBy("s"))
+        )
+    )
+    assert _keyskew_window_offenders(per_user) == ["Window[event_type]"]
+    # a corpus-scale side that merely JOINS an aggregated dim is not
+    # bounded either (every leaf path must pass through a reducer)
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("m"))
+    joined = ev.join(dim, "event_type").withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("value", "event_id")
+        ),
+    )
+    assert _keyskew_window_offenders(joined) == ["Window[event_type]"]
 
 
 def test_antipattern_sweep_catches_dropped_join_key(spark, sf_dir):

@@ -241,27 +241,45 @@ def binned_value_cdf(df: DataFrame, value_col: str, bin_width: int) -> DataFrame
     ``cum`` (values <= v), ``below`` (values < v), ``n`` (total rows —
     constant, carried per row so downstream arithmetic stays
     single-lineage, no count branch or 1-row cross join)."""
-    h2 = (
-        df.select(F.col(value_col).alias("v"))
-        .withColumn("b", F.expr(f"v DIV {bin_width}"))
-        .groupBy("b", "v")
-        .agg(F.count("*").alias("cnt"))
+    pre = df.select(F.col(value_col).alias("v")).withColumn(
+        "b", F.expr(f"v DIV {bin_width}")
     )
-    h1 = h2.groupBy("b").agg(F.sum("cnt").alias("bcnt"))
-    w1 = Window.orderBy("b").rowsBetween(
+    return value_cdf_over_bins(pre)
+
+
+def value_cdf_over_bins(df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """Keyed core of binned_value_cdf: ``df`` already carries ``v``
+    (the value) and ``b`` (its bin — any expression monotone in v, so
+    callers can mix per-key bin widths, e.g. the RFM thresholds bin
+    monetary by $1,000 and recency/frequency by 1). With ``keys``, the
+    CDF is computed independently per key group in ONE stacked lineage
+    — the round-10 RFM rework runs all three metrics through a single
+    pair of windows instead of three separate histogram branches (and
+    drops the SinglePartition windows entirely: level 1 partitions by
+    the keys)."""
+    h2 = df.groupBy(*keys, "b", "v").agg(F.count("*").alias("cnt"))
+    h1 = h2.groupBy(*keys, "b").agg(F.sum("cnt").alias("bcnt"))
+    w1 = Window.partitionBy(*keys).orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     c1 = (
         h1.withColumn("bcum", F.sum("bcnt").over(w1))
-        .withColumn("n", F.sum("bcnt").over(Window.partitionBy()))
-        .select("b", (F.col("bcum") - F.col("bcnt")).alias("bbelow"), "n")
+        .withColumn("n", F.sum("bcnt").over(Window.partitionBy(*keys)))
+        .select(*keys, "b", (F.col("bcum") - F.col("bcnt")).alias("bbelow"), "n")
     )
-    w2 = Window.partitionBy("b").orderBy("v").rowsBetween(
+    w2 = Window.partitionBy(*keys, "b").orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     c2 = h2.withColumn("vcum", F.sum("cnt").over(w2))
     return (
-        c2.join(c1, "b")
+        c2.join(c1, [*keys, "b"])
         .withColumn("cum", F.col("bbelow") + F.col("vcum"))
-        .select("v", "cnt", "cum", (F.col("cum") - F.col("cnt")).alias("below"), "n")
+        .select(
+            *keys,
+            "v",
+            "cnt",
+            "cum",
+            (F.col("cum") - F.col("cnt")).alias("below"),
+            "n",
+        )
     )

@@ -263,17 +263,17 @@ SINGLE_PARTITION_WINDOW_OK = {
     # every window runs over the AGGREGATED day table (calendar-bounded
     # ~2.4k rows at any SF), the corpus_token_budget justification
     "revenue_cusum_changepoint",
-    # the only unpartitioned quartile-threshold windows run over
-    # per-metric level-1 BIN tables (recency: calendar days ~2.5k;
-    # frequency: orders/customer ~50; monetary: $1,000-wide cents bins,
-    # <= domain/1e5 rows) — hard-bounded regardless of customer count;
-    # the within-bin rank windows are bin-partitioned (<= 1e5 distinct
-    # integer values per partition by construction)
-    "customer_rfm_segments",
-    # same two-level kernel: the unpartitioned cum window runs over the
-    # $1,000-wide monetary BIN table only; rank arithmetic within bins
-    # is bin-partitioned
+    # the two-level binned_value_cdf kernel: the unpartitioned cum
+    # window runs over the $1,000-wide monetary BIN table only
+    # (<= domain/1e5 rows, hard-bounded regardless of customer count);
+    # rank arithmetic within bins is bin-partitioned
     "revenue_gini",
+    # rfm's stacked CDF has NO unpartitioned window (level 1 partitions
+    # by metric, level 2 by metric+bin); its SinglePartition exchanges
+    # are the 1-row threshold/max-day aggregates — the sweep's
+    # "both substrings present" conjunction is a false positive here
+    # (the bitext_mining_ann precedent)
+    "customer_rfm_segments",
 }
 
 # Every BroadcastNestedLoopJoin must be an INTENDED broadcast cross:
@@ -307,8 +307,8 @@ BNLJ_OK = {
                                # bounded QI class table, by design
     "embedding_covariance_report",  # fixed 2080-row literal dim-pair
                                     # frame crossed onto the scan
-    "customer_rfm_segments",        # 1-row max-day + three 1-row
-                                    # quartile-threshold frames crossed
+    "customer_rfm_segments",        # 1-row max-day + ONE 1-row stacked
+                                    # quartile-threshold frame crossed
                                     # onto the customer agg
     # documented exact all-pairs BASELINE (scale path: bitext_mining_lsh
     # / bitext_mining_ann)

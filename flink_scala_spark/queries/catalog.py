@@ -76,6 +76,24 @@ def register(name: str, oracle: Optional[str], *tags: str):
     return deco
 
 
+#: Shared rolling-7-day-distinct CTE block (ud/grid/fan/roll) — THE
+#: definition of the rolling-distinct ground truth, composed into the
+#: oracles of rolling_distinct_users, rolling_distinct_users_hll
+#: (pipeline_queries) and streaming_rolling_distinct_daily
+#: (streaming_queries); it lives here so neither sibling query module
+#: imports the other's privates.
+ROLLING_UD_SQL = """
+    ud AS (SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+           FROM events),
+    grid AS (SELECT DISTINCT d FROM ud),
+    fan AS (SELECT DISTINCT user_id, d + r AS td
+            FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS r) offs),
+    roll AS (SELECT td, CAST(count(*) AS BIGINT) AS users_7d
+             FROM fan WHERE td IN (SELECT d FROM grid) GROUP BY 1)
+"""
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 

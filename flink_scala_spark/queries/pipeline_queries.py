@@ -3414,17 +3414,20 @@ def q_corpus_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("toks"),
         h60(F.col("doc_id").cast("string")).alias("h"),
     ).withColumn("chunk", F.expr(f"h DIV {1 << 47}"))
-    cap = per.groupBy("lang", "source").agg(
-        F.expr("sum(toks) DIV 2").alias("cap_toks")
-    )
     w_in = (
         W.partitionBy("lang", "source", "chunk")
         .orderBy("h", "doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     phase1 = per.withColumn("cum_in", F.sum("toks").over(w_in))
-    chunk_tot = per.groupBy("lang", "source", "chunk").agg(
-        F.sum("toks").alias("ctoks")
+    # chunk totals and caps both derive from phase1 (a chunk's total is
+    # its LAST cumulative), so the corpus is scanned/tokenized/hashed
+    # exactly once — chunk_tot's agg reuses phase1's window exchange
+    chunk_tot = phase1.groupBy("lang", "source", "chunk").agg(
+        F.max("cum_in").alias("ctoks")
+    )
+    cap = chunk_tot.groupBy("lang", "source").agg(
+        F.expr("sum(ctoks) DIV 2").alias("cap_toks")
     )
     w_ch = (
         W.partitionBy("lang", "source")
@@ -5550,16 +5553,7 @@ def q_user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X204/X205: rolling 7-day distinct users (exact + HLL-union sketch)
 # ---------------------------------------------------------------------------
 
-_ROLLING_UD = """
-    ud AS (SELECT DISTINCT user_id,
-                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
-           FROM events),
-    grid AS (SELECT DISTINCT d FROM ud),
-    fan AS (SELECT DISTINCT user_id, d + r AS td
-            FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS r) offs),
-    roll AS (SELECT td, CAST(count(*) AS BIGINT) AS users_7d
-             FROM fan WHERE td IN (SELECT d FROM grid) GROUP BY 1)
-"""
+from flink_scala_spark.queries.catalog import ROLLING_UD_SQL as _ROLLING_UD  # noqa: E402
 
 
 @register(

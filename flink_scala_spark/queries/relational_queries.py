@@ -1617,11 +1617,9 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     marketing segmentation grid.
 
     Scale: one orders agg to the customer key space, three
-    domain-bounded histograms over it, three 1-row threshold frames
-    broadcast back, one agg to the <= 64-cell grid. No percentile
-    window over the customer table."""
-    from pyspark.sql import Window as W
-
+    domain-bounded histograms over it, ONE stacked 1-row threshold
+    frame broadcast back, one agg to the <= 64-cell grid. No
+    percentile window over the customer table."""
     orders = _t(spark, sf_dir, "orders")
     from flink_scala_spark.functions.portable import epoch_seconds
 

@@ -2297,13 +2297,13 @@ def q_streaming_k_anonymity_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-from flink_scala_spark.queries.pipeline_queries import _ROLLING_UD  # noqa: E402
+from flink_scala_spark.queries.catalog import ROLLING_UD_SQL as _ROLLING_UD  # noqa: E402
 
 
 @register(
     "streaming_rolling_distinct_daily",
     # the ud/grid/fan/roll CTE block is THE shared rolling-distinct
-    # definition (pipeline_queries._ROLLING_UD) — the live monitor's
+    # definition (catalog.ROLLING_UD_SQL) — the live monitor's
     # oracle and the two batch twins pin one ground truth
     f"""
     WITH wm AS (

@@ -346,9 +346,10 @@ def _batch_antipatterns(name: str, plan: str) -> list[str]:
 # and the customer_rfm_segments monetary window slipped through. This
 # lint walks the OPTIMIZED logical plan: a Window whose partition keys
 # are all known-low-cardinality columns is an offender unless its
-# child subtree is bounded (contains an Aggregate or GlobalLimit — the
-# repo's histogram/top-k reduction patterns) or the entry carries a
-# written justification below.
+# child subtree is bounded — EVERY leaf path must pass through a
+# bounding operator (an Aggregate whose grouping keys include no
+# corpus-scaling column, a GlobalLimit, or a literal/1-row/Range leaf)
+# — or the entry carries a written justification below.
 
 LOW_CARDINALITY_COLS = {
     "event_type",  # 5 values in events
@@ -408,6 +409,12 @@ HIGH_CARDINALITY_COLS = {
     "text",
     "payload",
     "monetary",
+    # the repo's canonical rename in binned_value_cdf/value_cdf_over_
+    # bins and the h60 hash column — without these, aliasing a
+    # corpus-scaling column to "v" (the kernel's own convention) would
+    # defeat the deny list above
+    "v",
+    "h",
 }
 
 
@@ -441,6 +448,10 @@ def _subtree_bounded(node):
         return True
     if cls == "Aggregate":
         return not (_agg_grouping_cols(node) & HIGH_CARDINALITY_COLS)
+    # literal / generator leaves are fixed-size by construction (the
+    # 2080-row dim-pair frame, 1-row globals, salt arrays)
+    if cls in ("LocalRelation", "OneRowRelation", "Range"):
+        return True
     ch = node.children()
     if ch.size() == 0:
         return False

@@ -1132,3 +1132,97 @@ def test_cusum_over_daily_matches_python_reference(spark, rows):
         )
     }
     assert out == {d: (expect[d][0], expect[d][1], ranks[d]) for d in days}
+
+
+cdf_rows = st.lists(
+    st.integers(0, 10**6),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**SETTINGS)
+@given(cdf_rows)
+def test_binned_value_cdf_matches_sorted_scan(spark, vals):
+    """The two-level (bin, value) CDF kernel must agree with a plain
+    Python sort for ANY non-negative values and any relationship
+    between value spread and bin width: per distinct value, cnt/cum/
+    below/n all exact (round 10 — this kernel now underlies the RFM
+    quartiles and the Gini rank sums)."""
+    from collections import Counter
+
+    from flink_scala_spark.operators.aggregations import binned_value_cdf
+
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {
+        r["v"]: (r["cnt"], r["cum"], r["below"], r["n"])
+        for r in binned_value_cdf(df, "x", 1000).collect()
+    }
+    c = Counter(vals)
+    below = 0
+    for v in sorted(c):
+        assert got[v] == (c[v], below + c[v], below, len(vals)), (v, got[v])
+        below += c[v]
+    assert set(got) == set(c)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 500)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_value_deciles_arithmetic_matches_ntile(spark, rows):
+    """The histogram-CDF ntile emulation must reproduce ntile(10)'s
+    bucket sizes and per-bucket min/max for ANY (type, value)
+    multiset — including n < 10, all-ties, and single-row types (the
+    arithmetic is base = n DIV 10, rem = n MOD 10; this fuzzes the
+    overlap algebra value_deciles ships)."""
+    import flink_scala_spark.tables as tables
+    from flink_scala_spark.queries.catalog import QUERIES
+
+    ev = spark.createDataFrame(
+        [
+            (i, None, 1, f"t{t}", v / 100.0, None)
+            for i, (t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        tables,
+        "load",
+        lambda sp, d, n, _o=tables.load: ev if n == "events" else _o(sp, d, n),
+    ):
+        got = {
+            (r["event_type"], r["decile"]): (r["cnt"], r["lo"], r["hi"])
+            for r in QUERIES["value_deciles"].fn(spark, "x").collect()
+        }
+    # plain-Python ntile(10) over (value, event_id)
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for i, (t, v) in enumerate(rows):
+        per[f"t{t}"].append((v / 100.0, i))
+    want = {}
+    for t, items in per.items():
+        items.sort()
+        n = len(items)
+        base, rem = divmod(n, 10)
+        pos = 0
+        for d in range(1, 11):
+            size = base + (1 if d <= rem else 0)
+            if size == 0:
+                continue
+            bucket = items[pos : pos + size]
+            pos += size
+            want[(t, d)] = (
+                size,
+                min(v for v, _ in bucket),
+                max(v for v, _ in bucket),
+            )
+    assert got == want

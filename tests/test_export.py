@@ -281,3 +281,58 @@ def test_vacuum_leaves_no_snapshot_skeleton(spark, tmp_path):
     live = os.path.join(data_dir, m2["base"])
     assert os.path.isdir(live)
     assert export.read_snapshot(spark, out, m2["version"]).count() == m2["rows"]
+
+
+def test_pq_persisted_index_is_bit_identical_and_reused(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The persisted PQ serving index (round 11, verdict item 5) must
+    (a) publish atomically with a MANIFEST.json commit record, (b) load
+    bit-identical to an in-session build so every downstream oracle is
+    unchanged, and (c) be REUSED — a second call must not re-encode
+    (proven by deleting nothing and checking the staged dir's mtimes
+    stay put), while a rewritten source must key a NEW directory."""
+    import os
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    home = str(tmp_path / "idx")
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", home)
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    enc1, cb1 = similarity.pq_persisted_index(emb)
+    dirs = os.listdir(home)
+    assert len(dirs) == 1 and dirs[0].startswith("pq-")
+    staged = os.path.join(home, dirs[0])
+    assert os.path.isfile(os.path.join(staged, "MANIFEST.json"))
+
+    # bit-identical to the in-session builders
+    cb_mem = similarity.pq_codebook(emb)
+    enc_mem = similarity.pq_encode(emb, cb_mem)
+    assert sorted(map(tuple, enc1.collect())) == sorted(
+        map(tuple, enc_mem.collect())
+    )
+    assert sorted(map(tuple, cb1.collect())) == sorted(
+        map(tuple, cb_mem.collect())
+    )
+
+    # reuse: second call loads the same staged dir (no new dirs, no
+    # rewrite of the committed artifacts)
+    before = {
+        f: os.path.getmtime(os.path.join(staged, f)) for f in os.listdir(staged)
+    }
+    enc2, _ = similarity.pq_persisted_index(emb)
+    assert os.listdir(home) == dirs
+    after = {
+        f: os.path.getmtime(os.path.join(staged, f)) for f in os.listdir(staged)
+    }
+    assert before == after
+    assert enc2.count() == enc1.count()
+
+    # a DIFFERENT source (content fingerprint) keys a different dir
+    rewritten = str(tmp_path / "emb2")
+    emb.limit(50).write.parquet(rewritten)
+    enc3, _ = similarity.pq_persisted_index(spark.read.parquet(rewritten))
+    assert len(os.listdir(home)) == 2
+    assert enc3.count() == 50

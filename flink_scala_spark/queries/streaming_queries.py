@@ -1512,6 +1512,140 @@ def q_streaming_session_gap_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M3 stateful: live two-input co-processing (tagged union + per-side
+# keyed state + gap timers) — order-vs-payment reconciliation
+# ---------------------------------------------------------------------------
+
+#: Reconciliation gap: a purchase must be "paid" (next click) within a
+#: day or the gap timer expires it. Against the ~55 h mean per-user
+#: click spacing this yields a healthy mix of matched AND expired rows
+#: at every sf (sf0.001: 66/129, sf0.01: 724/1206).
+_TWS_RECONCILE_GAP_S = 86_400
+
+# Measured-semantics model (same facts as _TWS_ALARM_ORACLE):
+# - matched rows are REPLAY-INDEPENDENT: an eligible click (strictly
+#   after the purchase, within the gap) always arrives in a batch
+#   strictly before the purchase's timer can fire — the watermark in
+#   effect at any batch is built from earlier buckets, all of whose
+#   rows predate the click — so first-click selection is plain SQL;
+# - expired rows need only the FINAL watermark (global max event time
+#   of the union's rows minus the 1 s delay) to cover ts + gap: the
+#   trailing no-data batch fires every remaining covered timer;
+# - watermark basis: the event_type filters sit BEFORE withWatermark,
+#   so only purchase/click rows drive it (the pc CTE mirrors this);
+# - clicks_before is the payment-side ValueState counter at match
+#   time == the click's (ts, event_id)-ordered sequence number.
+_TWS_RECONCILE_ORACLE = f"""
+WITH pc AS (
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+           epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type IN ('purchase', 'click')
+),
+ords AS (SELECT * FROM pc WHERE event_type = 'purchase'),
+pays AS (
+    SELECT event_id, user_id, ts_l,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_l, event_id) AS click_seq
+    FROM pc WHERE event_type = 'click'
+),
+m AS (
+    SELECT o.user_id, o.event_id AS order_eid, o.ts_l AS order_ts,
+           o.cents, p.event_id AS pay_eid, p.ts_l AS pay_ts, p.click_seq
+    FROM ords o JOIN pays p
+      ON p.user_id = o.user_id
+     AND p.ts_l > o.ts_l AND p.ts_l <= o.ts_l + {_TWS_RECONCILE_GAP_S}
+    QUALIFY row_number() OVER (PARTITION BY o.event_id
+                               ORDER BY p.ts_l, p.event_id) = 1
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(order_eid AS BIGINT) AS order_eid,
+       CAST(order_ts AS BIGINT) AS order_ts,
+       CAST(cents AS BIGINT) AS cents,
+       'matched' AS status,
+       CAST(pay_eid AS BIGINT) AS pay_eid,
+       CAST(pay_ts - order_ts AS BIGINT) AS latency_s,
+       CAST(click_seq AS BIGINT) AS clicks_before
+FROM m
+UNION ALL
+SELECT CAST(o.user_id AS BIGINT), CAST(o.event_id AS BIGINT),
+       CAST(o.ts_l AS BIGINT), CAST(o.cents AS BIGINT), 'expired',
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM ords o
+WHERE NOT EXISTS (
+        SELECT 1 FROM pays p
+        WHERE p.user_id = o.user_id
+          AND p.ts_l > o.ts_l
+          AND p.ts_l <= o.ts_l + {_TWS_RECONCILE_GAP_S})
+  AND (SELECT max(ts_us) FROM pc) // 1000 - 1000
+      >= (o.ts_l + {_TWS_RECONCILE_GAP_S}) * 1000
+"""
+
+
+@register(
+    "streaming_two_stream_reconcile_tws",
+    _TWS_RECONCILE_ORACLE,
+    "M3", "ST1", "ST4", "tws", "timers", "streaming",
+)
+def q_streaming_two_stream_reconcile_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M3's STATEFUL form, live (round-10 verdict item 4 — the last §2
+    mapping with no streaming stateful realization): two
+    DIFFERENTLY-TYPED streams (purchases carry an amount, clicks do
+    not — ConnectAndUnion.scala:39-52's connect of unlike streams)
+    merge as a tagged union and run through ONE keyed
+    StatefulProcessor holding PER-SIDE keyed state
+    (StateTest.scala:67-74's ValueState pattern, once per input):
+    pending-order ListState on the order side, click-counter
+    ValueState on the payment side, and a gap TIMER per purchase
+    (ProcessAlarmTest.scala:90-94). A purchase is matched by the
+    user's first click within 24 h — emitting latency and the
+    payment-side state's click sequence number — or emitted 'expired'
+    from the timer callback when the watermark passes ts + gap. The
+    DuckDB oracle replays the measured watermark model
+    (_TWS_RECONCILE_ORACLE); replayed over ~7 time-ordered
+    microbatches so both state kinds and the timers genuinely cross
+    batch boundaries."""
+    from flink_scala_spark.streaming.runner import run_bounded_now
+    from flink_scala_spark.streaming.tws import (
+        ensure_tws_runtime,
+        two_stream_reconcile_tws,
+    )
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    ensure_tws_runtime(spark)
+    try:
+        orders = (
+            sources.file_replay_time_buckets(spark, sf_dir, "events", _TWS_BUCKET_S)
+            .where(F.col("event_type") == "purchase")
+            .select(
+                "user_id", "event_id", "ts", "value",
+                F.lit("order").alias("side"),
+            )
+        )
+        pays = (
+            sources.file_replay_time_buckets(spark, sf_dir, "events", _TWS_BUCKET_S)
+            .where(F.col("event_type") == "click")
+            .select("user_id", "event_id", "ts", F.lit("pay").alias("side"))
+        )
+        tagged = orders.unionByName(pays, allowMissingColumns=True)
+        return run_bounded_now(
+            two_stream_reconcile_tws(tagged, _TWS_RECONCILE_GAP_S), "append"
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
+# ---------------------------------------------------------------------------
 # W8 streaming twin: FIRE_AND_PURGE trigger + evictor, on real timers
 # ---------------------------------------------------------------------------
 

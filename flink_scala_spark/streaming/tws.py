@@ -629,6 +629,199 @@ def rising_alarm_tws(events_stream, horizon_seconds: int = 600):
     )
 
 
+def build_two_stream_reconcile_tws(gap_seconds: int):
+    """Return (processor, output_schema) for LIVE stateful TWO-INPUT
+    co-processing — the stateful big brother of M3's CoMap
+    (``ConnectAndUnion.scala:39-52`` merges two differently-typed
+    streams and maps each side; ``StateTest.scala:67-74`` holds keyed
+    ValueState per element): order-vs-payment reconciliation with a
+    gap timer, run as ONE keyed processor over a TAGGED union of the
+    two sides (Spark has no two-input keyed operator; the tagged
+    ``unionByName(allowMissingColumns=True)`` IS the idiomatic
+    connect — per-row dispatch on the tag replaces Flink's
+    ``CoProcessFunction``'s two callbacks).
+
+    Per-SIDE keyed state, exactly Flink's
+    ``getRuntimeContext.getState`` pattern held once per input:
+    - order side:  ListState ``pending_orders`` — purchases awaiting
+      confirmation (eid, ts, cents); each arrival registers a gap
+      timer at ``ts + gap`` (ProcessAlarmTest.scala:90-94 discipline);
+    - payment side: ValueState ``pay_stats`` — (n_clicks,
+      last_click_ts), the running per-key fold of the second input.
+
+    Semantics (deterministic, oracle-checkable): a purchase is
+    ``matched`` by the user's FIRST click strictly after it and within
+    ``gap_seconds`` (emitting the match latency and the click's
+    sequence number from the payment-side state); with no such click
+    it is emitted ``expired`` from the gap-timer callback once the
+    watermark passes ``ts + gap``. Eligible clicks always arrive in a
+    batch strictly before the purchase's timer can fire (bucket k's
+    watermark is built from buckets < k, all earlier than the click),
+    so matched rows are independent of the replay's batching; expired
+    rows need only the final-watermark condition — both facts the
+    DuckDB oracle replays (see _TWS_RECONCILE_ORACLE).
+
+    Timers are registered per purchase and never deleted; the expiry
+    callback sweeps every still-pending purchase whose deadline the
+    fired expiry covers, so duplicate expiries (two purchases in the
+    same second) and already-matched purchases are both harmless.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("order_eid", LongType()),
+            StructField("order_ts", LongType()),
+            StructField("cents", LongType()),
+            StructField("status", StringType()),
+            StructField("pay_eid", LongType()),
+            StructField("latency_s", LongType()),
+            StructField("clicks_before", LongType()),
+        ]
+    )
+    pending_schema = StructType(
+        [
+            StructField("eid", LongType()),
+            StructField("ts", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    paystat_schema = StructType(
+        [
+            StructField("n_clicks", LongType()),
+            StructField("last_click_ts", LongType()),
+        ]
+    )
+
+    def _rows_df(rows: list[tuple]) -> "pd.DataFrame":
+        cols = list(zip(*rows)) if rows else [[]] * 8
+        return pd.DataFrame(
+            {
+                "user_id": pd.array(cols[0], dtype="int64"),
+                "order_eid": pd.array(cols[1], dtype="int64"),
+                "order_ts": pd.array(cols[2], dtype="int64"),
+                "cents": pd.array(cols[3], dtype="int64"),
+                "status": pd.array(cols[4], dtype=object),
+                # nullable Int64: expired rows carry NULL pay fields
+                "pay_eid": pd.array(cols[5], dtype="Int64"),
+                "latency_s": pd.array(cols[6], dtype="Int64"),
+                "clicks_before": pd.array(cols[7], dtype="Int64"),
+            }
+        )
+
+    class TwoStreamReconcileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.pending = handle.getListState("pending_orders", pending_schema)
+            self.paystats = handle.getValueState("pay_stats", paystat_schema)
+
+        def _put_pending(self, pending: list[tuple]) -> None:
+            if pending:
+                self.pending.put(pending)
+            else:
+                self.pending.clear()
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(["ts_l", "event_id"])
+            pending = [
+                (int(e), int(t), int(c)) for e, t, c in self.pending.get()
+            ]
+            if self.paystats.exists():
+                n_clicks, last_click_ts = map(int, self.paystats.get())
+            else:
+                n_clicks, last_click_ts = 0, -1
+            uid = int(key[0])
+            out: list[tuple] = []
+            for _, row in pdf.iterrows():
+                ts_l, eid = int(row["ts_l"]), int(row["event_id"])
+                if row["side"] == "order":
+                    cents = int(math.floor(float(row["value"]) * 100.0))
+                    pending.append((eid, ts_l, cents))
+                    self.handle.registerTimer((ts_l + gap_seconds) * 1000)
+                else:  # payment side
+                    n_clicks += 1
+                    last_click_ts = ts_l
+                    still: list[tuple] = []
+                    for p_eid, p_ts, p_cents in pending:
+                        if p_ts < ts_l <= p_ts + gap_seconds:
+                            out.append(
+                                (
+                                    uid, p_eid, p_ts, p_cents, "matched",
+                                    eid, ts_l - p_ts, n_clicks,
+                                )
+                            )
+                        else:
+                            still.append((p_eid, p_ts, p_cents))
+                    pending = still
+            self._put_pending(pending)
+            self.paystats.update((n_clicks, last_click_ts))
+            if out:
+                yield _rows_df(out)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            expiry_s = expiredTimerInfo.getExpiryTimeInMs() // 1000
+            pending = [
+                (int(e), int(t), int(c)) for e, t, c in self.pending.get()
+            ]
+            fire = [p for p in pending if p[1] + gap_seconds <= expiry_s]
+            if not fire:
+                return
+            self._put_pending(
+                [p for p in pending if p[1] + gap_seconds > expiry_s]
+            )
+            uid = int(key[0])
+            yield _rows_df(
+                [
+                    (uid, p_eid, p_ts, p_cents, "expired", None, None, None)
+                    for p_eid, p_ts, p_cents in fire
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TwoStreamReconcileProcessor(), out_schema
+
+
+def two_stream_reconcile_tws(tagged_stream, gap_seconds: int):
+    """Tagged two-side streaming DataFrame -> reconciliation stream.
+
+    Input carries (user_id, event_id, ts TIMESTAMP, value, side) where
+    ``side`` is 'order' (value = amount) or 'pay' (value NULL) — the
+    tagged union the caller builds with unionByName; the watermark
+    must already ride ``ts`` so event-time gap timers fire."""
+    from flink_scala_spark.functions.portable import epoch_seconds
+
+    proc, out_schema = build_two_stream_reconcile_tws(gap_seconds)
+    withts = tagged_stream.select(
+        "user_id",
+        "event_id",
+        epoch_seconds("ts").alias("ts_l"),
+        "value",
+        "side",
+        "ts",
+    ).withWatermark("ts", "1 second")
+    return withts.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def build_rising_alarm_ptime_tws(hold_seconds: int):
     """Return (processor, output_schema) for the rising alarm on
     PROCESSING-TIME timers — the reference's literal wall-clock form

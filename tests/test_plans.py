@@ -680,6 +680,9 @@ STREAMING_PLAN_PINS = {
     "streaming_rising_alarm_tws": {"TWS": 1},
     "streaming_session_summary_tws": {"TWS": 1},
     "streaming_session_gap_tws": {"TWS": 1},
+    # tagged two-input union into ONE keyed processor: exactly one
+    # TWS store (per-side state lives inside it), no extra agg state
+    "streaming_two_stream_reconcile_tws": {"TWS": 1},
     "streaming_trigger_fire_purge": {"TWS": 1},
     "streaming_dedup_minhash": {"FMG": 1},
     "streaming_dedup_minhash_ttl": {"FMG": 1},

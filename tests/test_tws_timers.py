@@ -667,3 +667,123 @@ def test_session_gap_out_of_order_batch_widens_not_regresses():
     # 3 events; user 2's lone far-future row never closes (timer past
     # the final watermark).
     assert got == [[1, 100, 101, 3, 600]] or got == [(1, 100, 101, 3, 600)], got
+
+
+_RECONCILE_SCRIPT = r"""
+import json, sys, tempfile
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+sys.path.insert(0, sys.argv[1])
+from flink_scala_spark.streaming.tws import (ROCKSDB_PROVIDER,
+                                             two_stream_reconcile_tws)
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+# GAP=200s; batch time ranges strictly increase (B1 <= 170 < 180 <= B2
+# <= 210 < 900 <= B3) so nothing dies against the watermark.
+#  - u1: a click BEFORE any order (ts=100, must match nothing but
+#    count in the payment-side state), then orders at 120 and 150
+#    whose first eligible click (ts=200, the user's 2nd click) lands
+#    in the NEXT batch -> both matched with clicks_before=2; a later
+#    click (210) finds nothing left.
+#  - u2: order at 130, no click -> gap timer at 330 fires once the
+#    final watermark (999) passes it -> expired; a second order at
+#    900 (timer 1100 > 999) must NEVER emit.
+#  - u4: same-batch order(190)/click(195) -> matched, latency 5,
+#    clicks_before=1.
+#  - u3: click-only filler rows; its ts=1000 click drives the final
+#    watermark.
+B1 = [  # (eid, user, ts, side, value)
+    (1, 1, 100, "pay", None), (2, 1, 120, "order", 2.5),
+    (3, 1, 150, "order", 1.0), (4, 2, 130, "order", 9.99),
+    (5, 3, 170, "pay", None),
+]
+B2 = [
+    (6, 1, 200, "pay", None), (7, 1, 210, "pay", None),
+    (8, 4, 190, "order", 3.25), (9, 4, 195, "pay", None),
+]
+B3 = [(10, 2, 900, "order", 7.0), (11, 3, 1000, "pay", None)]
+
+d = tempfile.mkdtemp()
+import os as _os
+import time as _time
+
+_now = _time.time()
+for i, batch in enumerate((B1, B2, B3)):
+    rows = [
+        {"event_id": e, "user_id": u, "ts": ts, "side": s, "value": v}
+        for e, u, ts, s, v in batch
+    ]
+    pd.DataFrame(rows).to_json(f"{d}/b{i}.json", orient="records", lines=True)
+    _os.utime(f"{d}/b{i}.json", (_now + i, _now + i))
+
+schema = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("ts", LongType()),
+    StructField("side", StringType()),
+    StructField("value", DoubleType()),
+])
+src = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", "1")
+    .json(d)
+    .withColumn("ts", F.timestamp_seconds("ts"))
+)
+out = two_stream_reconcile_tws(src, gap_seconds=200)
+q = (
+    out.writeStream.format("memory").queryName("tws_rec")
+    .outputMode("append").trigger(availableNow=True).start()
+)
+assert q.awaitTermination(540), "streaming query did not finish in 540s"
+rows = sorted(tuple(r) for r in spark.table("tws_rec").collect())
+print("RESULT:" + json.dumps(rows))
+"""
+
+
+@pytest.mark.skipif(
+    protobuf_pythonpath() is None,
+    reason="no protobuf runtime available for the TWS worker",
+)
+def test_two_stream_reconcile_first_class_state_and_timers():
+    """The two-input co-processor (M3 stateful) on a hand-built
+    scenario: cross-batch pending state, the payment-side counter
+    surviving batches, one click matching several pending orders,
+    same-batch matches, timer expiry off the final watermark, and a
+    past-final-watermark order that never emits."""
+    env = dict(os.environ)
+    env.update(tws_env(protobuf_pythonpath()))
+    proc = subprocess.run(
+        [sys.executable, "-c", _RECONCILE_SCRIPT, REPO],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, proc.stdout[-2000:]
+    got = [tuple(r) for r in json.loads(line[0][len("RESULT:"):])]
+    assert got == [
+        # u1's two pending orders both matched by its 2nd click (eid 6)
+        (1, 2, 120, 250, "matched", 6, 80, 2),
+        (1, 3, 150, 100, "matched", 6, 50, 2),
+        # u2's first order expired by the gap timer; order eid 10
+        # (timer 1100 > final watermark 999) is absent
+        (2, 4, 130, 999, "expired", None, None, None),
+        # u4 same-batch match, first click of the key
+        (4, 8, 190, 325, "matched", 9, 5, 1),
+    ]

@@ -143,6 +143,11 @@ HEADLINE = [
     "large_volume_customers",
     "revenue_gini",
     "snapshot_diff_audit",
+    # round 11
+    "spacesaving_topk_certified",
+    "revenue_dow_seasonality",
+    "revenue_autocorr_lag1",
+    "cross_type_quantile_norm",
 ]
 
 

@@ -664,3 +664,181 @@ def daily_mean_trend(events: DataFrame) -> DataFrame:
             den != 0, inum.cast("double") / den.cast("double")
         ).alias("intercept_cents"),
     )
+
+
+def _daily_revenue_cents(orders: DataFrame) -> DataFrame:
+    """(d, rev) — epoch-day index and exact summed order cents: the
+    shared day-grain reduction of the seasonality and autocorrelation
+    ops (one map-side-combinable agg; the day table is calendar-
+    bounded at ~2.5k rows per 7 shipped years regardless of SF)."""
+    return (
+        orders.select(
+            F.floor(epoch_seconds("o_orderdate") / _DAY).cast("long").alias("d"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("rev"))
+    )
+
+
+def revenue_dow_seasonality(orders: DataFrame) -> DataFrame:
+    """Day-of-week seasonality + residual anomaly report (round 11):
+    daily revenue vs its weekday baseline, every step exact-integer so
+    the DuckDB oracle hash-matches.
+
+    - dow = (d + 4) % 7 (epoch day 0 = Thursday; d >= 0 here so Spark
+      % and DuckDB % agree — checklist rule 3 on negative operands);
+    - weekday baseline = floored mean, tot DIV n (non-negative);
+    - residual = rev - baseline; deviation_ppm = (1e6*|residual|) DIV
+      baseline (BIGINT-safe while daily cents <= 9.2e12 — $92 B/day;
+      the DIV's operands are non-negative);
+    - is_anomaly: deviation > 100% of the weekday mean.
+
+    Scale: one corpus agg to the bounded day table; the 7-row baseline
+    joins back broadcast-style; output is day-table-bounded."""
+    daily = _daily_revenue_cents(orders)
+    dowed = daily.withColumn("dow", F.expr("(d + 4) % 7").cast("int"))
+    base = dowed.groupBy("dow").agg(
+        F.expr("sum(rev) DIV count(*)").alias("dow_mean_cents")
+    )
+    j = dowed.join(F.broadcast(base), "dow")
+    res = F.col("rev") - F.col("dow_mean_cents")
+    dev = F.expr("(1000000 * abs(rev - dow_mean_cents)) DIV dow_mean_cents")
+    return j.select(
+        F.col("d").alias("day_idx"),
+        "dow",
+        F.col("rev").alias("rev_cents"),
+        "dow_mean_cents",
+        res.cast("long").alias("residual_cents"),
+        dev.cast("long").alias("deviation_ppm"),
+        (dev > 1_000_000).alias("is_anomaly"),
+    )
+
+
+def revenue_autocorr_lag1(orders: DataFrame) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue (round 11; pairs with
+    X206's OLS trend): is today's revenue predictive of tomorrow's?
+
+    Pairs are CONSECUTIVE day indexes only (a self-equi-join of the
+    bounded day table on d+1 — gap days produce no pair, the honest
+    series treatment). Sufficient statistics accumulate as
+    DECIMAL(38,0) — checklist rule 8: Spark DECIMAL(38,0) arithmetic
+    equals DuckDB HUGEINT exactly for non-overflowing integers, and
+    daily cents up to ~1e12 keep n*Sxy ~ 6e30 far under 1e38 (BIGINT
+    would overflow at sf0.1 already: Sxx ~ 2.4e3 * (9e8)^2 ~ 2e21).
+    r1 = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+    evaluates the identical IEEE expression tree over exactly-equal
+    inputs in both engines (DECIMAL/HUGEINT -> DOUBLE casts are
+    correctly rounded; sqrt/div/mul are IEEE ops), so the doubles
+    agree bit-for-bit. Degenerate series (constant side, < 2 pairs)
+    emit NULL r1 identically.
+
+    Scale: one corpus agg to the day table; the pair join and the
+    stats agg run on day-table-bounded input."""
+    daily = _daily_revenue_cents(orders)
+    nxt = daily.select((F.col("d") - 1).alias("d"), F.col("rev").alias("y"))
+    pair = daily.select("d", F.col("rev").alias("x")).join(nxt, "d")
+    dec = "decimal(38,0)"
+    st = pair.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    mean_x = F.expr("CAST(sx DIV n AS BIGINT)")
+    mean_y = F.expr("CAST(sy DIV n AS BIGINT)")
+    return st.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        mean_x.alias("mean_prev_cents"),
+        mean_y.alias("mean_next_cents"),
+        F.when(
+            (d1 > 0) & (d2 > 0), num / (F.sqrt(d1) * F.sqrt(d2))
+        ).alias("r1"),
+    )
+
+
+def cross_type_quantile_norm(events: DataFrame) -> DataFrame:
+    """Cross-type quantile normalization report (round 11): where does
+    each event type's value distribution sit inside the GLOBAL one?
+    Per type: exact p25/p50/p75 cents (rank selection over the type's
+    binned CDF) plus each quartile's global mid-rank percentile and
+    the type's MEAN global mid-rank — the normalization table a
+    feature pipeline uses to map per-type scores onto one scale.
+
+    All integer-exact: mid-rank x2 = below + cum from the global
+    cents-histogram CDF (integers, no halves); percentiles in ppm via
+    DECIMAL(38,0) products and the integral DIV (checklist rule 8 —
+    1e6 * sum(mid-rank x2) reaches ~2e31 at 100 TB, past BIGINT).
+
+    Scale: the corpus is hash-aggregated once per CDF (global +
+    per-type run over the same shuffle grain), never sorted; the
+    global CDF (<= cents-domain/100 bin rows, <= domain distinct
+    values) broadcasts into the corpus-side mean join; quartile
+    selection and the ppm arithmetic run on bounded frames. The
+    global kernel's unpartitioned windows run over the hard-bounded
+    $1 bin table only (the revenue_gini justification)."""
+    from flink_scala_spark.operators.aggregations import (
+        _pick_rank,
+        binned_value_cdf,
+        value_cdf_over_bins,
+    )
+
+    ev = events.where(F.col("value").isNotNull()).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    g = binned_value_cdf(ev, "cents", 100).select(
+        F.col("v").alias("cents"),
+        (F.col("below") + F.col("cum")).alias("mr2"),
+        F.col("n").alias("gn"),
+    )
+    pre = ev.select(
+        "event_type", F.col("cents").alias("v")
+    ).withColumn("b", F.expr("v DIV 100"))
+    cdf_t = value_cdf_over_bins(pre, keys=("event_type",))
+    qs = ((25, 0.25), (50, 0.5), (75, 0.75))
+    exact = cdf_t.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        *[
+            _pick_rank(F.ceil(F.lit(q) * F.col("n")), f"p{p}_cents")
+            for p, q in qs
+        ],
+    )
+    out = exact
+    for p, _ in qs:
+        side = g.select(
+            F.col("cents").alias(f"p{p}_cents"), F.col("mr2").alias(f"_mr{p}")
+        )
+        out = out.join(F.broadcast(side), f"p{p}_cents")
+    mean_t = (
+        ev.join(F.broadcast(g), "cents")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("mr2").cast("decimal(38,0)")).alias("s"),
+            F.count("*").cast("decimal(38,0)").alias("nt"),
+            F.max("gn").alias("gn"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * s)"
+                " DIV (2 * nt * CAST(gn AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("mean_rank_ppm"),
+            F.col("gn"),
+        )
+    )
+    out = out.join(mean_t, "event_type")
+    ppm = lambda p: F.expr(  # noqa: E731
+        f"CAST((CAST(1000000 AS DECIMAL(38,0)) * _mr{p})"
+        " DIV (2 * CAST(gn AS DECIMAL(38,0))) AS BIGINT)"
+    ).alias(f"g{p}_ppm")
+    return out.select(
+        "event_type",
+        "n_events",
+        *[c for p, _ in qs for c in (f"p{p}_cents", ppm(p))],
+        "mean_rank_ppm",
+    )

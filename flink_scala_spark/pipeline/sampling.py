@@ -443,3 +443,139 @@ def kmv_set_cardinality(
         j_est.alias("kmv_jaccard"),
         (j_est * u_est).alias("kmv_intersection"),
     )
+
+
+MG_COUNTERS = 20
+MG_TOPN = 12
+
+
+def char_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per character of the corpus text (spaces removed) — the
+    skewed item stream the heavy-hitter sketch runs on (letter
+    frequencies are genuinely zipf-ish where word frequencies in this
+    corpus are near-uniform). Split/filter semantics match the DuckDB
+    twin exactly."""
+    return docs.where(
+        F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    ).select(
+        F.explode(
+            F.split(F.regexp_replace(F.col(text_col), " ", ""), "")
+        ).alias("ch")
+    ).where(F.col("ch") != "")
+
+
+def mg_summaries(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries (<= k counters each): the
+    deterministic mergeable member of the SpaceSaving/MG family
+    (SpaceSaving with k+1 counters is isomorphic to MG with k —
+    Agarwal et al., "Mergeable Summaries", PODS'12). Counter VALUES
+    depend on partition layout; only the guarantees are
+    partitioning-proof, which is why the catalog query emits exact
+    counts plus a certificate, never the sketch values."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it in pdf[item_col]:
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = []
+                    for w in counters:
+                        counters[w] -= 1
+                        if counters[w] == 0:
+                            dead.append(w)
+                    for w in dead:
+                        del counters[w]
+        if counters:
+            yield pd.DataFrame(
+                {item_col: list(counters), "est": list(counters.values())}
+            )
+
+    return items.mapInPandas(summarize, f"{item_col} string, est long")
+
+
+def spacesaving_topk_certified(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = MG_COUNTERS,
+    topn: int = MG_TOPN,
+) -> DataFrame:
+    """Heavy-hitter top-N with a LIVE sketch-guarantee certificate —
+    the top-k sibling of cms_heavy_hitters, built on the
+    SpaceSaving/Misra-Gries summary instead of counter arrays.
+
+    Distributed shape (the 100 TB path): each input partition folds to
+    <= k MG counters (mapInPandas — fixed-size state, one pass, no
+    shuffle of the item stream); partials merge by summing per-item
+    and subtracting the (k+1)-th largest sum, truncating to positives
+    (the mergeable-summaries merge). PROVABLE bound for this one-shot
+    merge, partitioning-independent: per-partition undercounts total
+    <= floor(n/(k+1)) (each partition's <= floor(n_i/(k+1)); the sum
+    of floors <= the floor of the sum), and the subtracted offset is
+    <= floor(n/(k+1)) (the k+1 largest sums are disjoint and total
+    <= n) — so every item's merged estimate e satisfies
+    exact - 2*floor(n/(k+1)) <= e <= exact, and any item with count
+    above that bound MUST survive.
+
+    Because counter values are partition-dependent, the emitted rows
+    are the EXACT top-N (count desc, item asc) with n and an
+    `is_heavy` flag (count > 2*floor(n/(k+1)) — certainly captured);
+    `within_mg_bound` checks the guarantee against the live sketch:
+    TRUE under any partitioning, so the DuckDB oracle pins it
+    literally while the sketch genuinely runs and is genuinely
+    audited (the approx_ndv_hll / GK-certificate resolution)."""
+    items = char_stream(docs, text_col)
+    exact = items.groupBy("ch").agg(F.count("*").alias("exact_cnt"))
+    total = items.agg(F.count("*").alias("n_chars"))
+
+    summed = (
+        mg_summaries(items, "ch", k)
+        .groupBy("ch")
+        .agg(F.sum("est").alias("s"))
+    )
+    top_k1 = summed.orderBy(F.desc("s"), "ch").limit(k + 1)
+    off = top_k1.agg(
+        F.when(F.count("*") == k + 1, F.min("s")).otherwise(F.lit(0))
+        .alias("off")
+    )
+    survivors = (
+        summed.crossJoin(F.broadcast(off))
+        .where(F.col("s") - F.col("off") > 0)
+        .select("ch", (F.col("s") - F.col("off")).alias("est"))
+    )
+
+    from pyspark.sql import Window
+
+    ranked = (
+        exact.orderBy(F.desc("exact_cnt"), "ch")
+        .limit(topn)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("exact_cnt"), F.asc("ch"))
+            ),
+        )
+    )
+    out = (
+        ranked.crossJoin(F.broadcast(total))
+        .join(F.broadcast(survivors), "ch", "left")
+    )
+    bound = 2 * F.expr(f"n_chars DIV {k + 1}")
+    is_heavy = F.col("exact_cnt") > bound
+    cert = F.when(
+        F.col("est").isNotNull(),
+        (F.col("est") <= F.col("exact_cnt"))
+        & (F.col("exact_cnt") - F.col("est") <= bound),
+    ).otherwise(~is_heavy)
+    return out.select(
+        "ch",
+        "rank",
+        "exact_cnt",
+        "n_chars",
+        is_heavy.alias("is_heavy"),
+        cert.alias("within_mg_bound"),
+    )

@@ -5775,3 +5775,217 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").cast("long").alias("chars_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X213: SpaceSaving/Misra-Gries heavy-hitter top-N with exact audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "spacesaving_topk_certified",
+    f"""
+    WITH ch AS (
+        SELECT unnest(string_split(replace(text, ' ', ''), '')) AS ch
+        FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    c AS (SELECT ch, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM ch WHERE ch <> '' GROUP BY 1),
+    t AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS n_chars FROM c),
+    r AS (SELECT ch, exact_cnt,
+                 row_number() OVER (ORDER BY exact_cnt DESC, ch) AS rank
+          FROM c)
+    SELECT ch, CAST(rank AS INT) AS rank, exact_cnt, t.n_chars,
+           exact_cnt > 2 * (t.n_chars // {"21"}) AS is_heavy,
+           TRUE AS within_mg_bound
+    FROM r CROSS JOIN t WHERE rank <= 12
+    """,
+    "sketch", "heavy-hitters", "topk", "text",
+)
+def q_spacesaving_topk_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpaceSaving/Misra-Gries heavy-hitter top-N with its guarantee
+    audited live (X213, round 11) — the top-k-with-certificate sibling
+    of cms_heavy_hitters: per-partition <= 20-counter MG summaries
+    (fixed-size state, one corpus pass), mergeable-summaries combine,
+    and the partitioning-proof error bound exact - e <= 2*floor(n/21)
+    checked row-by-row against the exact counts; the item stream is
+    the corpus's characters (genuinely zipf-skewed — 3 items clear the
+    certainly-captured threshold at every sf). The oracle pins the
+    exact top-12 and the literal TRUE certificate. See
+    pipeline/sampling.py: spacesaving_topk_certified for the bound's
+    derivation."""
+    return sampling.spacesaving_topk_certified(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# X214: day-of-week seasonality + residual anomaly report
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_dow_seasonality",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev
+        FROM orders GROUP BY 1
+    ),
+    base AS (
+        SELECT (d + 4) % 7 AS dow,
+               CAST(sum(rev) AS BIGINT) // count(*) AS dow_mean_cents
+        FROM daily GROUP BY 1
+    )
+    SELECT daily.d AS day_idx, CAST(base.dow AS INT) AS dow,
+           daily.rev AS rev_cents, base.dow_mean_cents,
+           CAST(daily.rev - base.dow_mean_cents AS BIGINT) AS residual_cents,
+           CAST((1000000 * abs(daily.rev - base.dow_mean_cents))
+                // base.dow_mean_cents AS BIGINT) AS deviation_ppm,
+           (1000000 * abs(daily.rev - base.dow_mean_cents))
+                // base.dow_mean_cents > 1000000 AS is_anomaly
+    FROM daily JOIN base ON (daily.d + 4) % 7 = base.dow
+    """,
+    "analytics", "seasonality", "anomaly",
+)
+def q_revenue_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality + residual anomaly report (X214, round
+    11): daily revenue against its weekday baseline (floored-mean
+    cents), residual and deviation in exact integer ppm, anomaly =
+    deviation beyond 100% of the baseline. Epoch day 0 is a Thursday,
+    so dow = (d+4) % 7 with non-negative d (Spark %/DuckDB % agree).
+    One corpus agg to the calendar-bounded day table; the 7-row
+    baseline broadcasts back. See behavior.revenue_dow_seasonality."""
+    from flink_scala_spark.pipeline import behavior
+
+    return behavior.revenue_dow_seasonality(
+        tables.load(spark, sf_dir, "orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X215: lag-1 autocorrelation of daily revenue (pairs with X206)
+# ---------------------------------------------------------------------------
+
+@register(
+    "revenue_autocorr_lag1",
+    """
+    WITH daily AS (
+        SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev
+        FROM orders GROUP BY 1
+    ),
+    pair AS (
+        SELECT a.rev AS x, b.rev AS y
+        FROM daily a JOIN daily b ON b.d = a.d + 1
+    ),
+    st AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM pair
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(sx // n AS BIGINT) AS mean_prev_cents,
+           CAST(sy // n AS BIGINT) AS mean_next_cents,
+           CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0
+                 AND CAST(n*syy - sy*sy AS DOUBLE) > 0 THEN
+               CAST(n*sxy - sx*sy AS DOUBLE)
+                 / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                    * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+           END AS r1
+    FROM st
+    """,
+    "analytics", "regression", "trend",
+)
+def q_revenue_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue (X215, round 11; pairs
+    with X206's OLS trend): consecutive-day revenue pairs from the
+    bounded day table, sufficient statistics in DECIMAL(38,0) (Spark)
+    == HUGEINT (DuckDB) — BIGINT overflows at sf0.1 already — and one
+    identical IEEE expression for r1 on both engines. See
+    behavior.revenue_autocorr_lag1 for the envelope."""
+    from flink_scala_spark.pipeline import behavior
+
+    return behavior.revenue_autocorr_lag1(tables.load(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# X216: cross-type quantile normalization via the global cents CDF
+# ---------------------------------------------------------------------------
+
+@register(
+    "cross_type_quantile_norm",
+    """
+    WITH ev AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT cents,
+               sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) * 2
+                 - cnt AS mr2,
+               CAST(sum(cnt) OVER () AS BIGINT) AS gn
+        FROM (SELECT cents, count(*) AS cnt FROM ev GROUP BY 1) h
+    ),
+    tc AS (
+        SELECT event_type, cents, count(*) AS cnt FROM ev GROUP BY 1, 2
+    ),
+    tcdf AS (
+        SELECT event_type, cents, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM tc
+    ),
+    px AS (
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+               max(CASE WHEN cum - cnt < ceil(0.25 * n)
+                         AND ceil(0.25 * n) <= cum THEN cents END) AS p25_cents,
+               max(CASE WHEN cum - cnt < ceil(0.5 * n)
+                         AND ceil(0.5 * n) <= cum THEN cents END) AS p50_cents,
+               max(CASE WHEN cum - cnt < ceil(0.75 * n)
+                         AND ceil(0.75 * n) <= cum THEN cents END) AS p75_cents
+        FROM tcdf GROUP BY 1
+    ),
+    mean_t AS (
+        SELECT ev.event_type,
+               CAST((1000000 * CAST(sum(CAST(g.mr2 AS HUGEINT)) AS HUGEINT))
+                    // (2 * CAST(count(*) AS HUGEINT)
+                        * CAST(max(g.gn) AS HUGEINT)) AS BIGINT)
+                 AS mean_rank_ppm
+        FROM ev JOIN g USING (cents) GROUP BY 1
+    )
+    SELECT px.event_type, px.n_events,
+           px.p25_cents,
+           CAST((1000000 * CAST(g25.mr2 AS HUGEINT))
+                // (2 * CAST(g25.gn AS HUGEINT)) AS BIGINT) AS g25_ppm,
+           px.p50_cents,
+           CAST((1000000 * CAST(g50.mr2 AS HUGEINT))
+                // (2 * CAST(g50.gn AS HUGEINT)) AS BIGINT) AS g50_ppm,
+           px.p75_cents,
+           CAST((1000000 * CAST(g75.mr2 AS HUGEINT))
+                // (2 * CAST(g75.gn AS HUGEINT)) AS BIGINT) AS g75_ppm,
+           mean_t.mean_rank_ppm
+    FROM px
+    JOIN g g25 ON g25.cents = px.p25_cents
+    JOIN g g50 ON g50.cents = px.p50_cents
+    JOIN g g75 ON g75.cents = px.p75_cents
+    JOIN mean_t ON mean_t.event_type = px.event_type
+    """,
+    "analytics", "quantile", "normalization",
+)
+def q_cross_type_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-type quantile normalization (X216, round 11): each event
+    type's exact p25/p50/p75 cents mapped to their GLOBAL mid-rank
+    percentile (ppm), plus the type's mean global mid-rank — the table
+    that puts per-type scores on one scale. Reuses the binned-CDF
+    kernel twice (global + keyed, one histogram grain each);
+    arithmetic is DECIMAL(38,0)/HUGEINT per checklist rule 8 (the
+    mid-rank sums pass BIGINT at 100 TB). Note the oracle's mr2
+    identity: 2*cum - cnt == below + cum. See
+    behavior.cross_type_quantile_norm."""
+    from flink_scala_spark.pipeline import behavior
+
+    return behavior.cross_type_quantile_norm(_events(spark, sf_dir))

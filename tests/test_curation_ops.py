@@ -1981,3 +1981,162 @@ def test_snapshot_diff_classes_partition_both_versions(spark, sf_dir):
     # every changed row bumped n_chars by exactly +11
     if "changed" in out:
         assert out["changed"]["chars_delta"] == 11 * out["changed"]["n_rows"]
+
+
+def test_spacesaving_topk_certificate_and_exactness(spark):
+    """The MG heavy-hitter report must emit the exact top-N (count
+    desc, item asc) with TRUE certificates under adversarial
+    partitioning — a zipf-ish synthetic corpus repartitioned several
+    ways so per-partition summaries genuinely differ."""
+    from collections import Counter
+
+    from flink_scala_spark.pipeline import sampling
+
+    # zipf-ish: item i appears ~60/i times, vocabulary of 40 > k=20
+    words = []
+    for i in range(1, 41):
+        words += [chr(96 + (i % 26) + 1) * ((i % 3) + 1)] * (60 // i + 1)
+    # docs of 7 "words" each; characters are the item stream
+    texts = [
+        " ".join(words[j : j + 7]) for j in range(0, len(words) - 6, 7)
+    ]
+    chars = Counter(c for t in texts for c in t.replace(" ", ""))
+    n = sum(chars.values())
+    ref = sorted(chars.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+
+    for parts in (1, 3, 17):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        ).repartition(parts)
+        rows = (
+            sampling.spacesaving_topk_certified(docs)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [(r["ch"], r["exact_cnt"]) for r in rows] == ref, parts
+        assert all(r["within_mg_bound"] for r in rows), parts
+        assert all(r["n_chars"] == n for r in rows)
+        bound = 2 * (n // 21)
+        for r in rows:
+            assert r["is_heavy"] == (r["exact_cnt"] > bound)
+
+
+def test_revenue_dow_seasonality_matches_python(spark):
+    """Day-table seasonality report vs an independent Python fold."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from flink_scala_spark.pipeline import behavior
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(10_000, 11_000), round(rng.uniform(1, 5000), 2))
+        for i in range(400)
+    ]
+    orders = spark.createDataFrame(
+        [(k, __import__("datetime").datetime.utcfromtimestamp(d * 86400 + 3600), p)
+         for k, d, p in rows],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    daily: dict[int, int] = defaultdict(int)
+    for _, d, p in rows:
+        daily[d] += int(math.floor(p * 100))
+    by_dow: dict[int, list[int]] = defaultdict(list)
+    for d, rev in daily.items():
+        by_dow[(d + 4) % 7].append(rev)
+    mean = {w: sum(v) // len(v) for w, v in by_dow.items()}
+    got = {
+        r["day_idx"]: r
+        for r in behavior.revenue_dow_seasonality(orders).collect()
+    }
+    assert set(got) == set(daily)
+    for d, rev in daily.items():
+        r = got[d]
+        m = mean[(d + 4) % 7]
+        assert (r["dow"], r["rev_cents"], r["dow_mean_cents"]) == (
+            (d + 4) % 7, rev, m,
+        )
+        assert r["residual_cents"] == rev - m
+        assert r["deviation_ppm"] == (1_000_000 * abs(rev - m)) // m
+        assert r["is_anomaly"] == (r["deviation_ppm"] > 1_000_000)
+
+
+def test_revenue_autocorr_lag1_matches_python(spark):
+    """r1 vs a plain-Python Pearson over the consecutive-day pairs."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from flink_scala_spark.pipeline import behavior
+
+    rng = random.Random(11)
+    # ~30 days with gaps, strongly autocorrelated revenue
+    days = sorted(rng.sample(range(10_000, 10_050), 30))
+    level = 500_000.0
+    rows = []
+    daily: dict[int, int] = defaultdict(int)
+    for d in days:
+        level = 0.9 * level + rng.uniform(0, 100_000)
+        p = round(level / 100, 2)
+        rows.append((d, p))
+        daily[d] += int(math.floor(p * 100))
+    orders = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(d * 86400), p)
+         for i, (d, p) in enumerate(rows)],
+        "o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    pairs = [
+        (daily[d], daily[d + 1]) for d in daily if d + 1 in daily
+    ]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    ref = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    import pytest
+
+    row = behavior.revenue_autocorr_lag1(orders).collect()[0]
+    assert row["n_pairs"] == n
+    assert row["mean_prev_cents"] == sx // n
+    assert row["mean_next_cents"] == sy // n
+    assert row["r1"] == pytest.approx(ref, rel=1e-12)
+    assert row["r1"] > 0.3  # the series is genuinely autocorrelated
+
+
+def test_cross_type_quantile_norm_matches_python(spark):
+    """Quartiles + global mid-rank ppms vs an independent sorted scan."""
+    import math
+    import random
+
+    from flink_scala_spark.pipeline import behavior
+
+    rng = random.Random(3)
+    rows = [
+        (i, ["a", "b", "c"][i % 3], round(rng.uniform(0, 50), 2))
+        for i in range(300)
+    ]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    cents = [(t, int(math.floor(v * 100))) for _, t, v in rows]
+    allc = sorted(c for _, c in cents)
+    gn = len(allc)
+
+    def mr2(c: int) -> int:
+        below = sum(1 for x in allc if x < c)
+        cum = sum(1 for x in allc if x <= c)
+        return below + cum
+
+    got = {r["event_type"]: r for r in behavior.cross_type_quantile_norm(events).collect()}
+    for t in ("a", "b", "c"):
+        vals = sorted(c for ty, c in cents if ty == t)
+        nt = len(vals)
+        r = got[t]
+        assert r["n_events"] == nt
+        for p, q in ((25, 0.25), (50, 0.5), (75, 0.75)):
+            expect = vals[math.ceil(q * nt) - 1]
+            assert r[f"p{p}_cents"] == expect, (t, p)
+            assert r[f"g{p}_ppm"] == (1_000_000 * mr2(expect)) // (2 * gn)
+        s = sum(mr2(c) for ty, c in cents if ty == t)
+        assert r["mean_rank_ppm"] == (1_000_000 * s) // (2 * nt * gn)

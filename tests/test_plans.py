@@ -274,6 +274,14 @@ SINGLE_PARTITION_WINDOW_OK = {
     # "both substrings present" conjunction is a false positive here
     # (the bitext_mining_ann precedent)
     "customer_rfm_segments",
+    # round 11: the GLOBAL binned_value_cdf branch — unpartitioned
+    # windows over the $1 cents BIN table only (<= domain/100 rows,
+    # hard-bounded regardless of corpus size); the per-type branch
+    # partitions by event_type/bin (the revenue_gini justification)
+    "cross_type_quantile_norm",
+    # round 11: rank row_number over the GlobalLimit-12 exact top-N
+    # (12 rows by construction, the negative_pool_sampler shape)
+    "spacesaving_topk_certified",
 }
 
 # Every BroadcastNestedLoopJoin must be an INTENDED broadcast cross:
@@ -313,6 +321,9 @@ BNLJ_OK = {
     # documented exact all-pairs BASELINE (scale path: bitext_mining_lsh
     # / bitext_mining_ann)
     "bitext_mining_margin",
+    # round 11: 1-row n_chars total + 1-row merge-offset aggregate
+    # crossed onto the 12-row exact top-N (negative_pool_sampler shape)
+    "spacesaving_topk_certified",
 }
 
 

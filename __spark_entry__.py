@@ -44,59 +44,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
 _PRIORITY = [
-    # (a) round-10 additions, no driver row yet
-    "rolling_distinct_users",
-    "rolling_distinct_users_hll",
-    "value_trend_ols",
-    "product_type_profit",
-    "large_volume_customers",
-    "revenue_gini",
-    "snapshot_diff_audit",
-    "streaming_rolling_distinct_daily",
-    # (b) plan changed this round
-    "value_deciles",
-    # (c) the full round-5 stale tail (41, alphabetical)
-    "connect_co_map",
-    "corpus_budget_sampler",
-    "corpus_token_budget",
-    "dedup_clusters",
-    "dedup_keep_best",
+    # (a) round-11 additions, no driver row yet (5)
+    "spacesaving_topk_certified",
+    "revenue_dow_seasonality",
+    "revenue_autocorr_lag1",
+    "cross_type_quantile_norm",
+    "streaming_two_stream_reconcile_tws",
+    # (b) plan changed this round: the binned-CDF quantile
+    # rebuild (2) + the persisted-index serving path (1)
     "event_value_quantiles",
-    "events_json_props",
-    "events_type_pivot",
-    "filter_threshold",
-    "hybrid_retrieval_rrf",
-    "incremental_agg_maintenance",
-    "keyed_sum",
-    "keyed_sum_salted",
-    "latest_event_per_key",
-    "length_outliers",
-    "lineitem_pricing_summary",
-    "multimodal_features",
-    "ngram_lm_score",
-    "order_dashboard_rollup",
-    "ordered_fold",
-    "ordered_fold_general",
-    "orders_without_recent_shipments",
-    "rising_streak_alarm",
-    "running_sum",
-    "sensor_parse",
-    "sliding_window_counts",
-    "source_reputation_filter",
-    "split_contamination_audit",
-    "streaming_dedup_events",
-    "streaming_dedup_minhash",
-    "streaming_dedup_minhash_ttl",
-    "streaming_interval_join",
-    "streaming_latest_event",
-    "streaming_token_budget",
-    "top_events_per_user",
-    "tumbling_window_counts",
-    "tumbling_window_min_by",
-    "tumbling_window_unique_users",
-    "unified_backfill_daily",
-    "word_count",
-    "zorder_roundtrip",
+    "approx_quantiles_certified",
+    "streaming_ann_pq_serving",
+    # (c) the full round-6 stale tail (42, alphabetical)
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "approx_ndv_kmv",
+    "asof_join_purchase_click",
+    "big_order_customers",
+    "bitext_mining_ann",
+    "boilerplate_shingle_flags",
+    "bpe_merges",
+    "chunk_documents",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "contrastive_triplets",
+    "corpus_mixture",
+    "count_window_sum",
+    "curation_summary",
+    "customer_order_distribution",
+    "decontamination",
+    "dedup_exact",
+    "dedup_pagerank",
+    "dq_audit",
+    "embedding_label_centroids",
+    "funnel_conversion",
+    "fuzzy_name_pairs",
+    "hard_negative_mining",
+    "interval_join_error_clicks",
+    "inverted_index",
+    "kmeans_assignments",
+    "order_dashboard_province",
+    "order_priority_pipeline",
+    "sequence_packing",
+    "session_windows",
+    "snapshot_diff",
+    "streaming_approx_ndv_hll",
+    "streaming_count_window",
+    "streaming_rising_alarm",
+    "streaming_union_counts",
+    "streaming_value_quantiles",
+    "temperature_mixture",
+    "text_repetition",
+    "text_tfidf_top_terms",
+    "top_supplier_revenue",
+    "vocab_oov_rate",
 ]
 
 

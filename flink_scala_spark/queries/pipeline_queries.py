@@ -1438,6 +1438,11 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           -- DATA-DEPENDENT bound (round-10 ADVICE): lgK=12 gives ~1.6%
+           -- RSE, so 5% is ~3 sigma — deterministic for the shipped
+           -- generators at every sf, but a future dataset could
+           -- legitimately exceed it on one group; a sweep failure
+           -- here is a STATISTICAL event to triage, not a regression
            TRUE AS estimate_within_5pct
     FROM events GROUP BY 1
     """,
@@ -3413,7 +3418,16 @@ def q_corpus_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = docs.select(
         "doc_id", "lang", "source",
-        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        # greatest(0, .) pins the chunk-total invariant (max(cum_in)
+        # == chunk sum needs toks >= 0) structurally: F.size returns
+        # -1 on NULL input, so without it the invariant would depend
+        # on the NULL-text filter above staying in place (round-10
+        # ADVICE). The filter guarantees size >= 1 today, so this is
+        # value-identical and the oracle needs no mirror.
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.size(F.split("text", " ")).cast("long"),
+        ).alias("toks"),
         h60(F.col("doc_id").cast("string")).alias("h"),
     ).withColumn("chunk", F.expr(f"h DIV {1 << 47}"))
     w_in = (
@@ -5590,6 +5604,11 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_ROLLING_UD}
     SELECT CAST(td * 86400 AS BIGINT) AS day_s,
            users_7d AS exact_users,
+           -- DATA-DEPENDENT bound (round-10 ADVICE): lgK=12 gives ~1.6%
+           -- RSE, so 5% is ~3 sigma — deterministic for the shipped
+           -- generators at every sf, but a future dataset could
+           -- legitimately exceed it on one group; a sweep failure
+           -- here is a STATISTICAL event to triage, not a regression
            TRUE AS estimate_within_5pct
     FROM roll
     """,
@@ -5681,7 +5700,12 @@ def q_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE n_chars END AS n_chars
         FROM documents WHERE doc_id % 17 <> 3
         UNION ALL
-        SELECT doc_id + 10000000, lang, source, n_chars
+        -- added rows take a HIGH-BIT id shift (1 << 40), not a fixed
+        -- decimal offset: disjointness from v1 keys is structural for
+        -- any id space below 2^40 (~1.1e12 docs — beyond a 100 TB
+        -- corpus), where +10,000,000 silently collides once the
+        -- table reaches 10M ids (round-10 ADVICE)
+        SELECT doc_id + 1099511627776, lang, source, n_chars
         FROM documents WHERE doc_id % 19 = 7
     ),
     j AS (SELECT a.doc_id AS aid, b.doc_id AS bid,
@@ -5737,7 +5761,8 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("n_chars")),
         )
         added = docs.where(F.col("doc_id") % 19 == 7).select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            # high-bit shift, mirrored in the oracle — see its comment
+            (F.col("doc_id") + (1 << 40)).alias("doc_id"),
             "lang",
             "source",
             "n_chars",

@@ -488,7 +488,11 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_type, value,
                  CAST(ntile(10) OVER (PARTITION BY event_type
                                       ORDER BY value, event_id) AS INT) AS decile
-          FROM events) t
+          -- NULL pin (round-10 ADVICE): Spark windows order NULLS
+          -- FIRST, DuckDB ntile NULLS LAST — today events.value has
+          -- no NULLs, but the mirrored filter makes the decile
+          -- assignment generator-proof
+          FROM events WHERE value IS NOT NULL) t
     GROUP BY 1, 2
     """,
     "analytics", "quantile-binning",
@@ -517,7 +521,11 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality key."""
     from flink_scala_spark import tables
 
-    ev = tables.load(spark, sf_dir, "events").select("event_type", "value")
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())  # mirrored in the oracle
+        .select("event_type", "value")
+    )
     from pyspark.sql import Window as W
 
     h = ev.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))

@@ -958,6 +958,11 @@ def q_streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame
           FROM events)
     SELECT day_start, event_type,
            count(*) AS exact_users,
+           -- DATA-DEPENDENT bound (round-10 ADVICE): lgK=12 gives ~1.6%
+           -- RSE, so 5% is ~3 sigma — deterministic for the shipped
+           -- generators at every sf, but a future dataset could
+           -- legitimately exceed it on one group; a sweep failure
+           -- here is a STATISTICAL event to triage, not a regression
            TRUE AS estimate_within_5pct
     FROM d, wm
     GROUP BY 1, 2, wm.w
@@ -2453,6 +2458,11 @@ from flink_scala_spark.queries.catalog import ROLLING_UD_SQL as _ROLLING_UD  # n
     {_ROLLING_UD}
     SELECT CAST(td * 86400 AS BIGINT) AS day_start,
            users_7d AS exact_users_7d,
+           -- DATA-DEPENDENT bound (round-10 ADVICE): lgK=12 gives ~1.6%
+           -- RSE, so 5% is ~3 sigma — deterministic for the shipped
+           -- generators at every sf, but a future dataset could
+           -- legitimately exceed it on one group; a sweep failure
+           -- here is a STATISTICAL event to triage, not a regression
            TRUE AS estimate_within_5pct
     FROM roll, wm WHERE td * 86400 + 86400 <= wm.w
     """,

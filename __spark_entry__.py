@@ -50,8 +50,15 @@ _PRIORITY = [
     "revenue_autocorr_lag1",
     "cross_type_quantile_norm",
     "streaming_two_stream_reconcile_tws",
-    # (b) plan changed this round: the binned-CDF quantile
-    # rebuild (2) + the persisted-index serving path (1)
+    # (b) plan changed this round with CHANGED semantics surface: the
+    # binned-CDF quantile rebuild (2) + the persisted-index serving
+    # path (1). Three further entries were touched by the round-10
+    # ADVICE items with value-identical edits on BOTH engine sides
+    # (value_deciles NULL pin, corpus_budget_sampler toks guard,
+    # snapshot_diff_audit high-bit shift) — the 42-entry stale-tail
+    # rotation leaves them no seat; their re-proof this round is the
+    # full-registry sf0.01/sf0.1 check_oracle sweeps recorded in
+    # BASELINE.md plus the suite's all-catalog sf0.001 oracle test.
     "event_value_quantiles",
     "approx_quantiles_certified",
     "streaming_ann_pq_serving",

@@ -530,7 +530,9 @@ def spacesaving_topk_certified(
     audited (the approx_ndv_hll / GK-certificate resolution)."""
     items = char_stream(docs, text_col)
     exact = items.groupBy("ch").agg(F.count("*").alias("exact_cnt"))
-    total = items.agg(F.count("*").alias("n_chars"))
+    # n = sum of the bounded exact frame — NOT a third corpus
+    # scan/explode (round-11 review finding)
+    total = exact.agg(F.sum("exact_cnt").alias("n_chars"))
 
     summed = (
         mg_summaries(items, "ch", k)

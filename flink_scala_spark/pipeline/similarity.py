@@ -1450,19 +1450,36 @@ def pq_adc_topk(enc, qdt, k: int):
 #: in-process _TRAINED_CACHE (which dies with the JVM), an index
 #: staged here survives across driver/bench/pytest processes — the
 #: round-10 verdict measured streaming_ann_pq_serving paying a full
-#: corpus re-encode per fresh JVM. Override via env for tests.
+#: corpus re-encode per fresh JVM. Env var is read at import time;
+#: tests monkeypatch the module attribute instead.
 PQ_INDEX_HOME = os.environ.get(
     "SPARK_GRAFT_INDEX_HOME", "/tmp/flink_scala_spark_indexes"
 )
 
+#: Builder format version, folded into every index key. The staged
+#: directory OUTLIVES code versions (that is its whole point), so any
+#: change to pq_codebook / pq_encode / centroid_rows semantics MUST
+#: bump this — otherwise a fresh JVM running new code would silently
+#: serve an index built by the old code (round-11 review finding).
+PQ_INDEX_FORMAT_VERSION = 1
+
 
 def _source_fingerprint(df: DataFrame) -> str | None:
-    """Content fingerprint of a frame's input files + the PQ geometry,
-    or None when the source is not a stat-able local file scan (in
-    which case persisting would risk staleness — callers fall back to
-    in-session build)."""
+    """Content fingerprint of a frame's input files + its ANALYZED
+    PLAN + the PQ geometry + the builder format version, or None when
+    the source is not a stat-able local file scan (in which case
+    persisting would risk staleness — callers fall back to in-session
+    build). The plan hash (expression ids normalized, the
+    _TRAINED_CACHE discipline) keys a filtered/projected frame
+    DIFFERENTLY from the raw table scan — inputFiles alone would hand
+    a subset frame the full-corpus index."""
     try:
         files = tuple(sorted(df.inputFiles()))
+        import re
+
+        plan_s = re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().analyzed().toString()
+        )
     except Exception:
         return None
     if not files:
@@ -1474,7 +1491,7 @@ def _source_fingerprint(df: DataFrame) -> str | None:
     import json as _json
 
     key = _json.dumps([list(p) for p in prints]) + (
-        f"|M{PQ_M}|K{PQ_K}|DIM{DIM}"
+        f"|{plan_s}|M{PQ_M}|K{PQ_K}|DIM{DIM}|v{PQ_INDEX_FORMAT_VERSION}"
     )
     return hashlib.md5(key.encode()).hexdigest()
 
@@ -1532,6 +1549,7 @@ def pq_persisted_index(
                 {
                     "kind": "pq_index",
                     "fingerprint": fp,
+                    "format_version": PQ_INDEX_FORMAT_VERSION,
                     "pq_m": PQ_M,
                     "pq_k": PQ_K,
                     "dim": DIM,
@@ -1543,6 +1561,26 @@ def pq_persisted_index(
             )
 
     maintenance.stage_once(path, write)
+    # Validate the commit record before trusting the artifact: the
+    # geometry/version live in the key, so a mismatch here means a
+    # hand-copied or corrupted directory — rebuild in-session rather
+    # than serve it.
+    import json as _json
+
+    try:
+        with open(os.path.join(path, "MANIFEST.json")) as f:
+            m = _json.load(f)
+        ok = (
+            m.get("kind") == "pq_index"
+            and m.get("format_version") == PQ_INDEX_FORMAT_VERSION
+            and (m.get("pq_m"), m.get("pq_k"), m.get("dim"))
+            == (PQ_M, PQ_K, DIM)
+        )
+    except (OSError, ValueError):
+        ok = False
+    if not ok:
+        cb = pq_codebook(emb, id_col, vec_col)
+        return pq_encode(emb, cb, id_col, vec_col), cb
     cb = spark.read.parquet(os.path.join(path, "codebook"))
     enc = spark.read.parquet(os.path.join(path, "codes"))
     return enc, cb

@@ -5808,6 +5808,9 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "spacesaving_topk_certified",
+    # k/topn interpolate from sampling.MG_COUNTERS / MG_TOPN — the
+    # Spark side uses the same constants as defaults, so retuning the
+    # sketch can never diverge the two sides (round-11 review finding)
     f"""
     WITH ch AS (
         SELECT unnest(string_split(replace(text, ' ', ''), '')) AS ch
@@ -5820,9 +5823,9 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  row_number() OVER (ORDER BY exact_cnt DESC, ch) AS rank
           FROM c)
     SELECT ch, CAST(rank AS INT) AS rank, exact_cnt, t.n_chars,
-           exact_cnt > 2 * (t.n_chars // {"21"}) AS is_heavy,
+           exact_cnt > 2 * (t.n_chars // {sampling.MG_COUNTERS + 1}) AS is_heavy,
            TRUE AS within_mg_bound
-    FROM r CROSS JOIN t WHERE rank <= 12
+    FROM r CROSS JOIN t WHERE rank <= {sampling.MG_TOPN}
     """,
     "sketch", "heavy-hitters", "topk", "text",
 )

@@ -123,17 +123,33 @@ def arg_min(df: DataFrame, key: str, value: str, tiebreak: str, keep: list[str])
     return agg.select(key, *[F.col(f"_row.{c}").alias(c) for c in keep])
 
 
-def _quantile_cdf(df: DataFrame, key: str, value: str) -> DataFrame:
+def _quantile_cdf(
+    df: DataFrame, key: str, value: str, bin_width: float = 1.0
+) -> DataFrame:
     """Shared substrate of the exact quantile ops: the per-key exact
-    CDF over DISTINCT values via the two-level binned kernel
-    (value_cdf_over_bins). Bin = floor(value) — monotone in the value
-    for any double, and for the repo's 2-dp money-like columns it
-    bounds a bin at <= 100 distinct cents values, so BOTH windows the
-    kernel runs are over hard-bounded tables (level 1: the per-key bin
-    histogram; level 2: within one bin). Output columns: key, v, cnt,
-    cum, below, n."""
-    pre = df.select(F.col(key), F.col(value).alias("v")).withColumn(
-        "b", F.floor(F.col("v"))
+    CDF over DISTINCT NON-NULL values via the two-level binned kernel
+    (value_cdf_over_bins). Bin = floor(value / bin_width) — monotone
+    in the value for any double; with the default width the repo's
+    2-dp money-like columns bound a bin at <= 100 distinct cents
+    values, so BOTH windows the kernel runs are over hard-bounded
+    tables (level 1: the per-key bin histogram; level 2: within one
+    bin). CALLER CONTRACT: pick ``bin_width`` so a single bin holds at
+    most ~thousands of distinct values — a score column concentrated
+    in [0, 1) under the default width would funnel each key's whole
+    distinct-value set through one level-2 task (round-11 review).
+
+    NULLs are excluded on BOTH engines (review pass 2: floor(NULL)
+    bins to NULL and the kernel's bin equi-join would silently DROP an
+    all-NULL key, where the old row_number shape kept it — and Spark
+    NULLS FIRST vs DuckDB NULLS LAST ordering made NULL ranks
+    engine-divergent in the old shape anyway; the mirrored filter is
+    the repo's standard NULL pin). n counts non-NULL values; keys with
+    no non-NULL value are absent from the output. Output columns:
+    key, v, cnt, cum, below, n."""
+    pre = (
+        df.where(F.col(value).isNotNull())
+        .select(F.col(key), F.col(value).alias("v"))
+        .withColumn("b", F.floor(F.col("v") / F.lit(float(bin_width))))
     )
     return value_cdf_over_bins(pre, keys=(key,))
 
@@ -156,6 +172,7 @@ def group_quantiles(
     value: str,
     tiebreak: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bin_width: float = 1.0,
 ) -> DataFrame:
     """Exact distributed per-group quantiles by rank selection: row r
     of n sorted values is the q-quantile when r = ceil(q * n).
@@ -181,7 +198,7 @@ def group_quantiles(
     bounded-histogram windows + a bounded final agg. The corpus is
     scanned once and never sorted.
     """
-    cdf = _quantile_cdf(df, key, value)
+    cdf = _quantile_cdf(df, key, value, bin_width)
     aggs = [
         _pick_rank(F.ceil(F.lit(q) * F.col("n")), f"p{int(q * 100)}")
         for q in qs
@@ -196,6 +213,7 @@ def group_quantiles_certified(
     tiebreak: str,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     accuracy: int = 1000,
+    bin_width: float = 1.0,
 ) -> DataFrame:
     """Per-group quantiles via the GK sketch (``percentile_approx``)
     WITH a proof the sketch honored its error bound — the 100 TB
@@ -225,7 +243,7 @@ def group_quantiles_certified(
     bounded frames. At true 100 TB one would drop the exact branch and
     keep only the sketch; here the exact branch IS the checker.
     """
-    cdf = _quantile_cdf(df, key, value)
+    cdf = _quantile_cdf(df, key, value, bin_width)
     slack = F.ceil(F.col("n") / F.lit(accuracy)) + F.lit(1)
     aggs = [F.max("n").alias("n")]
     ps = [int(q * 100) for q in qs]
@@ -282,7 +300,9 @@ def binned_value_cdf(df: DataFrame, value_col: str, bin_width: int) -> DataFrame
     return value_cdf_over_bins(pre)
 
 
-def value_cdf_over_bins(df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+def value_cdf_over_bins(
+    df: DataFrame, keys: tuple[str, ...] = (), weight: str | None = None
+) -> DataFrame:
     """Keyed core of binned_value_cdf: ``df`` already carries ``v``
     (the value) and ``b`` (its bin — any expression monotone in v, so
     callers can mix per-key bin widths, e.g. the RFM thresholds bin
@@ -291,8 +311,14 @@ def value_cdf_over_bins(df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     — the round-10 RFM rework runs all three metrics through a single
     pair of windows instead of three separate histogram branches (and
     drops the SinglePartition windows entirely: level 1 partitions by
-    the keys)."""
-    h2 = df.groupBy(*keys, "b", "v").agg(F.count("*").alias("cnt"))
+    the keys). With ``weight``, input rows are PRE-AGGREGATED
+    (value, count) pairs and cnt sums that column instead of counting
+    rows — so a CDF can be derived from another CDF's histogram
+    without rescanning the corpus (round-11 review pass 2)."""
+    cnt_agg = (
+        F.count("*") if weight is None else F.sum(weight).cast("long")
+    )
+    h2 = df.groupBy(*keys, "b", "v").agg(cnt_agg.alias("cnt"))
     h1 = h2.groupBy(*keys, "b").agg(F.sum("cnt").alias("bcnt"))
     w1 = Window.partitionBy(*keys).orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -775,31 +775,35 @@ def cross_type_quantile_norm(events: DataFrame) -> DataFrame:
     DECIMAL(38,0) products and the integral DIV (checklist rule 8 —
     1e6 * sum(mid-rank x2) reaches ~2e31 at 100 TB, past BIGINT).
 
-    Scale: the corpus is hash-aggregated once per CDF (global +
-    per-type run over the same shuffle grain), never sorted; the
-    global CDF (<= cents-domain/100 bin rows, <= domain distinct
-    values) broadcasts into the corpus-side mean join; quartile
-    selection and the ppm arithmetic run on bounded frames. The
-    global kernel's unpartitioned windows run over the hard-bounded
-    $1 bin table only (the revenue_gini justification)."""
+    Scale: the corpus is hash-aggregated ONCE — to the per-type
+    (type, cents, cnt) histogram. Everything else derives from that
+    bounded frame (round-11 review pass 2 removed two extra corpus
+    scans): the GLOBAL CDF re-runs the kernel over the histogram with
+    cnt as the weight, and the per-type mean global mid-rank is
+    sum(cnt * mr2) over the histogram joined to the broadcast global
+    CDF — no event row is touched twice. The global kernel's
+    unpartitioned windows run over the hard-bounded $1 bin table only
+    (the revenue_gini justification)."""
     from flink_scala_spark.operators.aggregations import (
         _pick_rank,
-        binned_value_cdf,
         value_cdf_over_bins,
     )
 
     ev = events.where(F.col("value").isNotNull()).select(
         "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
     )
-    g = binned_value_cdf(ev, "cents", 100).select(
-        F.col("v").alias("cents"),
-        (F.col("below") + F.col("cum")).alias("mr2"),
-        F.col("n").alias("gn"),
-    )
     pre = ev.select(
         "event_type", F.col("cents").alias("v")
     ).withColumn("b", F.expr("v DIV 100"))
     cdf_t = value_cdf_over_bins(pre, keys=("event_type",))
+    g = value_cdf_over_bins(
+        cdf_t.select("v", F.expr("v DIV 100").alias("b"), "cnt"),
+        weight="cnt",
+    ).select(
+        F.col("v"),
+        (F.col("below") + F.col("cum")).alias("mr2"),
+        F.col("n").alias("gn"),
+    )
     qs = ((25, 0.25), (50, 0.5), (75, 0.75))
     exact = cdf_t.groupBy("event_type").agg(
         F.max("n").alias("n_events"),
@@ -811,15 +815,18 @@ def cross_type_quantile_norm(events: DataFrame) -> DataFrame:
     out = exact
     for p, _ in qs:
         side = g.select(
-            F.col("cents").alias(f"p{p}_cents"), F.col("mr2").alias(f"_mr{p}")
+            F.col("v").alias(f"p{p}_cents"), F.col("mr2").alias(f"_mr{p}")
         )
         out = out.join(F.broadcast(side), f"p{p}_cents")
     mean_t = (
-        ev.join(F.broadcast(g), "cents")
+        cdf_t.join(F.broadcast(g), "v")
         .groupBy("event_type")
         .agg(
-            F.sum(F.col("mr2").cast("decimal(38,0)")).alias("s"),
-            F.count("*").cast("decimal(38,0)").alias("nt"),
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * F.col("mr2").cast("decimal(38,0)")
+            ).alias("s"),
+            F.sum("cnt").cast("decimal(38,0)").alias("nt"),
             F.max("gn").alias("gn"),
         )
         .select(

@@ -1560,11 +1560,20 @@ def pq_persisted_index(
                 sort_keys=True,
             )
 
-    maintenance.stage_once(path, write)
+    # Staging failures (unwritable shared /tmp home, full disk) must
+    # degrade to the in-session build the function already runs for
+    # non-fingerprintable sources — persistence is an optimization,
+    # never a correctness dependency (round-11 review pass 2).
+    try:
+        maintenance.stage_once(path, write)
+    except OSError:
+        cb = pq_codebook(emb, id_col, vec_col)
+        return pq_encode(emb, cb, id_col, vec_col), cb
     # Validate the commit record before trusting the artifact: the
     # geometry/version live in the key, so a mismatch here means a
-    # hand-copied or corrupted directory — rebuild in-session rather
-    # than serve it.
+    # hand-copied or corrupted directory — REMOVE it (so the next call
+    # can re-stage rather than short-circuit on the bad path forever)
+    # and rebuild in-session this run.
     import json as _json
 
     try:
@@ -1579,6 +1588,9 @@ def pq_persisted_index(
     except (OSError, ValueError):
         ok = False
     if not ok:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         cb = pq_codebook(emb, id_col, vec_col)
         return pq_encode(emb, cb, id_col, vec_col), cb
     cb = spark.read.parquet(os.path.join(path, "codebook"))

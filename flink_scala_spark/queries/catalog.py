@@ -593,7 +593,9 @@ def q_keyed_sum_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, value, event_id,
                row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
-        FROM events)
+        -- NULL pin, mirrored in _quantile_cdf (Spark NULLS FIRST vs
+        -- DuckDB NULLS LAST would diverge ranks on NULL-bearing data)
+        FROM events WHERE value IS NOT NULL)
     SELECT event_type, max(n) AS n,
            max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
            max(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,

@@ -2725,7 +2725,9 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY event_type
                                   ORDER BY value ASC, event_id ASC) AS rn,
                count(*) OVER (PARTITION BY event_type) AS n
-        FROM events)
+        -- NULL pin, mirrored in _quantile_cdf (see the
+        -- event_value_quantiles oracle)
+        FROM events WHERE value IS NOT NULL)
     SELECT event_type, CAST(max(n) AS BIGINT) AS n,
            max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS p50,
            max(CASE WHEN rn = ceil(0.9 * n) THEN value END) AS p90,

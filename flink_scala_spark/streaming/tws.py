@@ -710,9 +710,11 @@ def build_two_stream_reconcile_tws(gap_seconds: int):
                 "user_id": pd.array(cols[0], dtype="int64"),
                 "order_eid": pd.array(cols[1], dtype="int64"),
                 "order_ts": pd.array(cols[2], dtype="int64"),
-                "cents": pd.array(cols[3], dtype="int64"),
+                # nullable Int64: a NULL-value purchase carries NULL
+                # cents (floor(NULL*100) in the oracle), and expired
+                # rows carry NULL pay fields
+                "cents": pd.array(cols[3], dtype="Int64"),
                 "status": pd.array(cols[4], dtype=object),
-                # nullable Int64: expired rows carry NULL pay fields
                 "pay_eid": pd.array(cols[5], dtype="Int64"),
                 "latency_s": pd.array(cols[6], dtype="Int64"),
                 "clicks_before": pd.array(cols[7], dtype="Int64"),
@@ -735,7 +737,8 @@ def build_two_stream_reconcile_tws(gap_seconds: int):
             pdf = pd.concat(list(rows), ignore_index=True)
             pdf = pdf.sort_values(["ts_l", "event_id"])
             pending = [
-                (int(e), int(t), int(c)) for e, t, c in self.pending.get()
+                (int(e), int(t), None if c is None else int(c))
+                for e, t, c in self.pending.get()
             ]
             if self.paystats.exists():
                 n_clicks, last_click_ts = map(int, self.paystats.get())
@@ -746,7 +749,15 @@ def build_two_stream_reconcile_tws(gap_seconds: int):
             for _, row in pdf.iterrows():
                 ts_l, eid = int(row["ts_l"]), int(row["event_id"])
                 if row["side"] == "order":
-                    cents = int(math.floor(float(row["value"]) * 100.0))
+                    # NULL-tolerant fold (review pass 2): a NULL-value
+                    # purchase reconciles normally with NULL cents —
+                    # the oracle's floor(NULL * 100)
+                    v = row["value"]
+                    cents = (
+                        None
+                        if pd.isna(v)
+                        else int(math.floor(float(v) * 100.0))
+                    )
                     pending.append((eid, ts_l, cents))
                     self.handle.registerTimer((ts_l + gap_seconds) * 1000)
                 else:  # payment side
@@ -774,7 +785,8 @@ def build_two_stream_reconcile_tws(gap_seconds: int):
         ):
             expiry_s = expiredTimerInfo.getExpiryTimeInMs() // 1000
             pending = [
-                (int(e), int(t), int(c)) for e, t, c in self.pending.get()
+                (int(e), int(t), None if c is None else int(c))
+                for e, t, c in self.pending.get()
             ]
             fire = [p for p in pending if p[1] + gap_seconds <= expiry_s]
             if not fire:

@@ -2140,3 +2140,18 @@ def test_cross_type_quantile_norm_matches_python(spark):
             assert r[f"g{p}_ppm"] == (1_000_000 * mr2(expect)) // (2 * gn)
         s = sum(mr2(c) for ty, c in cents if ty == t)
         assert r["mean_rank_ppm"] == (1_000_000 * s) // (2 * nt * gn)
+
+
+def test_group_quantiles_null_pin(spark):
+    """Round-11 review pass 2 contract: NULL values are excluded from
+    ranks on BOTH engines (the oracle carries the mirrored filter), n
+    counts non-NULL values only, and a key whose values are ALL NULL
+    is absent — identically to the oracle's filtered row_number."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", None, 2), ("a", 3.0, 3), ("b", None, 4)],
+        "k string, v double, id long",
+    )
+    rows = {r["k"]: r for r in group_quantiles(df, "k", "v", "id").collect()}
+    assert set(rows) == {"a"}  # all-NULL key b is absent, both engines
+    assert rows["a"]["n"] == 2  # NULLs don't count
+    assert rows["a"]["p50"] == 1.0 and rows["a"]["p99"] == 3.0

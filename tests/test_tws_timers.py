@@ -709,10 +709,12 @@ B1 = [  # (eid, user, ts, side, value)
     (1, 1, 100, "pay", None), (2, 1, 120, "order", 2.5),
     (3, 1, 150, "order", 1.0), (4, 2, 130, "order", 9.99),
     (5, 3, 170, "pay", None),
+    (12, 5, 160, "order", None),  # NULL-value purchase (NULL cents)
 ]
 B2 = [
     (6, 1, 200, "pay", None), (7, 1, 210, "pay", None),
     (8, 4, 190, "order", 3.25), (9, 4, 195, "pay", None),
+    (13, 5, 185, "pay", None),
 ]
 B3 = [(10, 2, 900, "order", 7.0), (11, 3, 1000, "pay", None)]
 
@@ -786,4 +788,7 @@ def test_two_stream_reconcile_first_class_state_and_timers():
         (2, 4, 130, 999, "expired", None, None, None),
         # u4 same-batch match, first click of the key
         (4, 8, 190, 325, "matched", 9, 5, 1),
+        # u5's NULL-value purchase reconciles with NULL cents (the
+        # oracle's floor(NULL*100)) instead of crashing the worker
+        (5, 12, 160, None, "matched", 13, 25, 1),
     ]

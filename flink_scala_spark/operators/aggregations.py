@@ -138,14 +138,14 @@ def _quantile_cdf(
     in [0, 1) under the default width would funnel each key's whole
     distinct-value set through one level-2 task (round-11 review).
 
-    NULLs are excluded on BOTH engines (review pass 2: floor(NULL)
-    bins to NULL and the kernel's bin equi-join would silently DROP an
-    all-NULL key, where the old row_number shape kept it — and Spark
+    NULL VALUES are excluded on BOTH engines (review pass 2: Spark
     NULLS FIRST vs DuckDB NULLS LAST ordering made NULL ranks
-    engine-divergent in the old shape anyway; the mirrored filter is
-    the repo's standard NULL pin). n counts non-NULL values; keys with
-    no non-NULL value are absent from the output. Output columns:
-    key, v, cnt, cum, below, n."""
+    engine-divergent in the old row_number shape; the mirrored filter
+    is the repo's standard NULL pin). n counts non-NULL values; keys
+    with no non-NULL value are absent from the output. NULL KEYS are
+    KEPT — the kernel's rejoin is null-safe (review pass 3), so a NULL
+    key group ranks its values like any other, exactly as the oracles'
+    GROUP BY does. Output columns: key, v, cnt, cum, below, n."""
     pre = (
         df.where(F.col(value).isNotNull())
         .select(F.col(key), F.col(value).alias("v"))
@@ -263,7 +263,11 @@ def group_quantiles_certified(
             for q, p in zip(qs, ps)
         ]
     )
-    out = exact.join(approx, key)
+    # Null-safe: both branches keep a NULL key group (groupBy), and the
+    # oracle's GROUP BY does too — a plain equi-join would lose it here
+    # (round-11 review pass 3).
+    approx_r = approx.withColumnRenamed(key, "_r_key")
+    out = exact.join(approx_r, F.col(key).eqNullSafe(F.col("_r_key")))
     cert = None
     for p in ps:
         ok = (F.col(f"_apx{p}") >= F.col(f"_lo{p}")) & (
@@ -332,8 +336,23 @@ def value_cdf_over_bins(
         Window.unboundedPreceding, Window.currentRow
     )
     c2 = h2.withColumn("vcum", F.sum("cnt").over(w2))
+    # NULL-SAFE key join (round-11 review pass 3, checklist rule 9 for
+    # GROUPING keys): groupBy and the windows above both KEEP a NULL
+    # key group — exactly like the oracles' GROUP BY — so the rejoin
+    # must not silently drop it the way a plain equi-join would
+    # (NULL != NULL). eqNullSafe stays an equi-join predicate for the
+    # planner (hash/sort-merge, never BNLJ). NULL bins (NULL v) get
+    # the same treatment for keyed callers that don't pre-pin values.
+    jk = [*keys, "b"]
+    c1r = c1.select(
+        *[F.col(k).alias(f"_r_{k}") for k in jk], "bbelow", "n"
+    )
+    cond = None
+    for k in jk:
+        e = F.col(k).eqNullSafe(F.col(f"_r_{k}"))
+        cond = e if cond is None else (cond & e)
     return (
-        c2.join(c1, [*keys, "b"])
+        c2.join(c1r, cond)
         .withColumn("cum", F.col("bbelow") + F.col("vcum"))
         .select(
             *keys,

@@ -1453,7 +1453,14 @@ def pq_adc_topk(enc, qdt, k: int):
 #: corpus re-encode per fresh JVM. Env var is read at import time;
 #: tests monkeypatch the module attribute instead.
 PQ_INDEX_HOME = os.environ.get(
-    "SPARK_GRAFT_INDEX_HOME", "/tmp/flink_scala_spark_indexes"
+    "SPARK_GRAFT_INDEX_HOME",
+    # uid-scoped default: /tmp is world-writable, so a SHARED fixed
+    # path would let any local user pre-create a well-formed index
+    # dir that a later victim process trusts (round-11 review pass 3
+    # — index poisoning). Per-uid homes + the load-time ownership
+    # check close that; production deployments point the env var at
+    # a real artifact store.
+    f"/tmp/flink_scala_spark_indexes-{os.getuid()}",
 )
 
 #: Builder format version, folded into every index key. The staged
@@ -1464,15 +1471,20 @@ PQ_INDEX_HOME = os.environ.get(
 PQ_INDEX_FORMAT_VERSION = 1
 
 
-def _source_fingerprint(df: DataFrame) -> str | None:
+def _source_fingerprint(
+    df: DataFrame, id_col: str, vec_col: str
+) -> str | None:
     """Content fingerprint of a frame's input files + its ANALYZED
-    PLAN + the PQ geometry + the builder format version, or None when
-    the source is not a stat-able local file scan (in which case
-    persisting would risk staleness — callers fall back to in-session
-    build). The plan hash (expression ids normalized, the
-    _TRAINED_CACHE discipline) keys a filtered/projected frame
-    DIFFERENTLY from the raw table scan — inputFiles alone would hand
-    a subset frame the full-corpus index."""
+    PLAN + the encoding columns + the PQ geometry + the builder format
+    version, or None when the source is not a stat-able local file
+    scan (in which case persisting would risk staleness — callers fall
+    back to in-session build). The plan hash (expression ids
+    normalized, the _TRAINED_CACHE discipline) keys a
+    filtered/projected frame DIFFERENTLY from the raw table scan —
+    inputFiles alone would hand a subset frame the full-corpus index.
+    id_col/vec_col are in the key for the same reason they are in the
+    _TRAINED_CACHE key: the SAME frame encoded over a different vector
+    column is a different index (round-11 review pass 3)."""
     try:
         files = tuple(sorted(df.inputFiles()))
         import re
@@ -1491,6 +1503,7 @@ def _source_fingerprint(df: DataFrame) -> str | None:
     import json as _json
 
     key = _json.dumps([list(p) for p in prints]) + (
+        f"|id:{id_col}|vec:{vec_col}"
         f"|{plan_s}|M{PQ_M}|K{PQ_K}|DIM{DIM}|v{PQ_INDEX_FORMAT_VERSION}"
     )
     return hashlib.md5(key.encode()).hexdigest()
@@ -1524,10 +1537,18 @@ def pq_persisted_index(
     from flink_scala_spark.operators import maintenance
 
     spark = emb.sparkSession
-    fp = _source_fingerprint(emb)
-    if fp is None:
+
+    def build_in_session():
+        # The one true fallback, shared by every degrade path below
+        # (round-11 review pass 3 collapsed three verbatim copies):
+        # persistence is an optimization, never a correctness
+        # dependency — this build is bit-identical to a loaded index.
         cb = pq_codebook(emb, id_col, vec_col)
         return pq_encode(emb, cb, id_col, vec_col), cb
+
+    fp = _source_fingerprint(emb, id_col, vec_col)
+    if fp is None:
+        return build_in_session()
     path = os.path.join(PQ_INDEX_HOME, f"pq-{fp}")
 
     def write(tmp: str) -> None:
@@ -1560,21 +1581,38 @@ def pq_persisted_index(
                 sort_keys=True,
             )
 
-    # Staging failures (unwritable shared /tmp home, full disk) must
-    # degrade to the in-session build the function already runs for
-    # non-fingerprintable sources — persistence is an optimization,
-    # never a correctness dependency (round-11 review pass 2).
+    # Staging failures must degrade to the in-session build the
+    # function already runs for non-fingerprintable sources (round-11
+    # review pass 2). Catch Exception, not just OSError: an unwritable
+    # home or full disk can surface from the JVM-side parquet write as
+    # Py4JJavaError/AnalysisException, which are not OSErrors
+    # (round-11 review pass 3).
     try:
         maintenance.stage_once(path, write)
-    except OSError:
-        cb = pq_codebook(emb, id_col, vec_col)
-        return pq_encode(emb, cb, id_col, vec_col), cb
-    # Validate the commit record before trusting the artifact: the
-    # geometry/version live in the key, so a mismatch here means a
-    # hand-copied or corrupted directory — REMOVE it (so the next call
-    # can re-stage rather than short-circuit on the bad path forever)
-    # and rebuild in-session this run.
+    except Exception:
+        return build_in_session()
+    # Validate the commit record AND the artifacts before trusting the
+    # directory: the geometry/version live in the key, so a mismatch
+    # here means a hand-copied or corrupted directory; a manifest with
+    # missing/empty codebook/codes subdirs (partial deletion) would
+    # otherwise crash every subsequent load. A dir not OWNED by us is
+    # never trusted (and never repaired — rmtree of another user's
+    # files would fail anyway): fall back in-session only.
     import json as _json
+
+    try:
+        owned = os.stat(path).st_uid == os.geteuid()
+    except OSError:
+        owned = False
+    if not owned:
+        return build_in_session()
+
+    def _has_parquet(sub: str) -> bool:
+        d = os.path.join(path, sub)
+        try:
+            return any(n.startswith("part-") for n in os.listdir(d))
+        except OSError:
+            return False
 
     try:
         with open(os.path.join(path, "MANIFEST.json")) as f:
@@ -1584,15 +1622,18 @@ def pq_persisted_index(
             and m.get("format_version") == PQ_INDEX_FORMAT_VERSION
             and (m.get("pq_m"), m.get("pq_k"), m.get("dim"))
             == (PQ_M, PQ_K, DIM)
+            and _has_parquet("codebook")
+            and _has_parquet("codes")
         )
     except (OSError, ValueError):
         ok = False
     if not ok:
+        # REMOVE the invalid dir so the next call re-stages rather
+        # than short-circuiting on the bad path forever.
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
-        cb = pq_codebook(emb, id_col, vec_col)
-        return pq_encode(emb, cb, id_col, vec_col), cb
+        return build_in_session()
     cb = spark.read.parquet(os.path.join(path, "codebook"))
     enc = spark.read.parquet(os.path.join(path, "codes"))
     return enc, cb

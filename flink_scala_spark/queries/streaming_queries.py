@@ -1624,20 +1624,27 @@ def q_streaming_two_stream_reconcile_tws(
     )
     ensure_tws_runtime(spark)
     try:
-        orders = (
+        # ONE replay source, tagged in-stream (round-11 review pass 3:
+        # the previous two-source unionByName read every bucket file
+        # twice per microbatch — 2x source I/O for an identical tagged
+        # stream). The union sat BEFORE the watermark, so the single
+        # filtered stream has the same watermark basis: max event time
+        # over purchase ∪ click rows. Clicks carry a NULL value, as
+        # unionByName(allowMissingColumns) produced.
+        is_order = F.col("event_type") == "purchase"
+        tagged = (
             sources.file_replay_time_buckets(spark, sf_dir, "events", _TWS_BUCKET_S)
-            .where(F.col("event_type") == "purchase")
+            .where(F.col("event_type").isin("purchase", "click"))
             .select(
-                "user_id", "event_id", "ts", "value",
-                F.lit("order").alias("side"),
+                "user_id",
+                "event_id",
+                "ts",
+                F.when(is_order, F.col("value")).alias("value"),
+                F.when(is_order, F.lit("order"))
+                .otherwise(F.lit("pay"))
+                .alias("side"),
             )
         )
-        pays = (
-            sources.file_replay_time_buckets(spark, sf_dir, "events", _TWS_BUCKET_S)
-            .where(F.col("event_type") == "click")
-            .select("user_id", "event_id", "ts", F.lit("pay").alias("side"))
-        )
-        tagged = orders.unionByName(pays, allowMissingColumns=True)
         return run_bounded_now(
             two_stream_reconcile_tws(tagged, _TWS_RECONCILE_GAP_S), "append"
         )

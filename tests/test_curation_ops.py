@@ -2155,3 +2155,33 @@ def test_group_quantiles_null_pin(spark):
     assert set(rows) == {"a"}  # all-NULL key b is absent, both engines
     assert rows["a"]["n"] == 2  # NULLs don't count
     assert rows["a"]["p50"] == 1.0 and rows["a"]["p99"] == 3.0
+
+
+def test_group_quantiles_null_key_group_kept(spark):
+    """Round-11 review pass 3 (checklist rule 9 for GROUPING keys): a
+    NULL key is a group like any other — GROUP BY keeps it in both
+    engines, so the kernel's internal rejoin and the certified
+    exact↔approx join must be null-safe or the group silently
+    vanishes from the Spark side only."""
+    from flink_scala_spark.operators.aggregations import (
+        group_quantiles_certified,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0, 1), (None, 2.0, 2), (None, 9.0, 3),
+         ("a", 5.0, 4), ("a", 7.0, 5)],
+        "k string, v double, id long",
+    )
+    rows = {r["k"]: r for r in group_quantiles(df, "k", "v", "id").collect()}
+    assert set(rows) == {None, "a"}
+    assert rows[None]["n"] == 3
+    assert rows[None]["p50"] == 2.0 and rows[None]["p99"] == 9.0
+    assert rows["a"]["p50"] == 5.0
+
+    cert = {
+        r["k"]: r
+        for r in group_quantiles_certified(df, "k", "v", "id").collect()
+    }
+    assert set(cert) == {None, "a"}
+    assert cert[None]["n"] == 3 and cert[None]["p50"] == 2.0
+    assert cert[None]["within_gk_bound"] and cert["a"]["within_gk_bound"]

@@ -336,3 +336,59 @@ def test_pq_persisted_index_is_bit_identical_and_reused(
     enc3, _ = similarity.pq_persisted_index(spark.read.parquet(rewritten))
     assert len(os.listdir(home)) == 2
     assert enc3.count() == 50
+
+
+def test_pq_persisted_index_keys_columns_and_repairs_corruption(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-11 review pass 3: (a) the on-disk key must include
+    id_col/vec_col — the SAME frame encoded over a different vector
+    column is a different index, so two encodings may never alias one
+    staged dir; (b) a staged dir whose artifacts are gone (manifest
+    intact, codes deleted) must degrade to the in-session build AND be
+    removed so the next call re-stages, never crash or short-circuit
+    on the bad path forever."""
+    import os
+    import shutil
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    home = str(tmp_path / "idx")
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", home)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    two = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e1"),
+        F.col("embedding").alias("e2"),
+    )
+
+    similarity.pq_persisted_index(two, vec_col="e1")
+    similarity.pq_persisted_index(two, vec_col="e2")
+    # identical frame + plan, different vec_col -> two distinct keys
+    assert len(os.listdir(home)) == 2
+
+    # corrupt one staged dir: manifest stays, codes vanish
+    staged = sorted(os.listdir(home))
+    victim = None
+    enc_ok, _ = similarity.pq_persisted_index(two, vec_col="e1")
+    n_expected = enc_ok.count()
+    for d in staged:
+        shutil.rmtree(os.path.join(home, d, "codes"))
+        victim = d
+        break
+    enc4, cb4 = similarity.pq_persisted_index(two, vec_col="e1")
+    enc5, _ = similarity.pq_persisted_index(two, vec_col="e2")
+    # both calls survive and return full-size indexes
+    assert {enc4.count(), enc5.count()} == {n_expected}
+    assert cb4.count() == similarity.PQ_K
+    # the corrupted dir was repaired away (removed by whichever call
+    # owned it) and at most re-staged fresh: every surviving dir has
+    # its artifacts back
+    for d in os.listdir(home):
+        assert os.path.isfile(os.path.join(home, d, "MANIFEST.json"))
+        for sub in ("codebook", "codes"):
+            part = os.path.join(home, d, sub)
+            assert os.path.isdir(part) and any(
+                n.startswith("part-") for n in os.listdir(part)
+            ), (d, sub, victim)

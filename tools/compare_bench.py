@@ -20,6 +20,22 @@ import re
 import sys
 
 
+def load_sf(path: str) -> float | None:
+    """Best-effort scale factor of a bench artifact (None when the
+    driver-wrapper tail is truncated before the sf key)."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "sf" in doc and not isinstance(doc.get("sf"), dict):
+        try:
+            return float(doc["sf"])
+        except (TypeError, ValueError):
+            return None
+    if doc.get("parsed"):
+        return doc["parsed"].get("sf")
+    m = re.search(r'"sf":\s*([0-9.]+)', doc.get("tail", ""))
+    return float(m.group(1)) if m else None
+
+
 def load_timings(path: str) -> dict[str, float]:
     with open(path) as f:
         doc = json.load(f)
@@ -64,6 +80,16 @@ def main() -> int:
         return 2
     old, new = load_timings(sys.argv[1]), load_timings(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    # A cross-scale comparison (e.g. an sf0.01 BENCH_FULL against an
+    # sf0.1 round recording) silently produces nonsense ratios —
+    # refuse it (round-11 review pass 4).
+    sf_old, sf_new = load_sf(sys.argv[1]), load_sf(sys.argv[2])
+    if sf_old is not None and sf_new is not None and sf_old != sf_new:
+        print(
+            f"REFUSING cross-scale comparison: {sys.argv[1]} is "
+            f"sf={sf_old}, {sys.argv[2]} is sf={sf_new}"
+        )
+        return 2
     shared = sorted(set(old) & set(new))
     t_old = sum(old[n] for n in shared)
     t_new = sum(new[n] for n in shared)

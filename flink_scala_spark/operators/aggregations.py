@@ -170,7 +170,7 @@ def group_quantiles(
     df: DataFrame,
     key: str,
     value: str,
-    tiebreak: str,
+    tiebreak: str | None = None,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     bin_width: float = 1.0,
 ) -> DataFrame:
@@ -191,13 +191,28 @@ def group_quantiles(
     new shape's only windows run over the bounded per-key histogram.
     The q-quantile VALUE is tiebreak-invariant (every row of the
     matching histogram group shares the value), so results are
-    hash-identical to the row_number oracle; ``tiebreak`` is kept for
-    signature stability and documentation of the oracle's ordering.
+    hash-identical to the row_number oracle.
+
+    .. deprecated:: round 12
+       ``tiebreak`` is DEPRECATED and ignored — the binned-CDF rebuild
+       made the result tiebreak-invariant, so the parameter no longer
+       influences duplicate-value resolution (round-11 ADVICE: the
+       signature must stop implying an ordering contract the
+       implementation does not consume). It is validated when passed
+       (must name an existing column) so stale callers fail loudly
+       rather than believing a bogus column name ordered anything.
 
     Shape: one hash-agg histogram shuffle (map-side combinable) + two
     bounded-histogram windows + a bounded final agg. The corpus is
     scanned once and never sorted.
     """
+    if tiebreak is not None and tiebreak not in df.columns:
+        raise ValueError(
+            f"group_quantiles: deprecated tiebreak column {tiebreak!r} "
+            f"does not exist in the frame (columns: {df.columns}); the "
+            "parameter is ignored by the binned-CDF implementation — "
+            "drop it"
+        )
     cdf = _quantile_cdf(df, key, value, bin_width)
     aggs = [
         _pick_rank(F.ceil(F.lit(q) * F.col("n")), f"p{int(q * 100)}")
@@ -210,7 +225,7 @@ def group_quantiles_certified(
     df: DataFrame,
     key: str,
     value: str,
-    tiebreak: str,
+    tiebreak: str | None = None,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
     accuracy: int = 1000,
     bin_width: float = 1.0,
@@ -242,7 +257,16 @@ def group_quantiles_certified(
     + one sketch hash-agg (approx branch) + a key-equi join of two
     bounded frames. At true 100 TB one would drop the exact branch and
     keep only the sketch; here the exact branch IS the checker.
+
+    ``tiebreak`` is DEPRECATED and ignored, exactly as in
+    :func:`group_quantiles` — validated-if-passed, never consumed.
     """
+    if tiebreak is not None and tiebreak not in df.columns:
+        raise ValueError(
+            f"group_quantiles_certified: deprecated tiebreak column "
+            f"{tiebreak!r} does not exist in the frame (columns: "
+            f"{df.columns}); the parameter is ignored — drop it"
+        )
     cdf = _quantile_cdf(df, key, value, bin_width)
     slack = F.ceil(F.col("n") / F.lit(accuracy)) + F.lit(1)
     aggs = [F.max("n").alias("n")]

@@ -690,9 +690,16 @@ def revenue_dow_seasonality(orders: DataFrame) -> DataFrame:
       % and DuckDB % agree — checklist rule 3 on negative operands);
     - weekday baseline = floored mean, tot DIV n (non-negative);
     - residual = rev - baseline; deviation_ppm = (1e6*|residual|) DIV
-      baseline (BIGINT-safe while daily cents <= 9.2e12 — $92 B/day;
-      the DIV's operands are non-negative);
-    - is_anomaly: deviation > 100% of the weekday mean.
+      nullif(baseline, 0) (BIGINT-safe while daily cents <= 9.2e12 —
+      $92 B/day; the DIV's operands are non-negative). The nullif
+      mirrors the oracle exactly: shipped revenue is strictly
+      positive so the guard never fires on real data, but WITHOUT it
+      an all-zero/refund-heavy weekday would make Spark's DIV return
+      NULL while DuckDB's // raises — the engines must fail (here:
+      emit NULL deviation + NULL is_anomaly) identically (round-11
+      ADVICE);
+    - is_anomaly: deviation > 100% of the weekday mean (NULL when the
+      baseline is 0, in both engines).
 
     Scale: one corpus agg to the bounded day table; the 7-row baseline
     joins back broadcast-style; output is day-table-bounded."""
@@ -703,7 +710,9 @@ def revenue_dow_seasonality(orders: DataFrame) -> DataFrame:
     )
     j = dowed.join(F.broadcast(base), "dow")
     res = F.col("rev") - F.col("dow_mean_cents")
-    dev = F.expr("(1000000 * abs(rev - dow_mean_cents)) DIV dow_mean_cents")
+    dev = F.expr(
+        "(1000000 * abs(rev - dow_mean_cents)) DIV nullif(dow_mean_cents, 0)"
+    )
     return j.select(
         F.col("d").alias("day_idx"),
         "dow",

@@ -613,7 +613,7 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number formulation is unchanged (the quantile value is
     tiebreak-invariant)."""
     return agg_ops.group_quantiles(
-        _events(spark, sf_dir), "event_type", "value", "event_id"
+        _events(spark, sf_dir), "event_type", "value"
     )
 
 

@@ -2752,7 +2752,7 @@ def q_approx_quantiles_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_scala_spark.operators import aggregations as agg_ops
 
     return agg_ops.group_quantiles_certified(
-        _events(spark, sf_dir), "event_type", "value", "event_id"
+        _events(spark, sf_dir), "event_type", "value"
     )
 
 
@@ -5868,9 +5868,10 @@ def q_spacesaving_topk_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
            daily.rev AS rev_cents, base.dow_mean_cents,
            CAST(daily.rev - base.dow_mean_cents AS BIGINT) AS residual_cents,
            CAST((1000000 * abs(daily.rev - base.dow_mean_cents))
-                // base.dow_mean_cents AS BIGINT) AS deviation_ppm,
+                // nullif(base.dow_mean_cents, 0) AS BIGINT)
+                AS deviation_ppm,
            (1000000 * abs(daily.rev - base.dow_mean_cents))
-                // base.dow_mean_cents > 1000000 AS is_anomaly
+                // nullif(base.dow_mean_cents, 0) > 1000000 AS is_anomaly
     FROM daily JOIN base ON (daily.d + 4) % 7 = base.dow
     """,
     "analytics", "seasonality", "anomaly",

@@ -108,6 +108,30 @@ def test_group_quantiles_exact_rank_selection(spark):
     assert out["b"]["p50"] == 10.0
 
 
+def test_group_quantiles_tiebreak_deprecated_but_validated(spark):
+    """Round-12 ADVICE: tiebreak is ignored by the binned-CDF rebuild,
+    so (a) passing a valid column changes nothing, (b) passing a
+    NONEXISTENT column fails loudly instead of silently implying an
+    ordering contract, (c) omitting it entirely works."""
+    import pytest as _pytest
+
+    from flink_scala_spark.operators.aggregations import (
+        group_quantiles_certified,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v), i) for i, v in enumerate([5, 1, 4, 2, 3])],
+        "k string, v double, id long",
+    )
+    no_tb = group_quantiles(df, "k", "v").collect()
+    with_tb = group_quantiles(df, "k", "v", "id").collect()
+    assert no_tb == with_tb
+    with _pytest.raises(ValueError, match="tiebreak"):
+        group_quantiles(df, "k", "v", "no_such_col")
+    with _pytest.raises(ValueError, match="tiebreak"):
+        group_quantiles_certified(df, "k", "v", "no_such_col")
+
+
 def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
     from flink_scala_spark import tables
     from flink_scala_spark.queries.streaming_queries import q_streaming_dedup_events

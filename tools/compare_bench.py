@@ -90,6 +90,17 @@ def main() -> int:
             f"sf={sf_old}, {sys.argv[2]} is sf={sf_new}"
         )
         return 2
+    # A truncated driver tail can hide the sf key entirely — the exact
+    # artifacts the refusal above was added to protect against would
+    # otherwise BYPASS it silently (round-11 ADVICE). Warn loudly so a
+    # nonsense cross-scale ratio never prints unannotated.
+    for p, sf in ((sys.argv[1], sf_old), (sys.argv[2], sf_new)):
+        if sf is None:
+            print(
+                f"WARNING: scale factor of {p} could not be verified "
+                "(truncated/missing sf key) — cross-scale ratios are "
+                "not refused for this pair; check the artifacts"
+            )
     shared = sorted(set(old) & set(new))
     t_old = sum(old[n] for n in shared)
     t_new = sum(new[n] for n in shared)
@@ -103,6 +114,18 @@ def main() -> int:
         print(f"dropped ({len(only_old)}): {', '.join(only_old)}")
     if only_new:
         print(f"added ({len(only_new)}): {', '.join(only_new)}")
+    # Headline-churn guard (round-11 verdict item 7): the headline set
+    # drifted twice in one round; BASELINE.md's policy says a headline
+    # entry may only be dropped with a verdict-cited reason, so >2
+    # churned entries between consecutive artifacts warrants a loud
+    # flag for the adjudication record.
+    if len(only_old) + len(only_new) > 2:
+        print(
+            f"WARNING: headline churn of {len(only_old) + len(only_new)} "
+            "entries (>2) — BASELINE.md policy requires a verdict-cited "
+            "reason per dropped entry and a compare against "
+            "BENCH_FULL.json"
+        )
     regressed = [
         (n, old[n], new[n])
         for n in shared

@@ -1470,6 +1470,143 @@ PQ_INDEX_HOME = os.environ.get(
 #: serve an index built by the old code (round-11 review finding).
 PQ_INDEX_FORMAT_VERSION = 1
 
+#: Retention: staged index versions kept per lineage (round-11 verdict
+#: item 2 — without a vacuum, every source-content change strands one
+#: full code-table copy under PQ_INDEX_HOME forever).
+PQ_INDEX_KEEP = 2
+
+
+def _trusted_index_home() -> str | None:
+    """PQ_INDEX_HOME, created-if-absent with mode 0700 and verified
+    OWNED — or None when it cannot be trusted (callers fall back to the
+    in-session build). /tmp is world-writable and uids are guessable,
+    so another local user can pre-create the per-uid path (round-11
+    ADVICE): a home that is a symlink, not a directory, or not owned by
+    our euid is REFUSED outright; an owned home with group/other bits
+    is repaired to 0700 (we own it — chmod is safe) so staged artifacts
+    are never world-readable/replaceable."""
+    import stat as _stat
+
+    home = PQ_INDEX_HOME
+    try:
+        os.makedirs(home, mode=0o700, exist_ok=True)
+        st = os.lstat(home)
+        if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.geteuid():
+            return None
+        if st.st_mode & 0o077:
+            os.chmod(home, 0o700)
+            st = os.lstat(home)
+            if st.st_mode & 0o077:
+                return None
+    except OSError:
+        return None
+    return home
+
+
+def _index_lineage(id_col: str, vec_col: str) -> str:
+    """Retention grouping key: indexes over the same encoding columns
+    and PQ geometry are VERSIONS of one logical index (the corpus
+    content changed underneath); keep-newest-K applies within it."""
+    return (
+        f"id:{id_col}|vec:{vec_col}"
+        f"|M{PQ_M}|K{PQ_K}|DIM{DIM}|v{PQ_INDEX_FORMAT_VERSION}"
+    )
+
+
+def vacuum_index_home(
+    home: str,
+    keep: int = PQ_INDEX_KEEP,
+    protect: tuple[str, ...] = (),
+    grace_s: float = 86400.0,
+) -> dict:
+    """Retention for the persisted-index home: keep the newest ``keep``
+    staged dirs per lineage (last-use order — loads ``os.utime`` their
+    dir, so this is LRU, not stage-time), remove the rest. Mirrors
+    pipeline/export.py's vacuum discipline (round-11 verdict item 2):
+
+    1. the KEEP set is computed FIRST (newest-K per lineage, plus every
+       ``protect`` path — the index the caller just loaded is never a
+       candidate);
+    2. an expired dir's MANIFEST.json — its commit record — is removed
+       BEFORE its artifacts, so a crash mid-vacuum can strand garbage
+       parquet (collected by any later vacuum via the grace window) but
+       can never leave a trusted manifest over deleted data;
+    3. manifest-less remnants and orphaned ``.tmp-*`` staging dirs are
+       collected only once older than ``grace_s`` — a CONCURRENT
+       stager's temp dir is exactly such an entry between its write and
+       its rename, and an eager delete would destroy a healthy
+       in-flight stage.
+
+    Entries not owned by our euid are never touched (rmtree of another
+    user's files would fail anyway — and they are never trusted by the
+    loader either). Returns {"removed": [...], "kept": [...]}.
+    """
+    import json as _json
+    import shutil
+    import stat as _stat
+    import time
+
+    try:
+        entries = os.listdir(home)
+    except OSError:
+        return {"removed": [], "kept": []}
+    euid = os.geteuid()
+    now = time.time()
+    by_lineage: dict[str, list[tuple[float, str]]] = {}
+    garbage: list[str] = []
+    for name in entries:
+        p = os.path.join(home, name)
+        try:
+            st = os.lstat(p)
+        except OSError:
+            continue
+        if not _stat.S_ISDIR(st.st_mode) or st.st_uid != euid:
+            continue
+        if name.startswith("pq-") and ".tmp-" not in name:
+            try:
+                with open(os.path.join(p, "MANIFEST.json")) as f:
+                    m = _json.load(f)
+                lineage = m.get("lineage") or _json.dumps(
+                    # pre-round-12 manifests carry no lineage: group by
+                    # what they do record so legacy dirs still age out
+                    [
+                        "legacy",
+                        m.get("pq_m"),
+                        m.get("pq_k"),
+                        m.get("dim"),
+                        m.get("format_version"),
+                    ]
+                )
+            except (OSError, ValueError):
+                # no readable commit record: a crashed vacuum's remnant
+                # or a partially-deleted dir — grace-windowed garbage
+                if now - st.st_mtime > grace_s:
+                    garbage.append(p)
+                continue
+            by_lineage.setdefault(lineage, []).append((st.st_mtime, p))
+        elif ".tmp-" in name:
+            if now - st.st_mtime > grace_s:
+                garbage.append(p)
+    removed: list[str] = []
+    kept: list[str] = []
+    for dirs in by_lineage.values():
+        dirs.sort(reverse=True)
+        keep_set = {p for _, p in dirs[: max(keep, 0)]} | set(protect)
+        for _, p in dirs:
+            if p in keep_set:
+                kept.append(p)
+                continue
+            try:
+                os.remove(os.path.join(p, "MANIFEST.json"))
+            except OSError:
+                pass
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    for p in garbage:
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    return {"removed": removed, "kept": kept}
+
 
 def _source_fingerprint(
     df: DataFrame, id_col: str, vec_col: str
@@ -1549,7 +1686,12 @@ def pq_persisted_index(
     fp = _source_fingerprint(emb, id_col, vec_col)
     if fp is None:
         return build_in_session()
-    path = os.path.join(PQ_INDEX_HOME, f"pq-{fp}")
+    # Never stage under (or trust) a home that is not an owned 0700
+    # directory — see _trusted_index_home (round-11 ADVICE).
+    home = _trusted_index_home()
+    if home is None:
+        return build_in_session()
+    path = os.path.join(home, f"pq-{fp}")
 
     def write(tmp: str) -> None:
         import json as _json
@@ -1574,6 +1716,7 @@ def pq_persisted_index(
                     "pq_m": PQ_M,
                     "pq_k": PQ_K,
                     "dim": DIM,
+                    "lineage": _index_lineage(id_col, vec_col),
                     "artifacts": ["codebook", "codes"],
                 },
                 f,
@@ -1634,6 +1777,15 @@ def pq_persisted_index(
 
         shutil.rmtree(path, ignore_errors=True)
         return build_in_session()
+    # Touch the dir (LRU marker) and vacuum siblings of its lineage:
+    # retention is last-USE order, so an actively-served index is never
+    # evicted by a newer stage of a different corpus version. Both are
+    # maintenance — a failure here must never fail serving.
+    try:
+        os.utime(path)
+        vacuum_index_home(home, protect=(path,))
+    except Exception:
+        pass
     cb = spark.read.parquet(os.path.join(path, "codebook"))
     enc = spark.read.parquet(os.path.join(path, "codes"))
     return enc, cb

@@ -392,3 +392,152 @@ def test_pq_persisted_index_keys_columns_and_repairs_corruption(
             assert os.path.isdir(part) and any(
                 n.startswith("part-") for n in os.listdir(part)
             ), (d, sub, victim)
+
+
+def test_pq_index_home_vacuum_keeps_newest_k(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-11 verdict item 2: the persisted-index home must not
+    accumulate staged dirs forever. Staging K+1 versions of the same
+    lineage (same id/vec cols + geometry, rewritten source content)
+    must leave exactly PQ_INDEX_KEEP dirs, the least-recently-used one
+    removed — and the removal must follow the export.py discipline
+    (commit record first, artifacts second)."""
+    import time
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    home = str(tmp_path / "idx")
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", home)
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    assert similarity.PQ_INDEX_KEEP == 2
+    staged_order = []
+    for i, n in enumerate((40, 44, 48)):
+        src = str(tmp_path / f"emb_v{i}")
+        emb.limit(n).write.parquet(src)
+        enc, _ = similarity.pq_persisted_index(spark.read.parquet(src))
+        assert enc.count() == n
+        new = [
+            d
+            for d in os.listdir(home)
+            if d.startswith("pq-") and os.path.join(home, d) not in staged_order
+        ]
+        assert len(new) == 1
+        p = os.path.join(home, new[0])
+        staged_order.append(p)
+        # pin distinct, strictly increasing LRU stamps (same-second
+        # mtimes would make the ordering a coin flip)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    live = [os.path.join(home, d) for d in os.listdir(home) if d.startswith("pq-")]
+    # the third load's built-in vacuum removed the oldest version
+    assert sorted(live) == sorted(staged_order[1:])
+    assert not os.path.isdir(staged_order[0])
+    # the survivors are complete, loadable indexes
+    for p in live:
+        assert os.path.isfile(os.path.join(p, "MANIFEST.json"))
+        for sub in ("codebook", "codes"):
+            assert any(
+                n.startswith("part-")
+                for n in os.listdir(os.path.join(p, sub))
+            )
+
+
+def test_pq_index_vacuum_crash_safety_and_grace(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crash mid-vacuum strands a manifest-less dir (the commit
+    record is removed FIRST); the live index must keep serving through
+    that state, a later vacuum must collect the remnant past the grace
+    window, and a RECENT ``.tmp-*`` sibling (a concurrent stager
+    in-flight) must never be collected."""
+    import shutil
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    home = str(tmp_path / "idx")
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", home)
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    enc, _ = similarity.pq_persisted_index(emb)
+    n_live = enc.count()
+    (live_dir,) = [d for d in os.listdir(home) if d.startswith("pq-")]
+    live = os.path.join(home, live_dir)
+
+    # fabricate the crash state: an expired version whose manifest was
+    # removed but whose artifacts were not (vacuum order = manifest
+    # first), plus an in-flight stager's temp dir
+    remnant = os.path.join(home, "pq-" + "0" * 32)
+    shutil.copytree(live, remnant)
+    os.remove(os.path.join(remnant, "MANIFEST.json"))
+    tmp_sibling = os.path.join(home, f"pq-{'1' * 32}.tmp-deadbeef")
+    os.makedirs(tmp_sibling)
+
+    # serving is unaffected by the remnant (different fingerprint)
+    enc2, _ = similarity.pq_persisted_index(emb)
+    assert enc2.count() == n_live
+
+    # within the grace window neither the remnant nor the temp dir is
+    # touched (a concurrent stager could own either shape)
+    res = similarity.vacuum_index_home(home, protect=(live,))
+    assert res["removed"] == []
+    assert os.path.isdir(remnant) and os.path.isdir(tmp_sibling)
+
+    # past the grace window both are collected; the live index is not
+    res = similarity.vacuum_index_home(home, protect=(live,), grace_s=0.0)
+    assert sorted(res["removed"]) == sorted([remnant, tmp_sibling])
+    assert not os.path.isdir(remnant) and not os.path.isdir(tmp_sibling)
+    enc3, cb3 = similarity.pq_persisted_index(emb)
+    assert enc3.count() == n_live and cb3.count() == similarity.PQ_K
+
+
+def test_pq_index_home_refuses_untrusted_and_repairs_mode(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-11 ADVICE: the home itself must be an OWNED 0700 dir
+    before anything under it is trusted or staged. A symlinked home and
+    a foreign-uid home fall back to the in-session build (staging
+    nothing); an owned home with loose modes is chmod-repaired."""
+    import stat
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    # (a) symlinked home: refuse — build in-session, stage nothing
+    target = tmp_path / "elsewhere"
+    target.mkdir()
+    link = tmp_path / "link_home"
+    link.symlink_to(target)
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", str(link))
+    enc, _ = similarity.pq_persisted_index(emb)
+    assert enc.count() == n
+    assert list(target.iterdir()) == []
+
+    # (b) foreign-owned home: refuse (simulated by shifting our euid)
+    owned_by_other = tmp_path / "foreign_home"
+    owned_by_other.mkdir(mode=0o700)
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", str(owned_by_other))
+    real_euid = os.geteuid()
+    monkeypatch.setattr(os, "geteuid", lambda: real_euid + 1)
+    try:
+        enc, _ = similarity.pq_persisted_index(emb)
+        assert enc.count() == n
+        assert list(owned_by_other.iterdir()) == []
+    finally:
+        monkeypatch.setattr(os, "geteuid", lambda: real_euid)
+
+    # (c) owned home with group/other bits: repaired to 0700, staging
+    # proceeds normally
+    loose = tmp_path / "loose_home"
+    loose.mkdir(mode=0o755)
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", str(loose))
+    enc, _ = similarity.pq_persisted_index(emb)
+    assert enc.count() == n
+    assert stat.S_IMODE(os.stat(loose).st_mode) == 0o700
+    assert any(d.name.startswith("pq-") for d in loose.iterdir())

@@ -471,25 +471,43 @@ def mg_summaries(items: DataFrame, item_col: str, k: int) -> DataFrame:
     Agarwal et al., "Mergeable Summaries", PODS'12). Counter VALUES
     depend on partition layout; only the guarantees are
     partitioning-proof, which is why the catalog query emits exact
-    counts plus a certificate, never the sketch values."""
+    counts plus a certificate, never the sketch values.
+
+    The fold is WEIGHTED (round-11 verdict item 3): each Arrow chunk
+    pre-reduces to (item, weight) pairs via ``value_counts`` and MG
+    ingests the pairs — ~|vocabulary| interpreter iterations per chunk
+    instead of one per element. The weighted update (insert the item's
+    full weight; on overflow past k counters subtract the minimum
+    counter from ALL k+1 and drop zeros) preserves the exact MG
+    guarantee: every decrement round of size d removes d from k+1
+    counters at once, so the per-partition total decrement D satisfies
+    D*(k+1) <= n_p, i.e. D <= floor(n_p/(k+1)) — the same bound the
+    element-at-a-time fold proves, because the bound argues about
+    TOTALS and never about arrival order. Estimates never overcount
+    (only true weight is ever added)."""
     import pandas as pd
 
     def summarize(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for it in pdf[item_col]:
+            for it, w in pdf[item_col].value_counts().items():
+                w = int(w)
                 if it in counters:
-                    counters[it] += 1
+                    counters[it] += w
                 elif len(counters) < k:
-                    counters[it] = 1
+                    counters[it] = w
                 else:
+                    # overflow to k+1 counters: one weighted decrement
+                    # round zeroes at least the minimum counter
+                    counters[it] = w
+                    d = min(counters.values())
                     dead = []
-                    for w in counters:
-                        counters[w] -= 1
-                        if counters[w] == 0:
-                            dead.append(w)
-                    for w in dead:
-                        del counters[w]
+                    for key in counters:
+                        counters[key] -= d
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
         if counters:
             yield pd.DataFrame(
                 {item_col: list(counters), "est": list(counters.values())}

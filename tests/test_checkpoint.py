@@ -270,3 +270,127 @@ def test_restart_resumes_stream_stream_join_state(spark, sf_dir, tmp_path):
         if e is not None and c is not None
     }
     assert set(got) == cross
+
+
+def test_restart_serving_reloads_same_staged_index(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-11 verdict item 5: the seam between the persisted PQ
+    index's manifest discipline (X143-style commit records) and the
+    streaming checkpoint story. A ``streaming_ann_pq_serving``-shaped
+    query is stopped mid-replay and restarted on the same checkpoint;
+    the restarted run must (a) load the SAME staged index — same
+    fingerprint dir, commit record untouched, no re-train — and (b)
+    emit exactly the remaining batches' results, so the sink union
+    equals the batch operator's answer with no duplicate or missing
+    rows (duplicates would mean batch-1 files were re-read; gaps would
+    mean the restart skipped offsets)."""
+    import json as _json
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    home = str(tmp_path / "idx")
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", home)
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    qids = sorted(r["vec_id"] for r in queries.select("vec_id").collect())
+    assert len(qids) >= 4, "fixture too small to split"
+    mid = qids[len(qids) // 2]
+
+    in_dir = str(tmp_path / "qin")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sink, exist_ok=True)
+    (
+        queries.where(F.col("vec_id") < mid)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir)
+    )
+    schema = spark.read.parquet(in_dir).schema
+
+    def run_phase():
+        """Build the serving query exactly like the catalog entry:
+        load-or-build the persisted index, then score each microbatch
+        against it inside foreachBatch, appending to the sink."""
+        enc, cb = similarity.pq_persisted_index(emb)
+
+        def serve(batch_df, _bid):
+            if batch_df.isEmpty():
+                return
+            q = similarity.flatten(batch_df, "e", "query_id")
+            qdt = similarity.pq_query_tables(q, cb)
+            top = similarity.pq_adc_topk(enc, qdt, k=5)
+            top.coalesce(1).write.mode("append").parquet(sink)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(serve)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    # ---- phase 1: serve batch 1, then stop (mid-replay) -----------
+    run_phase()
+    dirs = os.listdir(home)
+    assert len(dirs) == 1 and dirs[0].startswith("pq-")
+    staged = os.path.join(home, dirs[0])
+    manifest_path = os.path.join(staged, "MANIFEST.json")
+    with open(manifest_path) as f:
+        fp1 = _json.load(f)["fingerprint"]
+    mtimes1 = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+    }
+    out_schema = "query_id long, neighbor_id long, approx_dist double, rank int"
+    n_phase1 = spark.read.schema(out_schema).parquet(sink).count()
+    assert n_phase1 == 5 * sum(1 for q_ in qids if q_ < mid)
+
+    # ---- drop batch 2, restart the SAME plan on the SAME checkpoint
+    (
+        queries.where(F.col("vec_id") >= mid)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(in_dir)
+    )
+    run_phase()
+
+    # (a) same staged index: one dir, same fingerprint, commit record
+    # and artifacts byte-untouched (the restart LOADED, never re-built)
+    assert os.listdir(home) == dirs
+    with open(manifest_path) as f:
+        assert _json.load(f)["fingerprint"] == fp1
+    mtimes2 = {
+        f: os.stat(os.path.join(staged, f)).st_mtime_ns
+        for f in os.listdir(staged)
+    }
+    assert mtimes1 == mtimes2, "restart re-staged the index"
+
+    # (b) identical remaining results: the sink union over both runs
+    # equals the batch operator's answer over ALL queries, exactly once
+    got = sorted(
+        map(tuple, spark.read.schema(out_schema).parquet(sink).collect())
+    )
+    qflat = similarity.flatten(queries, "e", "query_id")
+    qdt = similarity.pq_query_tables(qflat, similarity.pq_codebook(emb))
+    expected = sorted(
+        map(
+            tuple,
+            similarity.pq_adc_topk(
+                similarity.pq_encode(emb, similarity.pq_codebook(emb)), qdt, k=5
+            ).collect(),
+        )
+    )
+    assert got == expected

@@ -30,81 +30,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-10 rotation: (a) the eight round-10 additions (no driver row
-# yet); (b) value_deciles — rebuilt this round on the histogram-CDF
-# kernel, so the driver re-proves the changed plan (verdict item 2's
-# "passing CORRECTNESS entry"); (c) ALL 41 entries whose latest
-# driver-green row is round 5 (the full stale tail — after this round
-# no entry's latest driver row predates round 6). That fills the head
-# exactly: customer_rfm_segments' round-10 threshold rebuild (byte-
-# identical selected values, r9 driver row) is instead re-proven by
-# the end-of-round full-registry oracle sweeps at sf0.01 AND sf0.1
-# recorded in BASELINE.md. Everything below slot 50 stays
+# Round-12 rotation (verdict item 1): (a) the three round-12 additions
+# (no driver row yet: the live SCD2 maintenance, the KMV join-size
+# planner, the longest-run contamination score); (b) ALL 47 entries
+# whose latest driver-green row is round 7 (the full stale tail,
+# alphabetical — after this round no entry's latest driver row
+# predates round 8). That fills the head exactly (50). The four
+# round-12 plan-touched entries (spacesaving_topk_certified's
+# vectorized MG fold, streaming_ann_pq_serving's hardened index home,
+# revenue_dow_seasonality's zero-guard, the quantile pair's tiebreak
+# deprecation) all have round-11 driver rows and value-identical
+# results; their re-proof this round is the full-registry sf0.01 +
+# sf0.1 check_oracle sweeps recorded in BASELINE.md plus the suite's
+# all-catalog sf0.001 oracle test. Everything below slot 50 stays
 # oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
 _PRIORITY = [
-    # (a) round-11 additions, no driver row yet (5)
-    "spacesaving_topk_certified",
-    "revenue_dow_seasonality",
-    "revenue_autocorr_lag1",
-    "cross_type_quantile_norm",
-    "streaming_two_stream_reconcile_tws",
-    # (b) plan changed this round with CHANGED semantics surface: the
-    # binned-CDF quantile rebuild (2) + the persisted-index serving
-    # path (1). Three further entries were touched by the round-10
-    # ADVICE items with value-identical edits on BOTH engine sides
-    # (value_deciles NULL pin, corpus_budget_sampler toks guard,
-    # snapshot_diff_audit high-bit shift) — the 42-entry stale-tail
-    # rotation leaves them no seat; their re-proof this round is the
-    # full-registry sf0.01/sf0.1 check_oracle sweeps recorded in
-    # BASELINE.md plus the suite's all-catalog sf0.001 oracle test.
-    "event_value_quantiles",
-    "approx_quantiles_certified",
-    "streaming_ann_pq_serving",
-    # (c) the full round-6 stale tail (42, alphabetical)
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "approx_ndv_kmv",
-    "asof_join_purchase_click",
-    "big_order_customers",
-    "bitext_mining_ann",
-    "boilerplate_shingle_flags",
-    "bpe_merges",
-    "chunk_documents",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "contrastive_triplets",
-    "corpus_mixture",
-    "count_window_sum",
-    "curation_summary",
-    "customer_order_distribution",
-    "decontamination",
-    "dedup_exact",
-    "dedup_pagerank",
-    "dq_audit",
-    "embedding_label_centroids",
-    "funnel_conversion",
-    "fuzzy_name_pairs",
-    "hard_negative_mining",
-    "interval_join_error_clicks",
-    "inverted_index",
-    "kmeans_assignments",
-    "order_dashboard_province",
-    "order_priority_pipeline",
-    "sequence_packing",
-    "session_windows",
-    "snapshot_diff",
-    "streaming_approx_ndv_hll",
-    "streaming_count_window",
-    "streaming_rising_alarm",
-    "streaming_union_counts",
-    "streaming_value_quantiles",
-    "temperature_mixture",
-    "text_repetition",
-    "text_tfidf_top_terms",
-    "top_supplier_revenue",
-    "vocab_oov_rate",
+    "streaming_scd2_maintenance",
+    "join_size_kmv_certified",
+    "contamination_longest_run",
+    "ann_ivf_pq_topk",
+    "ann_ivf_topk",
+    "ann_recall_report",
+    "asof_join_cogrouped",
+    "bpe_encode",
+    "contrastive_triplets_ivf",
+    "count_window_sliding",
+    "dataset_split",
+    "day_window_offset_utc8",
+    "dedup_containment",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans",
+    "delta_alarm",
+    "embedding_near_dup",
+    "embedding_quantize_int8",
+    "evictor_prefilter",
+    "gap_fill_forward",
+    "generated_order_dashboard",
+    "hard_negative_mining_ivf",
+    "incremental_dedup",
+    "late_data_accounting",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "revenue_day_over_day",
+    "rolling_window_avg",
+    "semantic_decontamination",
+    "session_stats",
+    "side_output_alarm",
+    "skew_join_salted",
+    "split_select_bands",
+    "stratified_sample_events",
+    "streaming_cohort_retention",
+    "streaming_delta_alarm_ttl",
+    "streaming_funnel",
+    "streaming_keyed_sum",
+    "streaming_order_dashboard",
+    "streaming_rising_alarm_tws",
+    "streaming_session_gap_tws",
+    "streaming_session_summary_tws",
+    "streaming_session_windows",
+    "streaming_tumbling_counts",
+    "streaming_word_count",
+    "trigger_per_element_fire",
+    "value_histogram",
+    "value_outliers",
+    "window_all_minute",
+    "windowed_topk_types",
 ]
 
 

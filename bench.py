@@ -148,6 +148,9 @@ HEADLINE = [
     "revenue_dow_seasonality",
     "revenue_autocorr_lag1",
     "cross_type_quantile_norm",
+    # round 12
+    "join_size_kmv_certified",
+    "contamination_longest_run",
 ]
 
 

@@ -445,6 +445,145 @@ def kmv_set_cardinality(
     )
 
 
+def kmv_join_size(
+    a: DataFrame, b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """KMV join-size estimate (round-12 verdict item 4b): predict
+    |A ⋈ B| from two FIXED-SIZE sketches — the X197 exact
+    join-cardinality planner's question answered at X177 sketch cost,
+    the pre-flight that still works when even the key-grain count
+    tables are too big to join.
+
+    Inputs are the per-key count tables ``(k, na)`` / ``(k, nb)``
+    (one map-side-combinable agg per fact table — the same first step
+    X197 takes). Each side keeps only its k minimum key-hashes, each
+    carrying that key's count. The union bottom-k is recovered by
+    MERGING the two sketches: a key among the k smallest hashes of
+    A∪B is necessarily among the k smallest of every side that
+    contains it, so the merged sample knows the TRUE (na, nb) of every
+    sampled key. The estimator is Horvitz-Thompson on that bottom-k
+    sample: est|A⋈B| = est|keys(A∪B)| · (Σ_sample na·nb) / |sample| —
+    distinct-union cardinality from the classic KMV (k-1)/h_(k),
+    multiplied by the sample-mean per-key join fan-out.
+
+    The EXACT planner statistics (X197's full-outer count-table join)
+    ride along as the audit certificate — the branch a 100 TB run
+    drops, exactly X177's discipline. Everything is deterministic
+    (h60 hashes; hash-colliding keys pre-merge their counts by summed
+    na/nb BEFORE the top-k cut so sketch rows are unique by hash), so
+    the DuckDB oracle matches the ESTIMATES bit-for-bit.
+
+    Scale: two map-combinable aggs to key grain, two fixed-k
+    TakeOrderedAndProjects, one ≤2k-row merge — the certificate branch
+    is the only piece that touches key-grain size again."""
+    num = _KMV_NUM if k == KMV_K else float((k - 1) * (1 << 60))
+
+    def side_sketch(df: DataFrame, cnt: str) -> DataFrame:
+        return (
+            df.select(
+                h60(F.col("k").cast("string")).alias("hv"), F.col(cnt)
+            )
+            .groupBy("hv")
+            .agg(F.sum(cnt).alias(cnt))
+            .orderBy("hv")
+            .limit(int(k))
+        )
+
+    merged = side_sketch(a, "na").join(side_sketch(b, "nb"), "hv", "full")
+    samp = merged.orderBy("hv").limit(int(k))
+    sk = samp.agg(
+        F.count("*").alias("n_u"),
+        F.max("hv").alias("hk_u"),
+        F.count(
+            F.when(F.col("na").isNotNull() & F.col("nb").isNotNull(), 1)
+        ).cast("long").alias("sample_matched"),
+        F.coalesce(
+            F.sum(F.col("na") * F.col("nb")), F.lit(0)
+        ).cast("long").alias("sample_join_rows"),
+    )
+    # certificate: the exact planner (X197 machinery) over the same
+    # count tables — dropped at scales where key grain itself is big
+    f = a.join(b, "k", "full")
+    prod = F.col("na") * F.col("nb")
+    exact = f.agg(
+        F.count("na").cast("long").alias("exact_keys_a"),
+        F.count("nb").cast("long").alias("exact_keys_b"),
+        F.count("*").cast("long").alias("exact_keys_union"),
+        F.count(
+            F.when(F.col("na").isNotNull() & F.col("nb").isNotNull(), 1)
+        ).cast("long").alias("matched_keys"),
+        F.coalesce(F.sum(prod), F.lit(0)).cast("long").alias("exact_join_rows"),
+        F.max(prod).cast("long").alias("max_key_product"),
+    )
+    row = exact.crossJoin(sk)
+    u_est = F.when(F.col("n_u") < k, F.col("n_u").cast("double")).otherwise(
+        F.lit(num) / F.col("hk_u").cast("double")
+    )
+    est = u_est * F.col("sample_join_rows") / F.col("n_u")
+    return row.select(
+        "exact_keys_a",
+        "exact_keys_b",
+        "exact_keys_union",
+        "matched_keys",
+        "exact_join_rows",
+        "max_key_product",
+        u_est.alias("kmv_union_keys"),
+        F.col("n_u").cast("long").alias("sample_n"),
+        "sample_matched",
+        "sample_join_rows",
+        est.alias("kmv_join_rows"),
+    )
+
+
+def kmv_join_size_oracle_sql(
+    a_sql: str, b_sql: str, duck_h60_fn, k: int = KMV_K
+) -> str:
+    """DuckDB twin of :func:`kmv_join_size` — ``a_sql``/``b_sql`` are
+    CTE bodies producing the (k, na) / (k, nb) count tables. KMV_K and
+    the estimator numerator interpolate from THIS module (never bake
+    the constants — divergence checklist rule 10)."""
+    num = repr(_KMV_NUM if k == KMV_K else float((k - 1) * (1 << 60)))
+    hv = duck_h60_fn("CAST(k AS VARCHAR)")
+    return f"""
+    WITH a AS ({a_sql}),
+    b AS ({b_sql}),
+    ska AS (SELECT hv, CAST(sum(na) AS BIGINT) AS na FROM
+                (SELECT {hv} AS hv, na FROM a) GROUP BY 1
+            ORDER BY hv LIMIT {k}),
+    skb AS (SELECT hv, CAST(sum(nb) AS BIGINT) AS nb FROM
+                (SELECT {hv} AS hv, nb FROM b) GROUP BY 1
+            ORDER BY hv LIMIT {k}),
+    merged AS (SELECT coalesce(ska.hv, skb.hv) AS hv, na, nb
+               FROM ska FULL JOIN skb ON skb.hv = ska.hv),
+    samp AS (SELECT * FROM merged ORDER BY hv LIMIT {k}),
+    sk AS (SELECT count(*) AS n_u, max(hv) AS hk_u,
+                  CAST(count(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS sample_matched,
+                  CAST(coalesce(sum(na * nb), 0) AS BIGINT)
+                      AS sample_join_rows
+           FROM samp),
+    ex AS (SELECT CAST(count(na) AS BIGINT) AS exact_keys_a,
+                  CAST(count(nb) AS BIGINT) AS exact_keys_b,
+                  CAST(count(*) AS BIGINT) AS exact_keys_union,
+                  CAST(count(CASE WHEN na IS NOT NULL AND nb IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS matched_keys,
+                  CAST(coalesce(sum(na * nb), 0) AS BIGINT)
+                      AS exact_join_rows,
+                  CAST(max(na * nb) AS BIGINT) AS max_key_product
+           FROM a FULL JOIN b ON b.k = a.k)
+    SELECT exact_keys_a, exact_keys_b, exact_keys_union, matched_keys,
+           exact_join_rows, max_key_product,
+           (CASE WHEN n_u < {k} THEN CAST(n_u AS DOUBLE)
+                 ELSE {num} / CAST(hk_u AS DOUBLE) END) AS kmv_union_keys,
+           CAST(n_u AS BIGINT) AS sample_n, sample_matched,
+           sample_join_rows,
+           (CASE WHEN n_u < {k} THEN CAST(n_u AS DOUBLE)
+                 ELSE {num} / CAST(hk_u AS DOUBLE) END)
+             * sample_join_rows / n_u AS kmv_join_rows
+    FROM ex CROSS JOIN sk
+    """
+
+
 MG_COUNTERS = 20
 MG_TOPN = 12
 

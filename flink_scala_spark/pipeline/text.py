@@ -797,6 +797,81 @@ def duplicate_spans(
     )
 
 
+#: Hot-span document-frequency cap for the contamination run join: a
+#: span shared by more docs than this is boilerplate, not leakage, and
+#: would fan the pair join out quadratically in its bucket (the same
+#: reason LSH bands cap bucket population). Interpolated into the
+#: DuckDB oracle — never bake the number there.
+RUN_SPAN_MAX_DF = 100
+
+
+def contamination_longest_runs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = SPAN_WORDS,
+    max_df: int = RUN_SPAN_MAX_DF,
+) -> DataFrame:
+    """Longest-duplicated-run contamination SEVERITY per
+    (train doc, test doc) pair (round-12 verdict item 4c): X105's
+    positional word n-gram spans, coalesced into MAXIMAL runs — the
+    metric n-gram hit counts miss: 100 scattered 8-gram matches are
+    noise, one 100-word verbatim passage is an eval answer leaking
+    into train. Split membership is the X126 hash split (train <80,
+    test >=90 of h60(doc_id) % 100).
+
+    Run coalescing is gaps-and-islands on the match DIAGONAL: a
+    matched span at train position i and test position j lies on diag
+    i-j; consecutive i on one (pair, diag) form one run (each step
+    extends the shared passage by a word), so island id = i -
+    row_number() — tie-free because (pair, diag) determines j from i,
+    making i unique within the group. Longest run in WORDS = max run
+    n-gram count + n-1.
+
+    Scale: spans travel as 60-bit hashes; the pair join is banded by
+    span hash with the ``max_df`` hot-span guard bounding any bucket's
+    fan-out (boilerplate spans are dropped — they are dedup's job, see
+    X105/X178, not contamination's); the islands window partitions by
+    (train_doc, test_doc, diag) — match-grain keys, never corpus-grain.
+    """
+    from flink_scala_spark.functions.portable import h60
+    from flink_scala_spark.pipeline.dedup import positional_ngrams
+
+    spans = positional_ngrams(
+        _nonempty(docs, text_col), text_col, n=n, out_col="span", pos_col="i"
+    ).select("doc_id", "i", h60(F.col("span")).alias("sh"))
+    ok = (
+        spans.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("sh")
+    )
+    sp = spans.join(ok, "sh").withColumn(
+        "b", F.pmod(h60(F.col("doc_id").cast("string")), F.lit(100))
+    )
+    tr = sp.where(F.col("b") < 80).select(
+        F.col("doc_id").alias("train_doc"), F.col("i").alias("ti"), "sh"
+    )
+    te = sp.where(F.col("b") >= 90).select(
+        F.col("doc_id").alias("test_doc"), F.col("i").alias("ei"), "sh"
+    )
+    m = tr.join(te, "sh").select(
+        "train_doc", "test_doc", "ti", (F.col("ti") - F.col("ei")).alias("diag")
+    )
+    w = Window.partitionBy("train_doc", "test_doc", "diag").orderBy("ti")
+    runs = (
+        m.withColumn("isl", F.col("ti") - F.row_number().over(w))
+        .groupBy("train_doc", "test_doc", "diag", "isl")
+        .agg(F.count("*").alias("len_ngrams"))
+    )
+    return runs.groupBy("train_doc", "test_doc").agg(
+        F.sum("len_ngrams").cast("long").alias("n_matching_ngrams"),
+        F.count("*").cast("long").alias("n_runs"),
+        (F.max("len_ngrams") + F.lit(n - 1)).cast("long").alias(
+            "longest_run_words"
+        ),
+    )
+
+
 def scrub_duplicate_spans(
     docs: DataFrame, text_col: str = "text", n: int = SPAN_WORDS
 ) -> DataFrame:

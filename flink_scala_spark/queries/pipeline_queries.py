@@ -2430,6 +2430,63 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X219: longest-duplicated-run contamination severity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_longest_run",
+    f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents
+        WHERE text IS NOT NULL AND text <> ''
+          AND len(string_split(text, ' ')) >= {_SPAN_N}
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - {_SPAN_N - 2})) AS i FROM w
+    ),
+    sp AS (
+        SELECT doc_id, i,
+               {duck_h60(f"array_to_string(w[i:i + {_SPAN_N - 1}], ' ')")} AS sh,
+               {{split_b}} AS b
+        FROM pos
+    ),
+    ok AS (SELECT sh FROM sp GROUP BY 1
+           HAVING count(DISTINCT doc_id) <= {{max_df}}),
+    tr AS (SELECT doc_id AS train_doc, i AS ti, sh
+           FROM sp JOIN ok USING (sh) WHERE b < 80),
+    te AS (SELECT doc_id AS test_doc, i AS ei, sh
+           FROM sp JOIN ok USING (sh) WHERE b >= 90),
+    m AS (SELECT train_doc, test_doc, ti, ti - ei AS diag
+          FROM tr JOIN te USING (sh)),
+    r AS (SELECT train_doc, test_doc, diag, ti,
+                 ti - row_number() OVER (PARTITION BY train_doc, test_doc,
+                                         diag ORDER BY ti) AS isl
+          FROM m),
+    runs AS (SELECT train_doc, test_doc, count(*) AS len_ngrams
+             FROM r GROUP BY train_doc, test_doc, diag, isl)
+    SELECT train_doc, test_doc,
+           CAST(sum(len_ngrams) AS BIGINT) AS n_matching_ngrams,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len_ngrams) + {_SPAN_N - 1} AS BIGINT)
+               AS longest_run_words
+    FROM runs GROUP BY 1, 2
+    """.format(split_b=_SPLIT_B, max_df=text.RUN_SPAN_MAX_DF),
+    "text", "decontamination", "dedup", "severity",
+)
+def q_contamination_longest_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination SEVERITY (X219): per (train doc, test doc) pair
+    under the X126 hash split, the maximal verbatim shared passage —
+    X105's positional 8-gram spans coalesced into runs along the match
+    diagonal. The metric plain n-gram hit counts miss: scattered
+    matches are noise, one long verbatim run is a leaked eval answer.
+    See pipeline/text.py:contamination_longest_runs for the
+    gaps-and-islands construction and the hot-span fan-out guard."""
+    return text.contamination_longest_runs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # X178: duplicate-passage REMOVAL (Lee et al. substring scrub)
 # ---------------------------------------------------------------------------
 

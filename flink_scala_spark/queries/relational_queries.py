@@ -1470,6 +1470,49 @@ def q_join_cardinality_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X217: KMV join-size estimate (the sketch-cost planner)
+# ---------------------------------------------------------------------------
+
+from flink_scala_spark.functions.portable import duck_h60  # noqa: E402
+from flink_scala_spark.pipeline import sampling as _sampling  # noqa: E402
+
+_PLANNER_A_SQL = (
+    "SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS na "
+    "FROM orders GROUP BY 1"
+)
+_PLANNER_B_SQL = (
+    "SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nb "
+    "FROM lineitem GROUP BY 1"
+)
+
+
+@register(
+    "join_size_kmv_certified",
+    _sampling.kmv_join_size_oracle_sql(_PLANNER_A_SQL, _PLANNER_B_SQL, duck_h60),
+    "sketch", "kmv", "planning", "join",
+)
+def q_join_size_kmv_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimate at sketch cost (X217): X197's planner
+    question — how many rows does orders ⋈ lineitem produce? — from
+    two fixed-size KMV sketches whose retained key-hashes carry their
+    key's count, merged into a bottom-k sample of the key union and
+    Horvitz-Thompson-scaled by the KMV distinct-union estimate. The
+    exact planner (X197's full-outer count-table join) rides along as
+    the audit certificate — the branch a 100 TB run drops when even
+    the key-grain count tables are too big to join. Deterministic h60
+    makes the ESTIMATE hash-exact against the oracle. See
+    pipeline/sampling.py:kmv_join_size for the estimator proof and
+    scale shape."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("na")
+    )
+    b = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("nb"))
+    return _sampling.kmv_join_size(a, b)
+
+
+# ---------------------------------------------------------------------------
 # X200: customer-LTV cohort curves
 # ---------------------------------------------------------------------------
 

@@ -790,6 +790,64 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: identical result contract to the batch X101 interval build — share
+#: its oracle so the live maintenance can never drift textually
+SCD2_ORACLE = _CATALOG_QUERIES["scd2_history"].oracle
+
+
+@register(
+    "streaming_scd2_maintenance",
+    SCD2_ORACLE,
+    "streaming", "scd2", "cdc", "warehouse",
+)
+def q_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance LIVE (round-12 verdict item
+    4a): streaming_cdc_apply's changelog topology feeding X101's
+    interval build in ONE query — the warehouse CDC shape. The
+    streaming state is the dimension HISTORY itself: one state row per
+    key holding its version array (a collect_list aggregate updated in
+    place each microbatch — exactly what an upsert-sink materialized
+    dimension carries; SCD2's state floor is the history, since the
+    history IS the output). The interval build then runs batch-side on
+    the final state: each key's version array is sorted ONCE row-
+    locally (array_sort over (eff, event_id, ·) structs — the same
+    (ts, event_id) tie-break X101 pins), posexploded, and every
+    interval closes against its array successor via 0-indexed
+    ``F.get`` (NULL past the end under ANSI, where element_at would
+    throw) — no lead() window, because the per-key order already lives
+    inside the array. Oracle shared verbatim with batch
+    ``scd2_history``.
+
+    Scale: one key shuffle (the streaming agg); the finish is
+    row-local. Per-key state is bounded by the key's change history —
+    the same bound as the dimension table a 100 TB warehouse already
+    stores; no corpus-scale window, no second shuffle."""
+    ev = sources.file_replay(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct(
+                epoch_seconds("ts").alias("eff"),
+                F.col("event_id").alias("eid"),
+                F.col("value").alias("v"),
+            )
+        ).alias("vs")
+    )
+    state = run_bounded(agg, "complete")
+    ex = state.select("user_id", F.array_sort("vs").alias("sv")).select(
+        "user_id", "sv", F.posexplode("sv").alias("pos", "r")
+    )
+    nxt = F.get("sv", F.col("pos") + 1)
+    return ex.select(
+        "user_id",
+        F.col("r.eff").alias("eff_from"),
+        nxt["eff"].alias("eff_to"),
+        nxt["eid"].isNull().cast("int").alias("is_current"),
+        F.round("r.v", 2).alias("value"),
+    )
+
+
 @register(
     "streaming_chained_windows",
     """

@@ -2209,3 +2209,160 @@ def test_group_quantiles_null_key_group_kept(spark):
     assert set(cert) == {None, "a"}
     assert cert[None]["n"] == 3 and cert[None]["p50"] == 2.0
     assert cert[None]["within_gk_bound"] and cert["a"]["within_gk_bound"]
+
+
+def test_contamination_longest_runs_matches_bruteforce(spark):
+    """X219 run coalescing vs a plain-Python scanner: crafted train
+    and test docs sharing passages of known lengths (n=3 for the
+    test); the kernel must report the exact maximal-run severity, the
+    scattered-match count, and drop hot spans past the df cap."""
+    import hashlib
+
+    from flink_scala_spark.pipeline.text import contamination_longest_runs
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    train_ids = [i for i in range(1000) if bucket(i) < 80]
+    test_ids = [i for i in range(1000) if bucket(i) >= 90]
+
+    # a 9-word verbatim passage (7 trigram matches -> one run of 9
+    # words), plus one scattered trigram elsewhere on another diagonal
+    passage = "the quick brown fox jumps over the lazy dog"
+    tr_doc = f"AA BB {passage} CC DD common one two"
+    te_doc = f"{passage} XX YY ZZ common one two QQ"
+    rows = [
+        (train_ids[0], tr_doc),
+        (test_ids[0], te_doc),
+        (train_ids[1], "unrelated words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["train_doc"], r["test_doc"]): r
+        for r in contamination_longest_runs(docs, n=3).collect()
+    }
+    key = (train_ids[0], test_ids[0])
+    assert set(got) == {key}
+
+    # brute force: all positional trigram matches, coalesced per diag
+    def tgs(t):
+        w = t.split(" ")
+        return {
+            (i + 1, " ".join(w[i : i + 3])) for i in range(len(w) - 2)
+        }
+
+    m = [
+        (ti, ei)
+        for ti, s in tgs(tr_doc)
+        for ei, s2 in tgs(te_doc)
+        if s == s2
+    ]
+    diags = {}
+    for ti, ei in m:
+        diags.setdefault(ti - ei, []).append(ti)
+    runs = []
+    for d, tis in diags.items():
+        tis = sorted(tis)
+        run = 1
+        for a, b in zip(tis, tis[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+    r = got[key]
+    assert r["n_matching_ngrams"] == len(m)
+    assert r["n_runs"] == len(runs)
+    assert r["longest_run_words"] == max(runs) + 2
+
+    # hot-span guard: the passage shared by MORE than max_df docs is
+    # boilerplate -> zero pairs survive
+    many = [
+        (i, f"pad{i} {passage}")
+        for i in (train_ids[:3] + test_ids[:3])
+    ]
+    hot = contamination_longest_runs(
+        spark.createDataFrame(many, "doc_id long, text string"),
+        n=3,
+        max_df=2,
+    ).collect()
+    assert hot == []
+
+
+def test_kmv_join_size_exact_below_capacity_and_deterministic(spark):
+    """X217: (a) when the key union fits in one sketch the estimate IS
+    the exact planner answer (KMV is exact below capacity); (b) past
+    capacity the estimate reproduces a plain-Python mirror of the
+    bottom-k estimator bit-for-bit (deterministic h60 sampling)."""
+    import hashlib
+
+    from flink_scala_spark.pipeline.sampling import (
+        KMV_K,
+        _KMV_NUM,
+        kmv_join_size,
+    )
+
+    def h(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+
+    # (a) 40 union keys < KMV_K=64 -> exhaustive sample, exact answer
+    a_small = spark.createDataFrame(
+        [(k, k % 3 + 1) for k in range(30)], "k long, na long"
+    )
+    b_small = spark.createDataFrame(
+        [(k, k % 5 + 1) for k in range(10, 50)], "k long, nb long"
+    )
+    r = kmv_join_size(a_small, b_small).collect()[0]
+    exp_rows = sum((k % 3 + 1) * (k % 5 + 1) for k in range(10, 30))
+    assert r["exact_join_rows"] == exp_rows
+    assert r["kmv_join_rows"] == float(exp_rows)
+    assert r["kmv_union_keys"] == float(r["exact_keys_union"]) == 50.0
+    assert r["sample_n"] == 50 and r["sample_matched"] == 20
+
+    # (b) 500 union keys > capacity -> python mirror of the estimator
+    a_rows = [(k, k % 7 + 1) for k in range(400)]
+    b_rows = [(k, k % 4 + 1) for k in range(100, 500)]
+    a_big = spark.createDataFrame(a_rows, "k long, na long")
+    b_big = spark.createDataFrame(b_rows, "k long, nb long")
+    r = kmv_join_size(a_big, b_big).collect()[0]
+    na = dict(a_rows)
+    nb = dict(b_rows)
+    samp = sorted(set(na) | set(nb), key=h)[:KMV_K]
+    hk_u = h(samp[-1])
+    u_est = _KMV_NUM / float(hk_u)
+    sample_prod = sum(na.get(k, 0) * nb.get(k, 0) for k in samp)
+    assert r["sample_n"] == KMV_K
+    assert r["sample_join_rows"] == sample_prod
+    assert r["kmv_union_keys"] == u_est
+    assert r["kmv_join_rows"] == u_est * sample_prod / KMV_K
+    assert r["exact_join_rows"] == sum(
+        na[k] * nb[k] for k in set(na) & set(nb)
+    )
+
+
+def test_streaming_scd2_maintenance_equals_batch_and_chains(spark, sf_dir):
+    """X218: the live SCD2 maintenance must equal the batch X101
+    interval build row-for-row, every key must flag exactly one
+    current version, and each key's intervals must CHAIN (eff_to of
+    one version == eff_from of the next)."""
+    from collections import defaultdict
+
+    import __spark_entry__ as se
+
+    q = se.queries()
+    live = sorted(
+        map(tuple, q["streaming_scd2_maintenance"](spark, sf_dir).collect())
+    )
+    batch = sorted(map(tuple, q["scd2_history"](spark, sf_dir).collect()))
+    assert live == batch and len(live) > 0
+
+    by_key = defaultdict(list)
+    for user_id, eff_from, eff_to, is_current, _v in live:
+        by_key[user_id].append((eff_from, eff_to, is_current))
+    for user_id, vs in by_key.items():
+        vs.sort()
+        assert sum(c for _, _, c in vs) == 1, user_id
+        assert vs[-1][1] is None and vs[-1][2] == 1
+        for (f1, t1, _), (f2, _, _) in zip(vs, vs[1:]):
+            assert t1 == f2, user_id

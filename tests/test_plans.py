@@ -324,6 +324,9 @@ BNLJ_OK = {
     # round 11: 1-row n_chars total + 1-row merge-offset aggregate
     # crossed onto the 12-row exact top-N (negative_pool_sampler shape)
     "spacesaving_topk_certified",
+    # round 12: 1-row exact-planner certificate crossed with the 1-row
+    # sketch aggregate (X177's sketch-cross shape)
+    "join_size_kmv_certified",
 }
 
 
@@ -678,6 +681,9 @@ STREAMING_PLAN_PINS = {
     "streaming_interval_join_outer": {"SYM": 1},
     "streaming_cms_heavy_hitters": {"SSS": 1},
     "streaming_cdc_apply": {"SSS": 1},
+    # the dimension history is the ONE agg state (collect_list per
+    # key); the interval build is stateless batch-side finish
+    "streaming_scd2_maintenance": {"SSS": 1},
     # the two-level stateful chains: exactly TWO stores, not one, not three
     "streaming_chained_windows": {"SSS": 2},
     "streaming_interval_join_full_outer": {"SYM": 1},

@@ -694,10 +694,15 @@ def revenue_dow_seasonality(orders: DataFrame) -> DataFrame:
       $92 B/day; the DIV's operands are non-negative). The nullif
       mirrors the oracle exactly: shipped revenue is strictly
       positive so the guard never fires on real data, but WITHOUT it
-      an all-zero/refund-heavy weekday would make Spark's DIV return
-      NULL while DuckDB's // raises — the engines must fail (here:
-      emit NULL deviation + NULL is_anomaly) identically (round-11
-      ADVICE);
+      an ALL-ZERO weekday would make Spark's DIV return NULL while
+      DuckDB's // raises — the zero case now fails identically in
+      both engines (round-11 ADVICE). A NEGATIVE baseline (a
+      net-refund weekday) remains OUT of the envelope: the numerator
+      is abs() but a negative denominator makes the quotient negative
+      and non-integral, where Spark DIV truncates and DuckDB //
+      floors (divergence checklist rule 3) — NON-NEGATIVE daily
+      revenue is a documented precondition, like the autocorr
+      envelope;
     - is_anomaly: deviation > 100% of the weekday mean (NULL when the
       baseline is 0, in both engines).
 

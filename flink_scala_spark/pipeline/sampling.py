@@ -479,10 +479,17 @@ def kmv_join_size(
     num = _KMV_NUM if k == KMV_K else float((k - 1) * (1 << 60))
 
     def side_sketch(df: DataFrame, cnt: str) -> DataFrame:
+        # NULL keys hash to a NULL hv, which Spark's ascending sort
+        # puts FIRST (consuming a sketch slot) while DuckDB's puts
+        # LAST (excluded) — divergence checklist rule 9. A NULL key
+        # never equi-joins anyway, so both engines pin it out of the
+        # sketch; the exact certificate keeps it as an unmatched row
+        # identically in both.
         return (
             df.select(
                 h60(F.col("k").cast("string")).alias("hv"), F.col(cnt)
             )
+            .where(F.col("hv").isNotNull())
             .groupBy("hv")
             .agg(F.sum(cnt).alias(cnt))
             .orderBy("hv")
@@ -548,10 +555,12 @@ def kmv_join_size_oracle_sql(
     WITH a AS ({a_sql}),
     b AS ({b_sql}),
     ska AS (SELECT hv, CAST(sum(na) AS BIGINT) AS na FROM
-                (SELECT {hv} AS hv, na FROM a) GROUP BY 1
+                (SELECT {hv} AS hv, na FROM a)
+            WHERE hv IS NOT NULL GROUP BY 1
             ORDER BY hv LIMIT {k}),
     skb AS (SELECT hv, CAST(sum(nb) AS BIGINT) AS nb FROM
-                (SELECT {hv} AS hv, nb FROM b) GROUP BY 1
+                (SELECT {hv} AS hv, nb FROM b)
+            WHERE hv IS NOT NULL GROUP BY 1
             ORDER BY hv LIMIT {k}),
     merged AS (SELECT coalesce(ska.hv, skb.hv) AS hv, na, nb
                FROM ska FULL JOIN skb ON skb.hv = ska.hv),
@@ -623,7 +632,15 @@ def mg_summaries(items: DataFrame, item_col: str, k: int) -> DataFrame:
     D*(k+1) <= n_p, i.e. D <= floor(n_p/(k+1)) — the same bound the
     element-at-a-time fold proves, because the bound argues about
     TOTALS and never about arrival order. Estimates never overcount
-    (only true weight is ever added)."""
+    (only true weight is ever added).
+
+    NULL items are EXCLUDED from the stream (``value_counts`` drops
+    them — a deliberate semantics pin, round-12 review pass 1: the old
+    element-at-a-time fold dict-keyed None/NaN, which is ill-defined
+    across Arrow chunks since NaN identity is not stable). Callers
+    must pre-filter or accept that n in the 2*floor(n/(k+1)) bound
+    counts NON-NULL items only; the one production caller
+    (``char_stream``) never emits nulls."""
     import pandas as pd
 
     def summarize(batches):

@@ -1518,6 +1518,7 @@ def vacuum_index_home(
     keep: int = PQ_INDEX_KEEP,
     protect: tuple[str, ...] = (),
     grace_s: float = 86400.0,
+    lru_grace_s: float = 3600.0,
 ) -> dict:
     """Retention for the persisted-index home: keep the newest ``keep``
     staged dirs per lineage (last-use order — loads ``os.utime`` their
@@ -1535,7 +1536,17 @@ def vacuum_index_home(
        collected only once older than ``grace_s`` — a CONCURRENT
        stager's temp dir is exactly such an entry between its write and
        its rename, and an eager delete would destroy a healthy
-       in-flight stage.
+       in-flight stage;
+    4. a manifest-valid dir USED within ``lru_grace_s`` (loads utime
+       their dir) is never removed even when it falls past keep-K
+       (round-12 review pass 1): loaded index frames are LAZY, so a
+       dir another process — or an earlier load in THIS process — just
+       read may still back live DataFrames; the recency guard closes
+       that window for any frame acted on within the grace. The
+       remaining envelope is documented on :func:`pq_persisted_index`:
+       a frame held live but UNUSED for over ``lru_grace_s`` across
+       >= ``keep`` same-lineage corpus rewrites can lose its backing
+       dir — re-load (cheap) instead of holding stale index frames.
 
     Entries not owned by our euid are never touched (rmtree of another
     user's files would fail anyway — and they are never trusted by the
@@ -1592,8 +1603,8 @@ def vacuum_index_home(
     for dirs in by_lineage.values():
         dirs.sort(reverse=True)
         keep_set = {p for _, p in dirs[: max(keep, 0)]} | set(protect)
-        for _, p in dirs:
-            if p in keep_set:
+        for mt, p in dirs:
+            if p in keep_set or now - mt <= lru_grace_s:
                 kept.append(p)
                 continue
             try:
@@ -1670,7 +1681,15 @@ def pq_persisted_index(
     100 TB shape: this IS the production serving split — index build
     is an offline batch job writing ~9 small ints per vector (32x
     smaller than the float corpus); serving JVMs mmap/scan the code
-    table and never touch raw vectors."""
+    table and never touch raw vectors.
+
+    Lifetime envelope (round-12 review pass 1): the returned frames
+    are LAZY reads of the staged dir. Retention never removes a dir
+    used within the vacuum's LRU grace (loads utime it), so any frame
+    acted on within that window is safe — but a frame held live yet
+    UNUSED for longer, across >= PQ_INDEX_KEEP same-lineage corpus
+    rewrites, can lose its backing dir to a later load's vacuum.
+    Re-load instead of holding stale index frames."""
     from flink_scala_spark.operators import maintenance
 
     spark = emb.sparkSession

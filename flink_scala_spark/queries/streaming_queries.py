@@ -810,8 +810,9 @@ def q_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension carries; SCD2's state floor is the history, since the
     history IS the output). The interval build then runs batch-side on
     the final state: each key's version array is sorted ONCE row-
-    locally (array_sort over (eff, event_id, ·) structs — the same
-    (ts, event_id) tie-break X101 pins), posexploded, and every
+    locally (array_sort over (raw ts, event_id, ·) structs — the same
+    microsecond-precision (ts, event_id) tie-break X101 pins),
+    posexploded, and every
     interval closes against its array successor via 0-indexed
     ``F.get`` (NULL past the end under ANSI, where element_at would
     throw) — no lead() window, because the per-key order already lives
@@ -825,10 +826,15 @@ def q_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sources.file_replay(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
+    # the sort struct keeps the RAW timestamp (not its second-floored
+    # epoch): the shared oracle orders by (ts, event_id) at full
+    # microsecond precision, and a same-second pair whose sub-second
+    # order opposes event_id order would otherwise swap intervals
+    # between the engines (round-12 review pass 1)
     agg = ev.groupBy("user_id").agg(
         F.collect_list(
             F.struct(
-                epoch_seconds("ts").alias("eff"),
+                F.col("ts").alias("t"),
                 F.col("event_id").alias("eid"),
                 F.col("value").alias("v"),
             )
@@ -841,8 +847,8 @@ def q_streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = F.get("sv", F.col("pos") + 1)
     return ex.select(
         "user_id",
-        F.col("r.eff").alias("eff_from"),
-        nxt["eff"].alias("eff_to"),
+        epoch_seconds(F.col("r.t")).alias("eff_from"),
+        epoch_seconds(nxt["t"]).alias("eff_to"),
         nxt["eid"].isNull().cast("int").alias("is_current"),
         F.round("r.v", 2).alias("value"),
     )

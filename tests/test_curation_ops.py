@@ -2306,18 +2306,24 @@ def test_kmv_join_size_exact_below_capacity_and_deterministic(spark):
     def h(k: int) -> int:
         return int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
 
-    # (a) 40 union keys < KMV_K=64 -> exhaustive sample, exact answer
+    # (a) 40 union keys < KMV_K=64 -> exhaustive sample, exact answer.
+    # A NULL key on each side: pinned OUT of the sketch (rule 9 —
+    # Spark sorts NULL hv first, DuckDB last) but kept by the exact
+    # certificate as unmatched rows, like any full-outer count join.
     a_small = spark.createDataFrame(
-        [(k, k % 3 + 1) for k in range(30)], "k long, na long"
+        [(k, k % 3 + 1) for k in range(30)] + [(None, 99)],
+        "k long, na long",
     )
     b_small = spark.createDataFrame(
-        [(k, k % 5 + 1) for k in range(10, 50)], "k long, nb long"
+        [(k, k % 5 + 1) for k in range(10, 50)] + [(None, 99)],
+        "k long, nb long",
     )
     r = kmv_join_size(a_small, b_small).collect()[0]
     exp_rows = sum((k % 3 + 1) * (k % 5 + 1) for k in range(10, 30))
     assert r["exact_join_rows"] == exp_rows
     assert r["kmv_join_rows"] == float(exp_rows)
-    assert r["kmv_union_keys"] == float(r["exact_keys_union"]) == 50.0
+    assert r["kmv_union_keys"] == 50.0
+    assert r["exact_keys_union"] == 52  # two unmatched NULL-key rows
     assert r["sample_n"] == 50 and r["sample_matched"] == 20
 
     # (b) 500 union keys > capacity -> python mirror of the estimator
@@ -2366,3 +2372,62 @@ def test_streaming_scd2_maintenance_equals_batch_and_chains(spark, sf_dir):
         assert vs[-1][1] is None and vs[-1][2] == 1
         for (f1, t1, _), (f2, _, _) in zip(vs, vs[1:]):
             assert t1 == f2, user_id
+
+
+def test_scd2_same_second_tiebreak_matches_oracle(spark, tmp_path):
+    """Round-12 review pass 1: two purchases by one user inside the
+    SAME wall-clock second, with sub-second order OPPOSING event_id
+    order. The shared oracle sorts by raw (microsecond) ts first, so
+    both the batch and the live SCD2 build must too — a second-floored
+    sort key would swap which value/is_current lands on which interval
+    row. Pinned against DuckDB running the shared oracle verbatim."""
+    import glob
+    import os
+    import shutil
+
+    import duckdb
+
+    import __spark_entry__ as se
+
+    base_us = 1_700_000_000 * 1_000_000
+    rows = [
+        # same second: .7s carries event_id 3, .2s carries event_id 9
+        (3, base_us + 700_000, 1, "purchase", 10.0, "{}"),
+        (9, base_us + 200_000, 1, "purchase", 20.0, "{}"),
+        (4, base_us + 5_000_000, 1, "purchase", 30.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_us long, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    sf = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(str(tmp_path / "raw"))
+    os.makedirs(sf)
+    shutil.copy(
+        glob.glob(str(tmp_path / "raw") + "/*.parquet")[0],
+        os.path.join(sf, "events.parquet"),
+    )
+
+    q, o = se.queries(), se.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    exp = sorted(map(tuple, con.execute(o["scd2_history"]).fetchall()))
+    con.close()
+    # the .2s/eid-9 row is FIRST despite the larger event_id (its
+    # interval is zero-width: [base, base) closed by the .7s row)
+    assert [r[4] for r in exp] == [20.0, 10.0, 30.0]
+    for name in ("scd2_history", "streaming_scd2_maintenance"):
+        got = sorted(
+            tuple(r) for r in q[name](spark, sf).collect()
+        )
+        assert got == exp, name

@@ -427,9 +427,12 @@ def test_pq_index_home_vacuum_keeps_newest_k(
         assert len(new) == 1
         p = os.path.join(home, new[0])
         staged_order.append(p)
-        # pin distinct, strictly increasing LRU stamps (same-second
-        # mtimes would make the ordering a coin flip)
-        os.utime(p, (time.time() + i, time.time() + i))
+        # pin distinct, strictly increasing LRU stamps OLDER than the
+        # vacuum's lru_grace_s: a recently-used dir is never evicted
+        # (live lazy frames may reference it), so eviction in this
+        # test requires genuinely stale last-use times
+        t = time.time() - 7200 + i
+        os.utime(p, (t, t))
 
     live = [os.path.join(home, d) for d in os.listdir(home) if d.startswith("pq-")]
     # the third load's built-in vacuum removed the oldest version
@@ -443,6 +446,18 @@ def test_pq_index_home_vacuum_keeps_newest_k(
                 n.startswith("part-")
                 for n in os.listdir(os.path.join(p, sub))
             )
+
+    # LRU grace (round-12 review pass 1): a RECENTLY-USED dir past
+    # keep-K is never evicted — live lazy frames may reference it
+    lru, mru = sorted(live, key=os.path.getmtime)
+    now = time.time()
+    os.utime(lru, (now - 10, now - 10))
+    os.utime(mru, (now, now))
+    res = similarity.vacuum_index_home(home, keep=1)
+    assert res["removed"] == [] and sorted(res["kept"]) == sorted(live)
+    res = similarity.vacuum_index_home(home, keep=1, lru_grace_s=0.0)
+    assert res["removed"] == [lru]
+    assert os.path.isdir(mru) and not os.path.isdir(lru)
 
 
 def test_pq_index_vacuum_crash_safety_and_grace(

@@ -1334,3 +1334,82 @@ def test_daily_mean_trend_matches_integer_ols(spark, rows):
     else:
         assert got["slope_cents_per_day"] == (n * sxy - sx * sy) / den
         assert got["intercept_cents"] == (sy * sxx - sx * sxy) / den
+
+
+@settings(**SETTINGS)
+@given(word_docs)
+def test_contamination_longest_runs_matches_bruteforce_fuzz(spark, texts_):
+    """contamination_longest_runs (n=3 for the fuzz) must reproduce a
+    plain-Python diagonal-run coalescer over every (train, test) doc
+    pair: same pairs, same scattered-match counts, same run counts,
+    same maximal run lengths. Even indices map to train-split ids,
+    odd to test-split ids (precomputed h60-bucket members), so both
+    splits are always populated; the tiny 6-letter alphabet makes
+    multi-diagonal self-overlapping matches likely — exactly the runs
+    a naive coalescer merges wrong."""
+    import hashlib
+    from collections import defaultdict
+
+    from flink_scala_spark.pipeline.text import contamination_longest_runs
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 80]
+    test_ids = [i for i in range(200) if bucket(i) >= 90]
+    n = 3
+    ids, sides = [], {}
+    for j, t in enumerate(texts_):
+        did = train_ids[j // 2] if j % 2 == 0 else test_ids[j // 2]
+        ids.append(did)
+        sides[did] = ("train" if j % 2 == 0 else "test", t)
+
+    def grams(t: str):
+        w = t.split(" ") if t else []
+        return [
+            (i + 1, " ".join(w[i : i + n])) for i in range(len(w) - n + 1)
+        ]
+
+    expected = {}
+    for a, (sa, ta) in sides.items():
+        if sa != "train":
+            continue
+        for b, (sb, tb) in sides.items():
+            if sb != "test":
+                continue
+            diags = defaultdict(list)
+            for ti, g in grams(ta):
+                for ei, g2 in grams(tb):
+                    if g == g2:
+                        diags[ti - ei].append(ti)
+            if not diags:
+                continue
+            runs = []
+            for tis in diags.values():
+                tis.sort()
+                run = 1
+                for x, y in zip(tis, tis[1:]):
+                    if y == x + 1:
+                        run += 1
+                    else:
+                        runs.append(run)
+                        run = 1
+                runs.append(run)
+            expected[(a, b)] = (
+                sum(len(v) for v in diags.values()),
+                len(runs),
+                max(runs) + n - 1,
+            )
+
+    docs = spark.createDataFrame(
+        [(d, sides[d][1]) for d in ids], "doc_id long, text string"
+    )
+    got = {
+        (r["train_doc"], r["test_doc"]): (
+            r["n_matching_ngrams"],
+            r["n_runs"],
+            r["longest_run_words"],
+        )
+        for r in contamination_longest_runs(docs, n=n).collect()
+    }
+    assert got == expected

@@ -206,7 +206,7 @@ def group_quantiles(
     bounded-histogram windows + a bounded final agg. The corpus is
     scanned once and never sorted.
     """
-    if tiebreak is not None and tiebreak not in df.columns:
+    if tiebreak is not None and tiebreak.lower() not in {c.lower() for c in df.columns}:
         raise ValueError(
             f"group_quantiles: deprecated tiebreak column {tiebreak!r} "
             f"does not exist in the frame (columns: {df.columns}); the "
@@ -261,7 +261,7 @@ def group_quantiles_certified(
     ``tiebreak`` is DEPRECATED and ignored, exactly as in
     :func:`group_quantiles` — validated-if-passed, never consumed.
     """
-    if tiebreak is not None and tiebreak not in df.columns:
+    if tiebreak is not None and tiebreak.lower() not in {c.lower() for c in df.columns}:
         raise ValueError(
             f"group_quantiles_certified: deprecated tiebreak column "
             f"{tiebreak!r} does not exist in the frame (columns: "

@@ -526,7 +526,13 @@ def kmv_join_size(
     u_est = F.when(F.col("n_u") < k, F.col("n_u").cast("double")).otherwise(
         F.lit(num) / F.col("hk_u").cast("double")
     )
-    est = u_est * F.col("sample_join_rows") / F.col("n_u")
+    # nullif on the sample size: with both inputs empty (n_u = 0) the
+    # estimate is NULL in BOTH engines — unguarded, Spark under ANSI
+    # raises DIVIDE_BY_ZERO where DuckDB yields NaN (round-12 review
+    # pass 2; the same class as revenue_dow_seasonality's guard)
+    est = u_est * F.col("sample_join_rows") / F.nullif(
+        F.col("n_u"), F.lit(0)
+    )
     return row.select(
         "exact_keys_a",
         "exact_keys_b",
@@ -588,7 +594,7 @@ def kmv_join_size_oracle_sql(
            sample_join_rows,
            (CASE WHEN n_u < {k} THEN CAST(n_u AS DOUBLE)
                  ELSE {num} / CAST(hk_u AS DOUBLE) END)
-             * sample_join_rows / n_u AS kmv_join_rows
+             * sample_join_rows / nullif(n_u, 0) AS kmv_join_rows
     FROM ex CROSS JOIN sk
     """
 

@@ -1481,15 +1481,31 @@ def _trusted_index_home() -> str | None:
     OWNED — or None when it cannot be trusted (callers fall back to the
     in-session build). /tmp is world-writable and uids are guessable,
     so another local user can pre-create the per-uid path (round-11
-    ADVICE): a home that is a symlink, not a directory, or not owned by
-    our euid is REFUSED outright; an owned home with group/other bits
-    is repaired to 0700 (we own it — chmod is safe) so staged artifacts
-    are never world-readable/replaceable."""
+    ADVICE): a DEFAULT home that is a symlink, not a directory, or not
+    owned by our euid is REFUSED outright; an owned default home with
+    group/other bits is repaired to 0700 (we own it — chmod is safe)
+    so staged artifacts are never world-readable/replaceable.
+
+    An EXPLICITLY configured home (SPARK_GRAFT_INDEX_HOME set) is the
+    operator's trust decision — a deliberately group-shared artifact
+    store is a documented use, and silently chmodding it to 0700 would
+    lock out its other readers (round-12 review pass 2). For a
+    configured home we only require a real directory (symlinks to the
+    store are legitimate there, so stat, not lstat) and never touch
+    its mode; the per-STAGED-DIR ownership checks in
+    :func:`pq_persisted_index` / :func:`vacuum_index_home` still
+    refuse foreign index dirs inside it."""
     import stat as _stat
 
     home = PQ_INDEX_HOME
+    # "configured" only when the module-level home actually came from
+    # the env var (tests monkeypatch PQ_INDEX_HOME and must keep the
+    # strict default-path behavior)
+    configured = os.environ.get("SPARK_GRAFT_INDEX_HOME") == home
     try:
         os.makedirs(home, mode=0o700, exist_ok=True)
+        if configured:
+            return home if _stat.S_ISDIR(os.stat(home).st_mode) else None
         st = os.lstat(home)
         if not _stat.S_ISDIR(st.st_mode) or st.st_uid != os.geteuid():
             return None
@@ -1805,8 +1821,17 @@ def pq_persisted_index(
         vacuum_index_home(home, protect=(path,))
     except Exception:
         pass
-    cb = spark.read.parquet(os.path.join(path, "codebook"))
-    enc = spark.read.parquet(os.path.join(path, "codes"))
+    # The reads themselves degrade too (round-12 review pass 2): a
+    # CONCURRENT process's vacuum can lstat a stale mtime just before
+    # our utime and rmtree the dir between validation and this read —
+    # newly reachable now that retention deletes staged dirs at all.
+    # spark.read.parquet lists files eagerly, so the loss surfaces
+    # HERE, and serving must fall back, never fail.
+    try:
+        cb = spark.read.parquet(os.path.join(path, "codebook"))
+        enc = spark.read.parquet(os.path.join(path, "codes"))
+    except Exception:
+        return build_in_session()
     return enc, cb
 
 

@@ -2346,6 +2346,14 @@ def test_kmv_join_size_exact_below_capacity_and_deterministic(spark):
         na[k] * nb[k] for k in set(na) & set(nb)
     )
 
+    # empty inputs: n_u = 0 -> NULL estimate in both engines (ANSI
+    # Spark would raise DIVIDE_BY_ZERO without the nullif guard)
+    empty_a = spark.createDataFrame([], "k long, na long")
+    empty_b = spark.createDataFrame([], "k long, nb long")
+    r = kmv_join_size(empty_a, empty_b).collect()[0]
+    assert r["exact_join_rows"] == 0 and r["sample_n"] == 0
+    assert r["kmv_join_rows"] is None
+
 
 def test_streaming_scd2_maintenance_equals_batch_and_chains(spark, sf_dir):
     """X218: the live SCD2 maintenance must equal the batch X101

@@ -110,6 +110,21 @@ def ordered_fold_general(df: DataFrame, key: str, order: str, ts: str, value: st
     return df.groupBy(key).applyInPandas(fold, schema=out_schema)
 
 
+def _column_exists(df: DataFrame, name: str) -> bool:
+    """Does ``name`` resolve to a column of ``df`` under the SESSION's
+    resolution rules? Case-insensitive by default, exact when
+    spark.sql.caseSensitive=true — a lowered-set check alone would
+    accept 'ID' for column 'id' in a case-sensitive session where the
+    resolver rejects it (round-12 review pass 3)."""
+    sensitive = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+        or "false"
+    ).lower() == "true"
+    if sensitive:
+        return name in df.columns
+    return name.lower() in {c.lower() for c in df.columns}
+
+
 def arg_min(df: DataFrame, key: str, value: str, tiebreak: str, keep: list[str]) -> DataFrame:
     """A3 minBy: per-key row with the minimum ``value``
     (WindowTest.scala:73 ``minBy(1)``).
@@ -206,7 +221,7 @@ def group_quantiles(
     bounded-histogram windows + a bounded final agg. The corpus is
     scanned once and never sorted.
     """
-    if tiebreak is not None and tiebreak.lower() not in {c.lower() for c in df.columns}:
+    if tiebreak is not None and not _column_exists(df, tiebreak):
         raise ValueError(
             f"group_quantiles: deprecated tiebreak column {tiebreak!r} "
             f"does not exist in the frame (columns: {df.columns}); the "
@@ -261,7 +276,7 @@ def group_quantiles_certified(
     ``tiebreak`` is DEPRECATED and ignored, exactly as in
     :func:`group_quantiles` — validated-if-passed, never consumed.
     """
-    if tiebreak is not None and tiebreak.lower() not in {c.lower() for c in df.columns}:
+    if tiebreak is not None and not _column_exists(df, tiebreak):
         raise ValueError(
             f"group_quantiles_certified: deprecated tiebreak column "
             f"{tiebreak!r} does not exist in the frame (columns: "

@@ -1826,11 +1826,19 @@ def pq_persisted_index(
     # our utime and rmtree the dir between validation and this read —
     # newly reachable now that retention deletes staged dirs at all.
     # spark.read.parquet lists files eagerly, so the loss surfaces
-    # HERE, and serving must fall back, never fail.
+    # HERE, and serving must fall back, never fail. The failing dir is
+    # REMOVED first (pass 3): a manifest-valid dir with a corrupt
+    # part- file would otherwise short-circuit stage_once forever,
+    # silently disabling persistence for that fingerprint — the same
+    # self-heal the invalid-manifest branch above applies; when the
+    # vacuum race already deleted it, the rmtree is a no-op.
     try:
         cb = spark.read.parquet(os.path.join(path, "codebook"))
         enc = spark.read.parquet(os.path.join(path, "codes"))
     except Exception:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         return build_in_session()
     return enc, cb
 

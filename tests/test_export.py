@@ -556,3 +556,75 @@ def test_pq_index_home_refuses_untrusted_and_repairs_mode(
     assert enc.count() == n
     assert stat.S_IMODE(os.stat(loose).st_mode) == 0o700
     assert any(d.name.startswith("pq-") for d in loose.iterdir())
+
+
+def test_pq_index_configured_home_is_trusted_as_is(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-12 review pass 3: an EXPLICITLY configured
+    SPARK_GRAFT_INDEX_HOME is the operator's trust decision — a
+    group-shared store must be accepted without the 0700 chmod repair
+    (which would lock out its other readers), and a symlinked store
+    path must resolve (stat, not lstat). The strict default-path
+    behavior is covered by the refuses-untrusted test above."""
+    import os
+    import stat as _stat
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    store = str(tmp_path / "shared_store")
+    os.makedirs(store, mode=0o770)
+    os.chmod(store, 0o770)  # umask-proof
+    link = str(tmp_path / "store_link")
+    os.symlink(store, link)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_HOME", link)
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", link)
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    enc, cb = similarity.pq_persisted_index(emb)
+    assert enc.count() > 0 and cb.count() == similarity.PQ_K
+    # staged INTO the store through the symlink, mode untouched
+    assert any(d.startswith("pq-") for d in os.listdir(store))
+    assert _stat.S_IMODE(os.stat(store).st_mode) == 0o770
+
+
+def test_pq_index_read_failure_degrades_and_self_heals(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Round-12 review pass 3: a staged dir with a valid manifest but
+    a CORRUPT parquet artifact must (a) fall back to the in-session
+    build instead of raising, and (b) REMOVE the broken dir so the
+    next call re-stages — otherwise stage_once short-circuits on the
+    bad path forever and persistence is silently disabled for that
+    fingerprint."""
+    import glob
+    import os
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    home = str(tmp_path / "idx")
+    monkeypatch.setattr(similarity, "PQ_INDEX_HOME", home)
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    enc, _ = similarity.pq_persisted_index(emb)
+    n = enc.count()
+    (d,) = [x for x in os.listdir(home) if x.startswith("pq-")]
+    staged = os.path.join(home, d)
+    # corrupt the codebook artifact: filename survives _has_parquet,
+    # the eager read throws
+    (part,) = glob.glob(os.path.join(staged, "codebook", "part-*"))
+    with open(part, "wb") as f:
+        f.write(b"not parquet")
+
+    enc2, cb2 = similarity.pq_persisted_index(emb)
+    assert enc2.count() == n and cb2.count() == similarity.PQ_K
+    assert not os.path.isdir(staged), "broken dir must be removed"
+
+    # the NEXT call re-stages a healthy index under the same key
+    enc3, _ = similarity.pq_persisted_index(emb)
+    assert enc3.count() == n
+    dirs = [x for x in os.listdir(home) if x.startswith("pq-")]
+    assert dirs == [d]
+    assert os.path.isfile(os.path.join(home, d, "MANIFEST.json"))

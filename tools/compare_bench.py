@@ -121,9 +121,12 @@ def main() -> int:
     # registry entries by design, and warning on additions would fire
     # on every routine compare and train readers to ignore it
     # (round-12 review pass 2).
-    if len(only_old) > 2:
+    # ANY drop needs a cited reason, so any drop warns (the old >2
+    # threshold was sized for combined drop+add churn — review pass 3)
+    if only_old:
         print(
-            f"WARNING: {len(only_old)} entries dropped (>2) — "
+            f"WARNING: {len(only_old)} entr"
+            f"{'y' if len(only_old) == 1 else 'ies'} dropped — "
             "BASELINE.md policy requires a verdict-cited reason per "
             "dropped entry and a compare against BENCH_FULL.json"
         )

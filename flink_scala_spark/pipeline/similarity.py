@@ -2097,8 +2097,10 @@ def kmeans_assign_fixed(
 ) -> DataFrame:
     """Lloyd's k-means for a FIXED number of iterations with exact
     cross-engine semantics — the iterative-algorithm shape (assign →
-    update → reassign) on DataFrames only, no driver-side collect of
-    vector data.
+    update → reassign). Centroids — a bounded k x dim artifact, never
+    row data — are collected to the driver each iteration and inlined
+    as literals (the standard Lloyd's topology, e.g. Spark MLlib's),
+    so each iteration's plan is a single flat pass over the vectors.
 
     Determinism contract (what makes the DuckDB oracle exact):
     - init: the k vectors with ``vec_id < k`` seed the centroids;
@@ -2106,74 +2108,143 @@ def kmeans_assign_fixed(
       (``aggregate`` from 0.0 == ``list_reduce`` from the first
       element, since 0.0 + x is exact);
     - assignment ties break on the lower centroid id via a
-      lexicographic (dist, cid) struct min — map-side combinable, no
-      window sort;
+      lexicographic (dist, cid) least() over the k per-centroid
+      structs — row-local, no shuffle at all;
     - centroid updates use the fixed-point BIGINT accumulation of
       :func:`label_centroids` (floor(v*1e6) sums), associative and
-      bit-stable under any partitioning.
+      bit-stable under any partitioning; the update division runs in
+      Spark SQL and the resulting doubles round-trip the driver
+      bit-exactly (IEEE754 is preserved through py4j and ``lit``).
 
-    Scale: each iteration is one broadcast of k tiny centroid rows, a
-    codegen'd per-row argmin over k distances, and one (cid, dim)-keyed
-    fixed-point agg whose shuffle carries k x dims rows — the big table
-    is never shuffled."""
+    Scale (round-12 rework, guide §2.3/2.4/4.2): the old shape
+    crossJoined every vector row with the k centroid rows (a k-fold
+    fan-out of the corpus) and re-reduced it through Exchange + Sort +
+    SortAggregate(min(struct)) per iteration, then joined assignments
+    back to the vectors — three corpus-sized shuffles per iteration.
+    Now each iteration is ONE mapInArrow pass over (vec_id, v) only:
+    the k x dim argmin runs as vectorized NumPy per Arrow batch (the
+    guide's sweet spot for custom per-row math — an inline SQL
+    expression of k*dim*2 arithmetic nodes was tried first and spent
+    2-3 s/iteration in analysis + codegen of the 2000-node tree), and
+    non-final passes fold the fixed-point centroid sums per batch so
+    the only shuffle is the (cid, pos)-keyed partial-sum agg (k x dim
+    rows per task). The corpus is never shuffled.
+
+    Bit-exactness of the NumPy kernel: the distance accumulates
+    elementwise over dims in ascending order (acc += d*d, one
+    vectorized IEEE add per dim), which is the same sequential left
+    fold 0.0 + d0^2 + d1^2 + ... as the SQL form; np.argmin returns
+    the FIRST minimal index and centroid columns are sorted by cid, so
+    ties break on the lower cid exactly like least(struct(dist, cid));
+    floor(v * 1e6) -> int64 and the final double division mirror the
+    Spark expressions operation for operation."""
     dim = DIM
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    # Flattened copies keep the distance fold inside whole-stage codegen
-    # (interpreted higher-order lambdas were ~5x slower here); the array
-    # column survives only into the update agg's posexplode.
-    vflat = v.select(
-        "vec_id", "v", *[F.element_at("v", i + 1).alias(f"e{i}") for i in range(dim)]
+    cent_rows = (
+        v.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cid"), "v")
+        .collect()
     )
-    cents = v.where(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
-    )
-    assigned = None
+    cents = sorted((int(r["cid"]), list(r["v"])) for r in cent_rows)
+
+    def _argmin(batch, C):
+        """(n,) argmin column index + (n, kc) distance matrix for one
+        Arrow batch against centroid matrix C (kc x dim)."""
+        import numpy as np
+
+        V = batch.column("v").flatten().to_numpy(zero_copy_only=False)
+        V = np.asarray(V, dtype=np.float64).reshape(batch.num_rows, C.shape[1])
+        acc = np.zeros((batch.num_rows, C.shape[0]), dtype=np.float64)
+        for i in range(C.shape[1]):
+            d = V[:, i : i + 1] - C[None, :, i]
+            acc += d * d
+        return V, np.argmin(acc, axis=1), acc
+
     for it in range(iters):
-        cflat = cents.select(
-            "cid", *[F.element_at("c", i + 1).alias(f"c{i}") for i in range(dim)]
-        )
-        dist = F.lit(0.0)
-        for i in range(dim):
-            diff = F.col(f"e{i}") - F.col(f"c{i}")
-            dist = dist + diff * diff
-        scored = vflat.crossJoin(F.broadcast(cflat)).select(
-            "vec_id", "cid", dist.alias("dist")
-        )
-        assigned = scored.groupBy("vec_id").agg(
-            F.min(F.struct("dist", "cid")).alias("m")
-        ).select("vec_id", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+        C = __import__("numpy").array([vec for _cid, vec in cents], dtype="float64")
+        cids = [int(cid) for cid, _vec in cents]
         if it < iters - 1:
-            e = assigned.join(v, "vec_id").select(
-                "cid", F.posexplode("v").alias("pos", "comp")
+
+            def partial_update(batches, C=C, kc=len(cents)):
+                import numpy as np
+                import pyarrow as pa
+
+                S = np.zeros((kc, C.shape[1]), dtype=np.int64)
+                N = np.zeros(kc, dtype=np.int64)
+                for batch in batches:
+                    if batch.num_rows == 0:
+                        continue
+                    V, j, _acc = _argmin(batch, C)
+                    Q = np.floor(V * CENTROID_SCALE).astype(np.int64)
+                    for ci in range(kc):
+                        m = j == ci
+                        if m.any():
+                            S[ci] += Q[m].sum(axis=0)
+                            N[ci] += int(m.sum())
+                live = [ci for ci in range(kc) if N[ci]]
+                if live:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(
+                                [ci for ci in live for _ in range(C.shape[1])],
+                                pa.int32(),
+                            ),
+                            pa.array(
+                                [p for _ in live for p in range(C.shape[1])],
+                                pa.int32(),
+                            ),
+                            pa.array(
+                                [int(S[ci][p]) for ci in live for p in range(C.shape[1])],
+                                pa.int64(),
+                            ),
+                            pa.array(
+                                [int(N[ci]) for ci in live for _ in range(C.shape[1])],
+                                pa.int64(),
+                            ),
+                        ],
+                        names=["ci", "pos", "s", "n"],
+                    )
+
+            u = (
+                v.mapInArrow(partial_update, "ci int, pos int, s long, n long")
+                .groupBy("ci", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             )
-            q = e.select(
-                "cid",
-                "pos",
-                F.floor(F.col("comp") * F.lit(CENTROID_SCALE)).cast("bigint").alias("qv"),
+            upd: dict[int, list] = {}
+            for r in u.collect():
+                cv = float(r["s"]) / (CENTROID_SCALE * float(r["n"]))
+                upd.setdefault(cids[int(r["ci"])], []).append((int(r["pos"]), cv))
+            # a centroid with no assigned vectors vanishes, exactly as
+            # the old groupBy("cid") rebuild (and the oracle) had it
+            cents = sorted(
+                (cid, [cv for _pos, cv in sorted(pvs)]) for cid, pvs in upd.items()
             )
-            u = q.groupBy("cid", "pos").agg(
-                F.count("*").alias("n"), F.sum("qv").alias("s")
+        else:
+
+            def assign_final(batches, C=C, cids=cids):
+                import numpy as np
+                import pyarrow as pa
+
+                cid_arr = np.array(cids, dtype=np.int32)
+                for batch in batches:
+                    if batch.num_rows == 0:
+                        continue
+                    _V, j, acc = _argmin(batch, C)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            batch.column("vec_id"),
+                            pa.array(cid_arr[j], pa.int32()),
+                            pa.array(acc[np.arange(len(j)), j], pa.float64()),
+                        ],
+                        names=["vec_id", "cluster_id", "sq_dist"],
+                    )
+
+            return v.mapInArrow(
+                assign_final, "vec_id long, cluster_id int, sq_dist double"
             )
-            comp = u.select(
-                "cid",
-                "pos",
-                (
-                    F.col("s").cast("double")
-                    / (F.lit(CENTROID_SCALE) * F.col("n").cast("double"))
-                ).alias("cv"),
-            )
-            cents = comp.groupBy("cid").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s["cv"],
-                ).alias("c")
-            )
-    return assigned.select(
-        "vec_id", F.col("cid").alias("cluster_id"), F.col("dist").alias("sq_dist")
-    )
 
 
 def mmr_rerank(

@@ -162,28 +162,28 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no decimal dance needed for min/max."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    unit = (
-        li.groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
-    )
-    best = unit.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
-    winners = unit.join(
-        best,
-        (unit["l_partkey"] == best["b_partkey"])
-        & (unit["unit_cost"] == best["min_cost"]),
-    ).select("l_partkey", "l_suppkey", "min_cost")
-    picked = winners.groupBy("l_partkey", "min_cost").agg(
-        F.min("l_suppkey").alias("s_suppkey")
+    # One agg replaces the old agg -> agg -> equality-join-back ->
+    # re-agg funnel (4 data exchanges -> 1, guide §2.4): the part's
+    # min unit cost and the min suppkey achieving it are exactly the
+    # lexicographic struct min over the part's lineitems. A supplier
+    # reaches the per-part min iff one of its lineitems does, so
+    # skipping the per-(part, supplier) pre-min cannot change either
+    # output (min over doubles is order- and grouping-independent).
+    picked = li.groupBy("l_partkey").agg(
+        F.min(
+            F.struct(
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+                F.col("l_suppkey").alias("s_suppkey"),
+            )
+        ).alias("m")
     )
     return picked.join(
         part, picked["l_partkey"] == part["p_partkey"]
     ).select(
         "p_partkey",
         "p_name",
-        "s_suppkey",
-        F.col("min_cost").alias("unit_cost"),
+        F.col("m.s_suppkey").alias("s_suppkey"),
+        F.col("m.unit_cost").alias("unit_cost"),
     )
 
 

@@ -262,65 +262,89 @@ def mad_report_from_histogram(h: DataFrame, key: str, k_mad: int = 5) -> DataFra
     ``(key, cents, cnt)`` — shared by the batch per-type report and the
     streaming per-closed-day twin so the two can never diverge. Every
     window below runs over the HISTOGRAM partitioned by ``key`` (rows
-    bounded by the value domain, never the corpus)."""
+    bounded by the value domain, never the corpus).
+
+    Round 12 (guide §3.3/§5 + §2.4): the old branch-and-join-back form
+    referenced ``h`` four times (total, median, deviation histogram,
+    outlier count) and each reference lazily re-derived the caller's
+    corpus scan+agg — the before plan of `value_mad_outlier_report`
+    scanned events 14x. Rewritten as a straight-line fold: the total
+    and both medians are same-partitioning WINDOW selections carried
+    along as columns (min of a conditional over the whole key
+    partition = the old filter+groupBy+join-back, with no second
+    lineage of ``h``), so ``h`` is referenced exactly once and the
+    corpus is scanned once. Selected values are unchanged."""
     from pyspark.sql import Window
 
-    tot = h.groupBy(key).agg(F.sum("cnt").alias("n"))
     # lower median: smallest cents with running count >= ceil(n/2)
     wc = Window.partitionBy(key).orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    hc = h.withColumn("cum", F.sum("cnt").over(wc)).join(tot, key)
-    med = (
-        hc.where(F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2))
-        .groupBy(key)
-        .agg(F.min("cents").alias("med_cents"))
+    wk = Window.partitionBy(key)
+    hc = h.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wk)
     )
+    hm = hc.withColumn(
+        "med_cents",
+        F.min(
+            F.when(
+                F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2),
+                F.col("cents"),
+            )
+        ).over(wk),
+    )
+    # deviation histogram: a re-keying of the value histogram (n and
+    # med_cents are constant per key, so max() just carries them)
     dev = (
-        h.join(med, key)
-        .select(
+        hm.select(
             key,
             F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
             "cnt",
+            "n",
+            "med_cents",
         )
         .groupBy(key, "dev")
-        .agg(F.sum("cnt").alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.max("n").alias("n"),
+            F.max("med_cents").alias("med_cents"),
+        )
     )
     wd = Window.partitionBy(key).orderBy("dev").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    dc = dev.withColumn("cum", F.sum("cnt").over(wd)).join(tot, key)
-    mad = (
-        dc.where(F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2))
-        .groupBy(key)
-        .agg(F.min("dev").alias("mad_cents"))
+    dm = dev.withColumn("cum", F.sum("cnt").over(wd)).withColumn(
+        "mad_cents",
+        F.min(
+            F.when(
+                F.col("cum") * 2 >= F.col("n") + (F.col("n") % 2),
+                F.col("dev"),
+            )
+        ).over(wk),
     )
-    out = (
-        dev.join(mad, key)
-        .groupBy(key)
-        .agg(
-            F.sum(
-                F.when(F.col("dev") > F.lit(int(k_mad)) * F.col("mad_cents"), F.col("cnt"))
-                .otherwise(F.lit(0))
-            ).alias("n_outliers")
+    return dm.groupBy(key).agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("med_cents").cast("long").alias("median_cents"),
+        F.max("mad_cents").cast("long").alias("mad_cents"),
+        F.sum(
+            F.when(
+                F.col("dev") > F.lit(int(k_mad)) * F.col("mad_cents"),
+                F.col("cnt"),
+            ).otherwise(F.lit(0))
         )
-    )
-    return (
-        tot.join(med, key)
-        .join(mad, key)
-        .join(out, key)
-        .select(
-            key,
-            F.col("n").cast("long").alias("n"),
-            F.col("med_cents").cast("long").alias("median_cents"),
-            F.col("mad_cents").cast("long").alias("mad_cents"),
-            F.col("n_outliers").cast("long").alias("n_outliers"),
-            # integer DIV, not float-divide-then-floor: exact in both
-            # engines at any magnitude
-            F.expr("(1000 * n_outliers) DIV n").cast("long").alias(
-                "outlier_permille"
-            ),
-        )
+        .cast("long")
+        .alias("n_outliers"),
+    ).select(
+        key,
+        "n",
+        "median_cents",
+        "mad_cents",
+        "n_outliers",
+        # integer DIV, not float-divide-then-floor: exact in both
+        # engines at any magnitude
+        F.expr("(1000 * n_outliers) DIV n").cast("long").alias(
+            "outlier_permille"
+        ),
     )
 
 
@@ -346,16 +370,22 @@ def value_percentile_ranks(events: DataFrame) -> DataFrame:
     )
     # histogram derives from ev (not _cents_histogram) so the per-row
     # frame and its histogram share one scan lineage; the cents
-    # convention stays identical by construction (same floor(x*100))
+    # convention stays identical by construction (same floor(x*100)).
+    # Round 12: the per-type total folds into a second window over the
+    # SAME partitioning instead of a separate agg branch + join — the
+    # histogram is now referenced exactly once, so nothing re-derives
+    # the corpus agg (the before plan scanned events 3x; now 2x — the
+    # histogram build plus the inherent rank join-back).
     h = ev.groupBy("event_type", "cents").agg(F.count("*").alias("cnt"))
     wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    hc = h.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
-        "below", F.col("cum") - F.col("cnt")
+    hc = (
+        h.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("below", F.col("cum") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("event_type")))
     )
-    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
-    cdf = hc.join(tot, "event_type").select(
+    cdf = hc.select(
         "event_type", "cents", F.expr("(1000 * below) DIV n").alias("permille")
     )
     return ev.join(cdf, ["event_type", "cents"]).select(
@@ -373,56 +403,61 @@ def value_winsorized_stats(events: DataFrame) -> DataFrame:
     outputs integer-exact."""
     from pyspark.sql import Window
 
+    # Round 12 (guide §3.3/§5 + §2.4): the old form referenced the
+    # histogram three times (cumulative branch, total branch, clamp
+    # fold) and each reference lazily re-derived the corpus scan+agg —
+    # the before plan scanned events 8x. Now both rank picks are
+    # same-partitioning WINDOW selections carried along as columns
+    # (min of a conditional over the whole type partition = the old
+    # filter+groupBy+join-back) and the clamp fold runs in the same
+    # final agg, so the histogram is referenced exactly once and the
+    # corpus is scanned once. Selected values, and so the oracle, are
+    # unchanged.
     h = _cents_histogram(events)
-    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
     wc = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    hc = h.withColumn("cum", F.sum("cnt").over(wc)).join(tot, "event_type")
-    p05 = (
-        hc.where(F.col("cum") >= F.expr("(n + 19) DIV 20"))
-        .groupBy("event_type")
-        .agg(F.min("cents").alias("p05_cents"))
+    wk = Window.partitionBy("event_type")
+    hc = h.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wk)
     )
-    p95 = (
-        hc.where(F.col("cum") >= F.expr("(19 * n + 19) DIV 20"))
-        .groupBy("event_type")
-        .agg(F.min("cents").alias("p95_cents"))
+    hm = hc.withColumn(
+        "p05_cents",
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 19) DIV 20"), F.col("cents"))
+        ).over(wk),
+    ).withColumn(
+        "p95_cents",
+        F.min(
+            F.when(F.col("cum") >= F.expr("(19 * n + 19) DIV 20"), F.col("cents"))
+        ).over(wk),
     )
-    wins = (
-        h.join(p05, "event_type")
-        .join(p95, "event_type")
-        .select(
-            "event_type",
-            (
-                F.greatest(
-                    F.least(F.col("cents"), F.col("p95_cents")),
-                    F.col("p05_cents"),
-                )
-                * F.col("cnt")
-            ).alias("wsum"),
+    return hm.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("p05_cents").cast("long").alias("p05_cents"),
+        F.max("p95_cents").cast("long").alias("p95_cents"),
+        F.sum(
+            F.greatest(
+                F.least(F.col("cents"), F.col("p95_cents")),
+                F.col("p05_cents"),
+            )
+            * F.col("cnt")
         )
-        .groupBy("event_type")
-        .agg(F.sum("wsum").alias("winsorized_sum_cents"))
-    )
-    return (
-        tot.join(p05, "event_type")
-        .join(p95, "event_type")
-        .join(wins, "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n"),
-            F.col("p05_cents").cast("long").alias("p05_cents"),
-            F.col("p95_cents").cast("long").alias("p95_cents"),
-            F.col("winsorized_sum_cents").cast("long").alias("winsorized_sum_cents"),
-            # one double division of two exact integers — identical
-            # IEEE result in any engine (integer DIV would diverge on
-            # negative sums: Spark truncates, DuckDB floors)
-            (
-                F.col("winsorized_sum_cents").cast("double")
-                / F.col("n").cast("double")
-            ).alias("winsorized_mean_cents"),
-        )
+        .cast("long")
+        .alias("winsorized_sum_cents"),
+    ).select(
+        "event_type",
+        "n",
+        "p05_cents",
+        "p95_cents",
+        "winsorized_sum_cents",
+        # one double division of two exact integers — identical
+        # IEEE result in any engine (integer DIV would diverge on
+        # negative sums: Spark truncates, DuckDB floors)
+        (
+            F.col("winsorized_sum_cents").cast("double")
+            / F.col("n").cast("double")
+        ).alias("winsorized_mean_cents"),
     )
 
 
@@ -576,12 +611,19 @@ def rolling_distinct_users_hll(events: DataFrame, window_days: int = 7) -> DataF
     map-side combinable); everything downstream is day-grain. The
     exact branch exists only to AUDIT the sketch — at true 100 TB one
     keeps the sketch branch alone."""
+    # Round 12 (guide §3.3/§5): the day-grain sketch table feeds both
+    # the rolling fan-out and the day grid — lazily each reference
+    # re-derived the corpus sketch agg (the before plan scanned events
+    # 5x). Day-grain is calendar-bounded, so one lazy localCheckpoint
+    # shares a single materialization; the corpus is now scanned once
+    # for the sketch branch (plus once in the exact audit branch).
     day_sk = (
         events.select(
             "user_id", F.floor(epoch_seconds("ts") / _DAY).cast("long").alias("d")
         )
         .groupBy("d")
         .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .localCheckpoint(eager=False)
     )
     grid = day_sk.select("d")
     fan = day_sk.select(
@@ -809,7 +851,12 @@ def cross_type_quantile_norm(events: DataFrame) -> DataFrame:
     pre = ev.select(
         "event_type", F.col("cents").alias("v")
     ).withColumn("b", F.expr("v DIV 100"))
-    cdf_t = value_cdf_over_bins(pre, keys=("event_type",))
+    # Round 12: both CDF frames are referenced several times below
+    # (cdf_t 3x, g 4x) — materialize them once (domain-bounded frames;
+    # the before plan was 1,786 lines with the corpus re-scanned per
+    # reference, now ONE corpus scan total via the kernel's own
+    # checkpointed histogram).
+    cdf_t = value_cdf_over_bins(pre, keys=("event_type",)).localCheckpoint(eager=False)
     g = value_cdf_over_bins(
         cdf_t.select("v", F.expr("v DIV 100").alias("b"), "cnt"),
         weight="cnt",
@@ -817,7 +864,7 @@ def cross_type_quantile_norm(events: DataFrame) -> DataFrame:
         F.col("v"),
         (F.col("below") + F.col("cum")).alias("mr2"),
         F.col("n").alias("gn"),
-    )
+    ).localCheckpoint(eager=False)
     qs = ((25, 0.25), (50, 0.5), (75, 0.75))
     exact = cdf_t.groupBy("event_type").agg(
         F.max("n").alias("n_events"),

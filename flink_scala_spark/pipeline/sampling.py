@@ -211,11 +211,22 @@ def _weighted_admission_audit(base, weighted, budget_sql: str):
     (source, n_docs, w), derive target_n = budget * w / Σw, the
     availability-capped keep_ppm, and the content-hash-admitted kept
     count. ``budget_sql`` is a SQL expression over ``total`` (e.g.
-    ``"total"`` or ``"total div 2"``). All BIGINT floor arithmetic."""
+    ``"total"`` or ``"total div 2"``). All BIGINT floor arithmetic.
+
+    Round 12 (guide §3.3/§5): ``weighted`` is referenced three ways
+    (the totals agg, the rates projection, and — via the broadcast —
+    the kept filter) and lazily each reference re-derived the caller's
+    corpus scan+agg (corpus_mixture's before plan scanned documents
+    5x). It is a SOURCE-grain frame — bounded by the number of
+    sources, not the corpus — so one lazy localCheckpoint shares a
+    single materialization across every branch: the corpus is now
+    scanned exactly twice (the weights agg + the admission filter),
+    the honest minimum for a data-derived-rate sample."""
     from pyspark.sql import functions as F
 
     from flink_scala_spark.functions import h60
 
+    weighted = weighted.localCheckpoint(eager=False)
     totals = weighted.agg(
         F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w")
     )
@@ -390,6 +401,13 @@ def kmv_set_cardinality(
     1-row aggregate. Sets with < k distinct values fall back to their
     exact count (KMV is exact below capacity)."""
     num = _KMV_NUM if k == KMV_K else float((k - 1) * (1 << 60))
+    # Round 12 (guide §3.3/§5): the flag table feeds FOUR branches
+    # (sketch A, sketch B, the union sketch, the exact audit) and
+    # lazily each branch re-derived the whole upstream explode+shuffle
+    # (sketch_set_cardinality's before plan scanned documents 4x). One
+    # lazy localCheckpoint materializes the compact (hv, 2 bools)
+    # frame once — a single corpus pass feeds all four branches, which
+    # then read 17-byte rows instead of re-exploding text.
     flags = (
         items.select(
             h60(F.col(value_col).cast("string")).alias("hv"),
@@ -398,6 +416,7 @@ def kmv_set_cardinality(
         )
         .groupBy("hv")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .localCheckpoint(eager=False)
     )
 
     def sketch(side: DataFrame, name: str) -> DataFrame:
@@ -477,6 +496,14 @@ def kmv_join_size(
     TakeOrderedAndProjects, one ≤2k-row merge — the certificate branch
     is the only piece that touches key-grain size again."""
     num = _KMV_NUM if k == KMV_K else float((k - 1) * (1 << 60))
+    # Round 12 (guide §3.3/§5): each count table feeds BOTH its sketch
+    # and the exact-certificate full-outer join; lazily that re-derived
+    # the fact-table scan+agg per reference (the before plan scanned
+    # orders and lineitem twice each). One materialization per side =
+    # one corpus scan per side; the certificate branch then reads the
+    # key-grain artifact, exactly the table it would join anyway.
+    a = a.localCheckpoint(eager=False)
+    b = b.localCheckpoint(eager=False)
 
     def side_sketch(df: DataFrame, cnt: str) -> DataFrame:
         # NULL keys hash to a NULL hv, which Spark's ascending sort
@@ -709,7 +736,14 @@ def spacesaving_topk_certified(
     literally while the sketch genuinely runs and is genuinely
     audited (the approx_ndv_hll / GK-certificate resolution)."""
     items = char_stream(docs, text_col)
-    exact = items.groupBy("ch").agg(F.count("*").alias("exact_cnt"))
+    # Round 12 (guide §3.3/§5): `exact` feeds the total AND the ranked
+    # top-N, `summed` feeds the offset AND the survivors — lazily each
+    # reference re-ran its full corpus char-explode (the before plan
+    # held 4 corpus passes). Both frames are alphabet-bounded, so the
+    # lazy checkpoints are tiny; the corpus is now exploded exactly
+    # twice — once for the exact audit, once through the MG sketch —
+    # which is the honest minimum for a certified sketch.
+    exact = items.groupBy("ch").agg(F.count("*").alias("exact_cnt")).localCheckpoint(eager=False)
     # n = sum of the bounded exact frame — NOT a third corpus
     # scan/explode (round-11 review finding)
     total = exact.agg(F.sum("exact_cnt").alias("n_chars"))
@@ -718,6 +752,7 @@ def spacesaving_topk_certified(
         mg_summaries(items, "ch", k)
         .groupBy("ch")
         .agg(F.sum("est").alias("s"))
+        .localCheckpoint(eager=False)
     )
     top_k1 = summed.orderBy(F.desc("s"), "ch").limit(k + 1)
     off = top_k1.agg(

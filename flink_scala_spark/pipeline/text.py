@@ -112,13 +112,24 @@ def dataset_split(
     """
     from flink_scala_spark.functions import h60
 
-    b = F.pmod(h60(F.col(id_col).cast("string")), F.lit(100)).cast("int")
+    b = split_bucket(id_col)
     split = (
         F.when(b < train_pct, "train")
         .when(b < train_pct + val_pct, "val")
         .otherwise("test")
     )
     return docs.select(F.col(id_col), b.alias("bucket"), split.alias("split"))
+
+
+def split_bucket(id_col: str = "doc_id"):
+    """The hash-mod split bucket as a row-local COLUMN — the single
+    definition :func:`dataset_split` labels from and the
+    decontamination family filters on directly (round 12: filtering on
+    the bucket BEFORE shingling replaces a corpus-scale split join and
+    stops the val split from ever being shingled)."""
+    from flink_scala_spark.functions import h60
+
+    return F.pmod(h60(F.col(id_col).cast("string")), F.lit(100)).cast("int")
 
 
 def curation_summary(
@@ -271,15 +282,23 @@ def decontamination(
     so Catalyst broadcasts it and the train side streams through at
     scan speed — no big-table shuffle; an even leaner production
     variant ships only a bloom filter of test shingles.
+
+    Round 12 (guide §2.3/§2.4): the split is a row-local hash of
+    doc_id (:func:`split_bucket`), so each side filters its DOCS
+    before shingling instead of joining a split table onto the full
+    shingle explode — the split join disappears entirely, the val
+    split is never shingled, and each side explodes only its own
+    documents (the before plan exploded the full corpus twice and
+    scanned documents 4x; now train explodes 80%, test 10%).
+    Identical rows by construction (same bucket expression).
     """
     from flink_scala_spark.pipeline.dedup import word_shingles
 
-    split = dataset_split(docs).select("doc_id", "split")
-    sh = word_shingles(docs, text_col, n=n).join(split, "doc_id")
-    train = sh.where(F.col("split") == "train").select("doc_id", "shingle")
-    test = sh.where(F.col("split") == "test").select(
-        F.col("doc_id").alias("t_doc"), "shingle"
-    )
+    b = split_bucket("doc_id")
+    train = word_shingles(docs.where(b < train_pct), text_col, n=n)
+    test = word_shingles(
+        docs.where(b >= train_pct + val_pct), text_col, n=n
+    ).select(F.col("doc_id").alias("t_doc"), "shingle")
     marked = train.join(test, "shingle", "left")
     agg = marked.groupBy("doc_id").agg(
         F.countDistinct("shingle").alias("n_shingles"),
@@ -334,11 +353,19 @@ def decontamination_bloom(
     from flink_scala_spark.functions import h60
     from flink_scala_spark.pipeline.dedup import word_shingles
 
-    split = dataset_split(docs).select("doc_id", "split")
-    sh = word_shingles(docs, text_col, n=n).join(split, "doc_id")
-    train = sh.where(F.col("split") == "train").select("doc_id", "shingle")
+    # Round 12 (guide §2.3/§2.4): same split-pushdown as
+    # `decontamination` — filter docs on the row-local bucket BEFORE
+    # shingling (no split join, val never shingled); the distinct
+    # test-shingle set is materialized once (lazy localCheckpoint) —
+    # it is broadcast into three joins, and lazily each broadcast
+    # re-derived the test-side explode.
+    b = split_bucket("doc_id")
+    train = word_shingles(docs.where(b < 80), text_col, n=n)
     test_sh = (
-        sh.where(F.col("split") == "test").select("shingle").distinct()
+        word_shingles(docs.where(b >= 90), text_col, n=n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
 
     def pos(i: int, col):
@@ -604,17 +631,21 @@ def bpe_merges(docs: DataFrame, text_col: str = "text", iters: int = 3) -> DataF
     Exactness: pure integer counts, lexicographic tie-breaks, and a
     deterministic merge fold — the DuckDB oracle unrolls the same
     iterations and matches exactly."""
-    wf, merge_rows = _bpe_train_loop(
+    spark = docs.sparkSession
+    _wf, merges = _bpe_train_loop(
         _word_freqs(docs, text_col).select(
             "freq", F.split("word", "").alias("syms")
         ),
         iters,
         carry=("freq",),
     )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+    # The collected merges ARE the result — a bounded <= iters-row
+    # artifact (round 12): the old lazy union re-derived every prior
+    # iteration's full training subtree per row (the before plan
+    # scanned the corpus 14x).
+    return spark.createDataFrame(
+        merges, "iteration int, pair_a string, pair_b string, pair_freq long"
+    )
 
 
 def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
@@ -629,8 +660,22 @@ def _word_freqs(docs: DataFrame, text_col: str) -> DataFrame:
 def _bpe_train_loop(wf, iters: int, carry: tuple[str, ...]):
     """The shared BPE training loop: ``wf`` must have ``freq`` and
     ``syms`` plus any ``carry`` columns passed through untouched.
-    Returns the final symbol table and the per-iteration merge rows."""
-    merge_rows = []
+    Returns the final symbol table and the collected merge tuples
+    ``(iteration, pair_a, pair_b, pair_freq)``.
+
+    Round 12 (guide §3.3/§5 + §2.4): the loop previously re-derived
+    each iteration's state lazily — iteration i's pair count embedded
+    iteration i-1's whole subtree, and the 1-row argmax was referenced
+    twice (merge row + rewrite crossJoin), so the final plan duplicated
+    the training exponentially (bpe_encode's before plan: 18 corpus
+    scans). Now the vocabulary table is lazily checkpointed once (and
+    after each rewrite), and the argmax — a bounded 1-row artifact —
+    is COLLECTED per iteration and re-enters the fold as literals, so
+    each iteration is exactly one job over the shared vocabulary RDD
+    and the corpus is scanned once, in the initial word-frequency agg.
+    """
+    wf = wf.localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
     for it in range(1, iters + 1):
         # sequence(1, 0) DESCENDS in Spark (same trap as fingerprint):
         # a fully-merged single-symbol word must not reach the explode.
@@ -648,26 +693,30 @@ def _bpe_train_loop(wf, iters: int, carry: tuple[str, ...]):
             .groupBy("a", "b")
             .agg(F.sum("freq").alias("pf"))
         )
-        best = pc.agg(F.min(F.struct((-F.col("pf")).alias("nf"), "a", "b")).alias("m")).select(
-            F.col("m.a").alias("pair_a"),
-            F.col("m.b").alias("pair_b"),
-            (-F.col("m.nf")).cast("long").alias("pair_freq"),
-        )
-        # If the pair table is exhausted (every word fully merged),
-        # agg-of-empty yields one all-NULL best row: the fold merges
-        # nothing (NULL comparisons are never true) and the iteration
-        # must emit NO merge row — matching the oracle, whose empty
-        # b{it} contributes zero rows to the final UNION.
-        merge_rows.append(
-            best.where(F.col("pair_a").isNotNull()).select(
-                F.lit(it).alias("iteration"), "*"
+        row = (
+            pc.agg(F.min(F.struct((-F.col("pf")).alias("nf"), "a", "b")).alias("m"))
+            .select(
+                F.col("m.a").alias("pair_a"),
+                F.col("m.b").alias("pair_b"),
+                (-F.col("m.nf")).cast("long").alias("pair_freq"),
             )
+            .first()
         )
-        wf = wf.crossJoin(F.broadcast(best)).select(
+        # Pair table exhausted (every word fully merged): the old form
+        # folded with NULL literals, which merges nothing and emits no
+        # merge row — so stopping here is identical for every later
+        # iteration, on both engines (the oracle's empty b{it}
+        # contributes zero rows).
+        if row["pair_a"] is None:
+            break
+        merges.append((it, row["pair_a"], row["pair_b"], int(row["pair_freq"])))
+        wf = wf.select(
             *carry,
-            _bpe_merge_fold(F.col("syms"), F.col("pair_a"), F.col("pair_b")).alias("syms"),
-        )
-    return wf, merge_rows
+            _bpe_merge_fold(
+                F.col("syms"), F.lit(row["pair_a"]), F.lit(row["pair_b"])
+            ).alias("syms"),
+        ).localCheckpoint(eager=False)
+    return wf, merges
 
 
 def bpe_encode(docs: DataFrame, text_col: str = "text", iters: int = 3) -> DataFrame:
@@ -846,22 +895,32 @@ def contamination_longest_runs(
     from flink_scala_spark.functions.portable import h60
     from flink_scala_spark.pipeline.dedup import positional_ngrams
 
-    spans = positional_ngrams(
-        _nonempty(docs, text_col), text_col, n=n, out_col="span", pos_col="i"
-    ).select("doc_id", "i", h60(F.col("span")).alias("sh"))
+    # Round 12 (guide §2.3/§2.4): the df guard must see ALL splits'
+    # spans (its semantics), but the train/test sides need only their
+    # own — and the split is a row-local hash of doc_id, so each side
+    # filters its DOCS before the span explode instead of exploding
+    # the whole corpus and filtering after. The before plan derived
+    # the full positional-ngram explode three times (guard + train +
+    # test); now it is one full explode for the guard plus an 80% and
+    # a 10% explode for the sides. Identical rows by construction
+    # (same bucket expression, same guard set).
+    def doc_spans(d: DataFrame) -> DataFrame:
+        return positional_ngrams(
+            _nonempty(d, text_col), text_col, n=n, out_col="span", pos_col="i"
+        ).select("doc_id", "i", h60(F.col("span")).alias("sh"))
+
+    b = split_bucket("doc_id")
     ok = (
-        spans.groupBy("sh")
+        doc_spans(docs)
+        .groupBy("sh")
         .agg(F.countDistinct("doc_id").alias("df"))
         .where(F.col("df") <= max_df)
         .select("sh")
     )
-    sp = spans.join(ok, "sh").withColumn(
-        "b", F.pmod(h60(F.col("doc_id").cast("string")), F.lit(100))
-    )
-    tr = sp.where(F.col("b") < 80).select(
+    tr = doc_spans(docs.where(b < 80)).join(ok, "sh").select(
         F.col("doc_id").alias("train_doc"), F.col("i").alias("ti"), "sh"
     )
-    te = sp.where(F.col("b") >= 90).select(
+    te = doc_spans(docs.where(b >= 90)).join(ok, "sh").select(
         F.col("doc_id").alias("test_doc"), F.col("i").alias("ei"), "sh"
     )
     m = tr.join(te, "sh").select(
@@ -931,7 +990,16 @@ def scrub_duplicate_spans(
         .where(F.col("n_docs") >= 2)
         .select("sh", "first_doc")
     )
-    cand = occ.join(g1, "sh")
+    # Round 12 (guide §3.3/§5): cand is referenced twice (first-
+    # occurrence pick + flag filter) and lazily each reference re-ran
+    # the full corpus span explode behind the join (the before plan
+    # held 3 explodes). cand is DUPLICATED-span-grain — proportional
+    # to duplication density, not corpus words (g1 keeps only spans in
+    # >= 2 docs) — so one lazy localCheckpoint makes the docstring's
+    # "everything past the first agg is duplicate-proportional" claim
+    # physically true: 2 explodes (the guard agg + the join build),
+    # then span-grain work only.
+    cand = occ.join(g1, "sh").localCheckpoint(eager=False)
     first_i = (
         cand.where(F.col("doc_id") == F.col("first_doc"))
         .groupBy("sh")
@@ -1002,10 +1070,19 @@ def rare_token_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
     base = _nonempty(docs, text_col).select(
         "doc_id", F.split(F.col(text_col), " ").alias("w")
     )
+    # Round 12 (guide §3.3/§5): dw feeds three branches (per-doc
+    # totals, the vocabulary frequency table, and the rare-hit agg) —
+    # lazily each re-derived the corpus explode+agg, making the
+    # docstring's "not a second corpus scan" claim false in the
+    # physical plan. One lazy localCheckpoint of the distinct
+    # (doc, word) pre-agg — the frame a production pipeline would
+    # materialize anyway — makes it true: one explode, three cheap
+    # consumers.
     dw = (
         base.select("doc_id", F.explode("w").alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
     )
     # n_tok = sum of per-word counts — derived from the SAME pre-agg,
     # so the text column is scanned and split exactly once.

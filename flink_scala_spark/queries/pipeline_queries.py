@@ -3563,7 +3563,17 @@ def q_source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail that per-doc thresholds miss (a mediocre doc from a good
     source survives; a good doc from a spam source does not — that is
     the point of domain-level filtering). Two map-side-combinable aggs
-    plus a broadcast of |sources| reputation rows back onto the docs."""
+    plus a broadcast of |sources| reputation rows back onto the docs.
+
+    Round 12 (guide §2.3/§3.3): the output spine never needs q_ppm —
+    only rep_ppm, which rides in on the broadcast — so the quality
+    pipeline (the expensive per-doc text pass) now feeds ONLY the
+    reputation agg and is computed once, not three times (the before
+    plan derived docs⋈quality for the rep agg, the global agg, AND the
+    output spine — 6 scans; the global mean now folds out of the
+    source-grain rep frame itself: sum over sources of per-source sums
+    = the corpus sum, exactly). After: 3 scans, quality evaluated
+    once, identical rows."""
     docs = _docs(spark, sf_dir)
     q = text.quality_score(docs).select(
         "doc_id", F.floor(F.col("quality") * 1000000).cast("long").alias("q_ppm")
@@ -3571,11 +3581,17 @@ def q_source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.select("doc_id", "source").join(q, "doc_id")
     rep = per.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.expr("sum(q_ppm) DIV count(*)").alias("rep_ppm"),
-    )
-    glob = per.agg(F.expr("sum(q_ppm) DIV count(*)").alias("global_ppm"))
+        F.sum("q_ppm").alias("sum_ppm"),
+    ).select(
+        "source",
+        "n_docs",
+        "sum_ppm",
+        F.expr("sum_ppm DIV n_docs").alias("rep_ppm"),
+    ).localCheckpoint(eager=False)
+    glob = rep.agg(F.expr("sum(sum_ppm) DIV sum(n_docs)").alias("global_ppm"))
     return (
-        per.join(F.broadcast(rep.select("source", "rep_ppm")), "source")
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rep.select("source", "rep_ppm")), "source")
         .join(F.broadcast(glob))
         .select(
             "doc_id", "source", "rep_ppm",

@@ -1680,21 +1680,27 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         oday.alias("oday"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    maxd = per.agg(F.max("oday").alias("d"))
-    rfm = (
+    # Round 12 (guide §3.3/§5 + §2.4): the per-customer rollup is
+    # materialized once — it feeds the threshold CDF AND the final
+    # segmentation pass, which lazily re-derived the orders scan+agg
+    # each (the before plan scanned orders 6x). The corpus max day is
+    # the max of the per-customer last days, so it now derives from
+    # the rollup instead of a second orders scan (same value exactly).
+    rfm0 = (
         per.groupBy("o_custkey")
         .agg(
             F.max("oday").alias("last_day"),
             F.count("*").alias("frequency"),
             F.sum("cents").alias("monetary"),
         )
-        .crossJoin(F.broadcast(maxd))
-        .select(
-            "o_custkey",
-            (F.col("d") - F.col("last_day")).alias("recency"),
-            "frequency",
-            "monetary",
-        )
+        .localCheckpoint(eager=False)
+    )
+    maxd = rfm0.agg(F.max("last_day").alias("d"))
+    rfm = rfm0.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        (F.col("d") - F.col("last_day")).alias("recency"),
+        "frequency",
+        "monetary",
     )
 
     # Quartile thresholds by two-level exact rank selection (round 10

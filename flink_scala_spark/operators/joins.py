@@ -246,14 +246,24 @@ def binned_range_join_count(
     r2 = right.select(
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("r_us")
     ).withColumn("bin", F.expr(f"r_us DIV {w_us}"))
-    hit = l2.join(r2, "bin").where(
-        (F.col("r_us") >= F.col("l_us") - w_us) & (F.col("r_us") <= F.col("l_us"))
+    # Round 12 (guide §2.4 + §3.3): the join is LEFT OUTER with the
+    # range check folded into the count, so left rows with an empty
+    # window survive as zero counts directly — the old inner-join +
+    # join-back against a second `left` scan re-derived the left side
+    # twice (the before plan scanned events 3x) and paid an extra
+    # left_id shuffle. Every left row appears in >= 1 bin group, so
+    # the conditional sum is never NULL; counts are identical.
+    in_range = (F.col("r_us") >= F.col("l_us") - w_us) & (
+        F.col("r_us") <= F.col("l_us")
     )
-    counted = hit.groupBy("left_id").agg(F.count("*").alias("n_in_window"))
-    # left rows with an empty window keep n_in_window = 0
-    base = left.select(F.col(left_id).alias("left_id"))
-    return base.join(counted, "left_id", "left").select(
-        "left_id", F.coalesce("n_in_window", F.lit(0)).alias("n_in_window")
+    return (
+        l2.join(r2, "bin", "left")
+        .groupBy("left_id")
+        .agg(
+            F.sum(F.when(in_range, 1).otherwise(0))
+            .cast("long")
+            .alias("n_in_window")
+        )
     )
 
 

@@ -36,6 +36,11 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     array_min; then ONE rollup on (cohort_day, activity_day), whose
     key space is days² — tiny at any data scale. Cohort sizes are a
     map-side-combinable agg of the per-user rows, broadcast back."""
+    # Round 12 (guide §3.3/§5): per_user feeds both the cohort-size agg
+    # and the matrix explode; lazily each re-derived the corpus
+    # scan+collect_set (the before plan scanned events 2x). The frame
+    # is user-grain with calendar-bounded day sets, so one lazy
+    # localCheckpoint makes the docstring's two-shuffle claim physical.
     per_user = (
         events.select("user_id", _day("ts").alias("activity_day"))
         .groupBy("user_id")
@@ -43,6 +48,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .select(
             "user_id", "days", F.array_min("days").alias("cohort_day")
         )
+        .localCheckpoint(eager=False)
     )
     cohort_sizes = per_user.groupBy("cohort_day").agg(
         F.count("*").alias("cohort_size")
@@ -573,9 +579,14 @@ def rolling_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame
     shuffle on user_id — a corpus-scaling key, no low-cardinality
     funnel. The HLL twin (rolling_distinct_users_hll) is the
     sketch-state path this exact form audits."""
+    # Round 12 (guide §3.3/§5): ud feeds THREE branches (day grid,
+    # rolling fan-out, same-day counts) and lazily each re-derived the
+    # corpus scan+distinct (the before plan scanned events 3x). ud is
+    # the ALREADY-REDUCED (user, day) grain the docstring promises is
+    # computed once — one lazy localCheckpoint makes that physical.
     ud = events.select(
         "user_id", F.floor(epoch_seconds("ts") / _DAY).cast("long").alias("d")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     grid = ud.select("d").distinct()
     fan = ud.select(
         "user_id",
@@ -681,6 +692,11 @@ def daily_mean_trend(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "d")
         .agg(F.sum("cents").alias("tot"), F.count("*").alias("cnt"))
         .withColumn("y", F.expr("tot DIV cnt"))
+        # Round 12 (guide §3.3/§5): daily feeds both the per-type min
+        # and the xy join; lazily each re-derived the corpus agg (the
+        # before plan scanned events 2x). Day x type grain is
+        # calendar-bounded, so the lazy checkpoint is tiny.
+        .localCheckpoint(eager=False)
     )
     d0 = daily.groupBy("event_type").agg(F.min("d").alias("d0"))
     xy = daily.join(d0, "event_type").select(
@@ -713,6 +729,12 @@ def _daily_revenue_cents(orders: DataFrame) -> DataFrame:
     shared day-grain reduction of the seasonality and autocorrelation
     ops (one map-side-combinable agg; the day table is calendar-
     bounded at ~2.5k rows per 7 shipped years regardless of SF)."""
+    # Round 12 (guide §3.3/§5): both callers reference the day table
+    # twice (baseline agg + join in the seasonality; the d/d+1 self-
+    # join in the autocorr), and lazily each reference re-derived the
+    # corpus agg (both before plans scanned orders 2x). The frame is
+    # calendar-bounded (~2.5k rows), so the shared lazy checkpoint
+    # makes the "one corpus agg" contract physical for every caller.
     return (
         orders.select(
             F.floor(epoch_seconds("o_orderdate") / _DAY).cast("long").alias("d"),
@@ -720,6 +742,7 @@ def _daily_revenue_cents(orders: DataFrame) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.sum("cents").alias("rev"))
+        .localCheckpoint(eager=False)
     )
 
 

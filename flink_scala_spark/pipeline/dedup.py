@@ -1076,13 +1076,19 @@ def stitch_candidates(
     ids = list(id_cols)
     w = F.col(words_col) if words_col else F.split(F.col(text_col), " ")
     base = docs.select(*ids, w.alias("w")).where(F.size("w") >= int(k))
+    # Round 12 (guide §3.3/§5): grams feeds both join sides, and lazily
+    # each side re-ran the corpus scan + split/slice + gram hashing
+    # (the before plan scanned documents 2x). grams is unit-grain —
+    # ids plus two 64-bit hashes, no text — so one lazy localCheckpoint
+    # shares a single materialization: the corpus words are read and
+    # hashed exactly once, and the join reads ~20-byte rows.
     grams = base.select(
         *ids,
         h60(F.concat_ws(" ", F.slice("w", 1, int(k)))).alias("prefix_h"),
         h60(
             F.concat_ws(" ", F.expr(f"slice(w, size(w) - {int(k) - 1}, {int(k)})"))
         ).alias("suffix_h"),
-    )
+    ).localCheckpoint(eager=False)
     left = grams.select(
         *[F.col(c).alias(f"{c}_a") for c in ids],
         F.col("suffix_h").alias("boundary_h"),

@@ -2373,9 +2373,15 @@ def negative_pool_sample(
         .limit(int(pool_size))
     )
     w = Window.orderBy("h", "neg_id")  # fixed pool_size rows: safe
+    # Round 12 (guide §3.3/§5): pidx feeds both the pool-count agg and
+    # the final broadcast join; lazily each reference re-ran the
+    # corpus-wide TakeOrdered behind the pool (the before plan scanned
+    # embeddings 3x). The pool is <= pool_size rows, so one lazy
+    # localCheckpoint shares a single materialization — the corpus is
+    # scanned once for the pool and once for the query side.
     pidx = pool.select(
         "neg_id", "neg_label", (F.row_number().over(w) - F.lit(1)).alias("idx")
-    )
+    ).localCheckpoint(eager=False)
     # modulus = the ACTUAL pool row count, not pool_size: a corpus
     # smaller than pool_size under-fills the pool, and a fixed modulus
     # would silently drop every (query, slot) hashing past the end —

@@ -1230,11 +1230,16 @@ def boilerplate_flags(
             )
         ).alias("shingle"),
     ).distinct()
-    counts = shingles.groupBy("source", "shingle").agg(
-        F.count("*").alias("n_docs_with")
-    )
+    # Round 12 (guide §2.4 + §3.3): the (source, shingle) doc count is
+    # a same-key WINDOW over the distinct shingle table instead of the
+    # old groupBy + join-back, which referenced `shingles` twice and
+    # lazily re-ran the corpus explode+distinct per reference (the
+    # before plan exploded documents 2x). One explode, one distinct,
+    # one window exchange; count over the (source, shingle) partition
+    # of a distinct frame == the old n_docs_with exactly.
+    wss = Window.partitionBy("source", "shingle")
     per_doc = (
-        shingles.join(counts, ["source", "shingle"])
+        shingles.withColumn("n_docs_with", F.count("*").over(wss))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -1273,16 +1278,27 @@ def vocab_oov_rate(
     byte-fallback soup).
 
     Scale shape: one map-combinable token count, a distributed top-V
-    cut (V rows), vocabulary BROADCAST back over the exploded tokens
-    (no corpus shuffle for membership), one doc-keyed agg. The corpus
-    is scanned twice but never joined to itself.
+    cut (V rows), vocabulary BROADCAST back over the per-doc word
+    counts (no corpus shuffle for membership), one doc-keyed agg.
+
+    Round 12 (guide §3.3/§5): both the vocabulary build and the final
+    agg previously re-derived the corpus token explode (the before
+    plan scanned documents 2x). Both now read the distinct (doc, word)
+    pre-agg — the same frame rare_token_novelty materializes — so the
+    corpus is exploded exactly once; counts are carried as weights
+    (sum(k) == the old count(*) over raw tokens, exactly).
     """
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
+    dw = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("k"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
-        tok.groupBy("word")
-        .agg(F.count("*").alias("n"))
+        dw.groupBy("word")
+        .agg(F.sum("k").alias("n"))
         # orderBy+limit plans as TakeOrderedAndProject: per-partition
         # top-V then a V-row driver merge — never the single-partition
         # sort a global row_number() window would force.
@@ -1291,13 +1307,12 @@ def vocab_oov_rate(
         .select("word", F.lit(True).alias("in_vocab"))
     )
     return (
-        tok.join(F.broadcast(vocab), "word", "left")
+        dw.join(F.broadcast(vocab), "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
-                "n_oov"
-            ),
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("k")).otherwise(0))
+            .alias("n_oov"),
         )
         .select(
             "doc_id",

@@ -3496,11 +3496,18 @@ def q_corpus_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     phase1 = per.withColumn("cum_in", F.sum("toks").over(w_in))
     # chunk totals and caps both derive from phase1 (a chunk's total is
-    # its LAST cumulative), so the corpus is scanned/tokenized/hashed
-    # exactly once — chunk_tot's agg reuses phase1's window exchange
+    # its LAST cumulative). Round 12 (guide §3.3/§5): chunk_tot feeds
+    # BOTH the cap agg and the chunk-prefix window, and each reference
+    # lazily re-derived phase1's corpus scan+tokenize+window — the
+    # before plan scanned documents 3x. chunk_tot is (bucket, chunk)
+    # grain (<= 8192 rows per bucket), so one lazy localCheckpoint
+    # shares a single materialization; the corpus is now scanned
+    # exactly twice (the phase-1 build and the ranked spine), the
+    # floor for a join-back prefix sum without materializing the
+    # corpus-sized phase1 itself.
     chunk_tot = phase1.groupBy("lang", "source", "chunk").agg(
         F.max("cum_in").alias("ctoks")
-    )
+    ).localCheckpoint(eager=False)
     cap = chunk_tot.groupBy("lang", "source").agg(
         F.expr("sum(ctoks) DIV 2").alias("cap_toks")
     )
@@ -4181,10 +4188,15 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).where(
         F.col("text").isNotNull() & (F.col("text") != "")
     )
+    # Round 12 (guide §3.3/§5 + §8): per feeds both the stats agg and
+    # the output spine; lazily each reference re-read and re-split the
+    # corpus TEXT column (the before plan scanned documents 2x). per is
+    # the lightweight proxy — ids plus one long, no text — so one lazy
+    # localCheckpoint means the text is read and tokenized exactly once.
     per = docs.select(
         "doc_id", "lang", "source",
         F.size(F.split("text", " ")).cast("long").alias("toks"),
-    )
+    ).localCheckpoint(eager=False)
     stats = per.groupBy("lang", "source").agg(
         F.count("*").alias("n"),
         F.sum("toks").alias("s"),
@@ -5189,9 +5201,15 @@ def q_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         h60(F.col("user_id").cast("string")).alias("h"),
         F.explode(F.array(F.lit(32), F.lit(256), F.lit(1024))).alias("B"),
     )
+    # Round 12 (guide §3.3/§5): the bucket-count table feeds THREE
+    # branches (tot, the cumulative window, and p99's join) and lazily
+    # each re-derived the corpus scan + 3x explode + agg — the before
+    # plan scanned events 3x. It is hard-bounded at <= 32+256+1024
+    # rows, so one lazy localCheckpoint shares a single materialization
+    # and the corpus is scanned exactly once at any scale.
     b = ev.groupBy("B", (F.col("h") % F.col("B")).alias("bucket")).agg(
         F.count("*").alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     tot = b.groupBy("B").agg(
         F.count("*").alias("used_buckets"),
         F.sum("cnt").alias("total_rows"),
@@ -5621,9 +5639,14 @@ def q_user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).where(F.col("prev_type").isNotNull())
+    # Round 12 (guide §3.3/§5): the (type x type) grid feeds both the
+    # row-total agg and the final join; lazily each reference re-derived
+    # the corpus lag window (the before plan scanned events 2x). The
+    # grid is bounded by the type vocabulary squared, so one lazy
+    # localCheckpoint makes the docstring's one-shuffle claim physical.
     t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
     return t.join(tot, "prev_type").select(
         "prev_type",

@@ -1568,8 +1568,14 @@ def q_customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         mon.alias("mon"),
         F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    first = o.groupBy("o_custkey").agg(F.min("mon").alias("cohort_mon"))
-    j = o.join(first, "o_custkey").select(
+    # Round 12 (guide §2.4 + §3.3): the cohort month is a same-key
+    # WINDOW min over the order rows instead of the old customer-grain
+    # agg + join-back, which referenced `o` twice and lazily re-scanned
+    # orders per reference (the before plan scanned orders 2x). One
+    # scan, one o_custkey exchange; min over the customer partition ==
+    # the old groupBy min joined back, exactly.
+    wc = Window.partitionBy("o_custkey")
+    j = o.withColumn("cohort_mon", F.min("mon").over(wc)).select(
         "o_custkey",
         "cohort_mon",
         (F.col("mon") - F.col("cohort_mon")).alias("month_offset"),

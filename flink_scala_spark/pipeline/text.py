@@ -782,20 +782,36 @@ def fuzzy_string_pairs(values: DataFrame, col: str = "word") -> DataFrame:
         "word",
         F.explode(F.array_union(F.array(F.col("word")), dels)).alias("k"),
     )
-    a = keys.select(F.col("word").alias("word_a"), "k")
-    b = keys.select(F.col("word").alias("word_b"), "k")
+    # Bucket-local pair generation (the candidate_pairs_from_bands
+    # shape) instead of a key self-join: one groupBy collects each
+    # deletion-key bucket's sorted word list, pairs come from two
+    # cascaded explodes. The keys subtree is computed ONCE (the
+    # self-join re-derived scan+distinct+explode per side — measured
+    # in the plan), no broadcast build, and only a < b combinations
+    # are generated at all (the join emitted the full |bucket|^2
+    # cross product per key and filtered after). Digit-heavy TPC-H
+    # names make deletion buckets collide hard, so halving + sharing
+    # is the dominant cost here (guide §2.3/§2.4).
+    #
     # Banded verify: levenshtein(a, b, 1) computes only the |i-j| <= 1
     # DP diagonal (returns -1 past the bound), so each candidate costs
     # O(len) instead of O(len^2). `= 1` over the banded form keeps the
-    # exact distance-1 semantics of the unbounded call (the bench
-    # measured ~977k candidate pairs per 15k names at sf0.1 — the
-    # verify dominates this query, guide §1.2 "per-task work"). The
-    # verify runs BEFORE the distinct so the dedup exchange shuffles
-    # only verified pairs (~3.7x fewer rows at sf0.1 — guide §2.3
-    # "project/filter before the exchange"; the optimizer does NOT
-    # push the filter below the distinct on its own, measured).
+    # exact distance-1 semantics of the unbounded call. The verify
+    # runs BEFORE the distinct so the dedup exchange shuffles only
+    # verified pairs (guide §2.3 "filter before the exchange"; the
+    # optimizer does NOT push the filter below the distinct on its
+    # own, measured).
+    buckets = (
+        keys.groupBy("k")
+        .agg(F.array_sort(F.collect_list("word")).alias("ws"))
+        .where(F.size("ws") > 1)
+    )
+    anchors = buckets.select("ws", F.posexplode("ws").alias("i", "word_a"))
     return (
-        a.join(b, "k")
+        anchors.select(
+            "word_a",
+            F.explode(F.expr("slice(ws, i + 2, size(ws))")).alias("word_b"),
+        )
         .where(
             (F.col("word_a") < F.col("word_b"))
             & (F.levenshtein("word_a", "word_b", 1) == 1)
@@ -990,16 +1006,16 @@ def scrub_duplicate_spans(
         .where(F.col("n_docs") >= 2)
         .select("sh", "first_doc")
     )
-    # Round 12 (guide §3.3/§5): cand is referenced twice (first-
-    # occurrence pick + flag filter) and lazily each reference re-ran
-    # the full corpus span explode behind the join (the before plan
-    # held 3 explodes). cand is DUPLICATED-span-grain — proportional
-    # to duplication density, not corpus words (g1 keeps only spans in
-    # >= 2 docs) — so one lazy localCheckpoint makes the docstring's
-    # "everything past the first agg is duplicate-proportional" claim
-    # physically true: 2 explodes (the guard agg + the join build),
-    # then span-grain work only.
-    cand = occ.join(g1, "sh").localCheckpoint(eager=False)
+    # cand is referenced twice (first-occurrence pick + flag filter),
+    # so each reference re-runs the span explode behind the join — 3
+    # explodes total. A round-12 interim localCheckpoint here was
+    # REVERTED on measurement: cand is duplication-PROPORTIONAL, which
+    # under this corpus's heavy clone rate is corpus-scale, and
+    # materializing it cost 6.6x the two extra streaming explodes
+    # (0.29 s -> 1.9 s at sf0.1; guide §5 — cache only when recompute
+    # is dearer than the memory pressure). The explodes are
+    # map-side-pipelined codegen over the scan; they win.
+    cand = occ.join(g1, "sh")
     first_i = (
         cand.where(F.col("doc_id") == F.col("first_doc"))
         .groupBy("sh")
@@ -1278,27 +1294,22 @@ def vocab_oov_rate(
     byte-fallback soup).
 
     Scale shape: one map-combinable token count, a distributed top-V
-    cut (V rows), vocabulary BROADCAST back over the per-doc word
-    counts (no corpus shuffle for membership), one doc-keyed agg.
+    cut (V rows), vocabulary BROADCAST back over the exploded tokens
+    (no corpus shuffle for membership), one doc-keyed agg. The corpus
+    is scanned twice but never joined to itself.
 
-    Round 12 (guide §3.3/§5): both the vocabulary build and the final
-    agg previously re-derived the corpus token explode (the before
-    plan scanned documents 2x). Both now read the distinct (doc, word)
-    pre-agg — the same frame rare_token_novelty materializes — so the
-    corpus is exploded exactly once; counts are carried as weights
-    (sum(k) == the old count(*) over raw tokens, exactly).
+    (Round 12 tried a shared (doc, word) pre-agg behind a lazy
+    localCheckpoint here — REVERTED on measurement: the pre-agg is
+    corpus-grain, and materializing it cost 2.3x the second streaming
+    scan it saved (0.24 s -> 0.54 s at sf0.1; guide §5). Two cheap
+    codegen scans beat one scan + a corpus-scale cache.)
     """
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("word")
     ).where(F.col("word") != "")
-    dw = (
-        tok.groupBy("doc_id", "word")
-        .agg(F.count("*").alias("k"))
-        .localCheckpoint(eager=False)
-    )
     vocab = (
-        dw.groupBy("word")
-        .agg(F.sum("k").alias("n"))
+        tok.groupBy("word")
+        .agg(F.count("*").alias("n"))
         # orderBy+limit plans as TakeOrderedAndProject: per-partition
         # top-V then a V-row driver merge — never the single-partition
         # sort a global row_number() window would force.
@@ -1307,12 +1318,13 @@ def vocab_oov_rate(
         .select("word", F.lit(True).alias("in_vocab"))
     )
     return (
-        dw.join(F.broadcast(vocab), "word", "left")
+        tok.join(F.broadcast(vocab), "word", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum("k").alias("n_tokens"),
-            F.sum(F.when(F.col("in_vocab").isNull(), F.col("k")).otherwise(0))
-            .alias("n_oov"),
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
         )
         .select(
             "doc_id",

@@ -1835,7 +1835,8 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         # materialized ONCE — this plays the stored state a production
         # pipeline reads back; without it the demo's plan would rescan
         # and re-aggregate the base log for both consumers below
-        .localCheckpoint()
+        # (lazy: one materialization inside the final action)
+        .localCheckpoint(eager=False)
     )
     # the stored materialization (in production: read, not computed)
     base_agg = base_live.groupBy("user_id").agg(

@@ -2278,7 +2278,9 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup.minhash_lsh_dedup(_docs(spark, sf_dir), threshold=0.5)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        # lazy: plan truncation at build time, one materialization
+        # inside the final action instead of a separate eager job
+        .localCheckpoint(eager=False)
     )
     ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
@@ -2916,7 +2918,9 @@ def q_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         dedup.minhash_lsh_dedup(docs, threshold=0.5)
         .select("doc_a", "doc_b")
-        .localCheckpoint()  # feeds components AND both audits once
+        # feeds components AND both audits once; lazy — the star
+        # loop's first eager round-checkpoint materializes it
+        .localCheckpoint(eager=False)
     )
     comp = connected_components_star(pairs)
     labels = (
@@ -3496,20 +3500,22 @@ def q_corpus_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     phase1 = per.withColumn("cum_in", F.sum("toks").over(w_in))
     # chunk totals and caps both derive from phase1 (a chunk's total is
-    # its LAST cumulative). Round 12 (guide §3.3/§5): chunk_tot feeds
-    # BOTH the cap agg and the chunk-prefix window, and each reference
-    # lazily re-derived phase1's corpus scan+tokenize+window — the
-    # before plan scanned documents 3x. chunk_tot is (bucket, chunk)
-    # grain (<= 8192 rows per bucket), so one lazy localCheckpoint
-    # shares a single materialization; the corpus is now scanned
-    # exactly twice (the phase-1 build and the ranked spine), the
-    # floor for a join-back prefix sum without materializing the
-    # corpus-sized phase1 itself.
+    # its LAST cumulative). Round 12 (guide §2.4 — share one exchange):
+    # the cap is sum(ctoks) DIV 2 per bucket, i.e. a FULL-partition
+    # window over the SAME (lang, source) partitioning the chunk-prefix
+    # window needs, so both ride one Window exchange over the chunk
+    # table and chunk_tot has a single downstream reference — the old
+    # shape's separate cap aggregate + second join (and the round-12
+    # interim localCheckpoint that shared chunk_tot between them) are
+    # gone. The chunk table is (bucket, chunk) grain: h DIV 2^47 over
+    # h60's [0, 2^60) range is <= 8192 chunks per bucket by
+    # construction, so the unpartitioned-key windows run over a
+    # hard-bounded frame (the Aggregate stays visible to the key-skew
+    # plan lint — no allowlist entry). The corpus is scanned exactly
+    # twice (the phase-1 build and the ranked spine), the floor for a
+    # join-back prefix sum without materializing corpus-sized phase1.
     chunk_tot = phase1.groupBy("lang", "source", "chunk").agg(
         F.max("cum_in").alias("ctoks")
-    ).localCheckpoint(eager=False)
-    cap = chunk_tot.groupBy("lang", "source").agg(
-        F.expr("sum(ctoks) DIV 2").alias("cap_toks")
     )
     w_ch = (
         W.partitionBy("lang", "source")
@@ -3521,10 +3527,14 @@ def q_corpus_budget_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "chunk",
         F.coalesce(F.sum("ctoks").over(w_ch), F.lit(0)).alias("prev_toks"),
+        # DIV: exact BIGINT floor division (floor(x/2) routes through a
+        # double and can be off-by-one past 2^53 tokens per bucket)
+        F.expr("sum(ctoks) OVER (PARTITION BY lang, source) DIV 2").alias(
+            "cap_toks"
+        ),
     )
     ranked = (
         phase1.join(chunk_pre, ["lang", "source", "chunk"])
-        .join(cap, ["lang", "source"])
         .withColumn("cum_toks", F.col("prev_toks") + F.col("cum_in"))
     )
     return ranked.where(

@@ -18,10 +18,93 @@ Output-mode mapping (SURVEY.md §7.4):
 from __future__ import annotations
 
 import itertools
+import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 _counter = itertools.count()
+
+#: Replay-input sizes (bytes) recorded by the bounded file-replay
+#: sources since the last bounded run (sources.py calls
+#: :func:`note_replay_input` when it hands out a replay stream). The
+#: bounded runners consume them to size shuffle/state partitions for
+#: the replay from its INPUT SIZE (guide §2.2: size partitions by
+#: bytes — 100 MB-1 GB each — never a constant tuned for the local
+#: core count): ``ceil(bytes / 128 MB)``, floored at a small constant
+#: (4) so per-partition state-store commit latency still overlaps,
+#: and capped at the session's parallelism. Locally that turns a
+#: 2 MB replay's 32 one-row state-store commits per microbatch into
+#: 4 (measured on the TWS alarm replay: 13-14 s -> 6.5-7 s warm,
+#: identical output rows — stateful results are partition-count
+#: independent, which the 1/3/17-partition fuzz and the sf0.001
+#: oracle sweep already pin); at production volumes the bytes term
+#: dominates and the count grows to the parallelism cap. Deployments
+#: with bigger state than bytes (wide aggregations) override with
+#: $SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS.
+_PENDING_REPLAY_BYTES: list[int] = []
+
+REPLAY_ADVISORY_BYTES = 128 * 1024 * 1024
+REPLAY_MIN_PARTITIONS = 4
+
+
+def note_replay_input(nbytes: int) -> None:
+    """Record a bounded replay source's input size for the next run."""
+    _PENDING_REPLAY_BYTES.append(int(nbytes))
+
+
+def _replay_partitions(spark: SparkSession) -> str | None:
+    """Partition count for the next bounded run, or None = leave the
+    session conf alone (no replay source was built, e.g. socket/rate
+    streams)."""
+    if not _PENDING_REPLAY_BYTES:
+        return None
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    if env:
+        return str(max(1, int(env)))
+    # max, not sum: multi-source queries (two-stream reconcile) size
+    # for their largest side; both sides flow through the same union
+    total = max(_PENDING_REPLAY_BYTES)
+    try:
+        par = spark.sparkContext.defaultParallelism
+    except Exception:
+        return None  # Connect-style session: cannot probe, do not guess
+    n = max(
+        min(REPLAY_MIN_PARTITIONS, par),
+        min(par, math.ceil(total / REPLAY_ADVISORY_BYTES)),
+    )
+    return str(n)
+
+
+class _replay_sized_partitions:
+    """Set shuffle partitions for one bounded run; restore after.
+
+    Restoring matters: the driver gate and bench share one session
+    across streaming AND batch queries, so the replay sizing must not
+    leak into the next batch plan."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.prev: str | None = None
+        self.target = _replay_partitions(spark)
+
+    def __enter__(self):
+        if self.target is not None:
+            try:
+                self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+                self.spark.conf.set("spark.sql.shuffle.partitions", self.target)
+            except Exception:
+                self.prev = None
+        return self
+
+    def __exit__(self, *exc):
+        _PENDING_REPLAY_BYTES.clear()
+        if self.prev is not None:
+            try:
+                self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+            except Exception:
+                pass
+        return False
 
 #: Executed physical plan of the most recent bounded run (and a bounded
 #: history by query name) — captured so tests can pin streaming plan
@@ -86,18 +169,19 @@ def run_bounded(
     spark = stream_df.sparkSession
     _widen_progress_buffer(spark)
     name = query_name or f"fss_q{next(_counter)}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        _capture_plan(q, name)
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    with _replay_sized_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _capture_plan(q, name)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     return spark.table(name)
 
 
@@ -119,32 +203,34 @@ def run_bounded_now(
     spark = stream_df.sparkSession
     _widen_progress_buffer(spark)
     name = query_name or f"fss_q{next(_counter)}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout)
-        if not finished:
-            # A hung query would otherwise return a silently-truncated
-            # memory table (timer emissions missing) — fail loudly.
-            raise TimeoutError(f"query {name} did not finish in {timeout}s")
-        _capture_plan(q, name)
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    with _replay_sized_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout)
+            if not finished:
+                # A hung query would otherwise return a silently-truncated
+                # memory table (timer emissions missing) — fail loudly.
+                raise TimeoutError(f"query {name} did not finish in {timeout}s")
+            _capture_plan(q, name)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
     return spark.table(name)
 
 
 def run_bounded_foreach(stream_df: DataFrame, fn, output_mode: str = "update") -> None:
     """Execute a bounded streaming plan through foreachBatch ``fn``."""
-    q = stream_df.writeStream.outputMode(output_mode).foreachBatch(fn).start()
-    try:
-        q.processAllAvailable()
-        _capture_plan(q, q.name or "foreach")
-    finally:
-        q.stop()
-        q.awaitTermination(30)
+    with _replay_sized_partitions(stream_df.sparkSession):
+        q = stream_df.writeStream.outputMode(output_mode).foreachBatch(fn).start()
+        try:
+            q.processAllAvailable()
+            _capture_plan(q, q.name or "foreach")
+        finally:
+            q.stop()
+            q.awaitTermination(30)

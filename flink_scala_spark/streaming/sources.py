@@ -52,6 +52,27 @@ def _replay_cache_cleanup() -> None:
 atexit.register(_replay_cache_cleanup)
 
 
+def _dir_bytes(path: str) -> int:
+    """Total bytes under ``path`` — the replay's input size, recorded
+    with runner.note_replay_input so the bounded runners can size
+    shuffle/state partitions from the data instead of the local core
+    count (see runner._replay_partitions)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def _note_replay(path: str) -> None:
+    from flink_scala_spark.streaming import runner
+
+    runner.note_replay_input(_dir_bytes(path))
+
+
 def _layout_replay_dir(staged: str, out: str) -> str:
     """Move one part file per bucket dir into ascending-named,
     ascending-mtime files under ``out``/replay (both orderings forced
@@ -86,6 +107,14 @@ def file_replay(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     batch = tables.load(spark, sf_dir, table)  # also sets nanosAsLong
     raw_schema = spark.read.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir).schema
+    try:
+        from flink_scala_spark.streaming import runner
+
+        runner.note_replay_input(
+            os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+        )
+    except OSError:
+        pass
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", f"{table}.parquet")
@@ -132,6 +161,7 @@ def file_replay_time_buckets(
     cache_key = ("time", sf_dir, table, bucket_seconds)
     with _REPLAY_LOCK:
         replay = _build_time_replay(spark, cache_key, sf_dir, table, bucket_seconds)
+    _note_replay(replay)
     schema = spark.read.parquet(replay).schema
     return (
         spark.readStream.schema(schema)
@@ -183,6 +213,7 @@ def file_replay_id_buckets(
     cache_key = ("id", sf_dir, table, id_col, n_buckets)
     with _REPLAY_LOCK:
         replay = _build_id_replay(spark, cache_key, sf_dir, table, id_col, n_buckets)
+    _note_replay(replay)
     schema = spark.read.parquet(replay).schema
     return (
         spark.readStream.schema(schema)

@@ -111,3 +111,58 @@ def test_zorder_layout_shrinks_both_column_spans(spark, sf_dir):
     # round-robin (which leaves every partition spanning ~everything)
     assert z_u < base_u * 0.6, (z_u, base_u)
     assert z_v < base_v * 0.6, (z_v, base_v)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: input-size-derived streaming replay partitioning
+# ---------------------------------------------------------------------------
+
+
+def test_replay_partitions_derive_from_bytes(spark, monkeypatch):
+    """The bounded-replay partition rule (runner._replay_partitions):
+    ceil(bytes / 128 MB) floored at 4, capped at the session's
+    parallelism, env-overridable — and inert when no replay source
+    recorded a hint (socket/rate streams)."""
+    from flink_scala_spark.streaming import runner
+
+    par = spark.sparkContext.defaultParallelism
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", raising=False)
+
+    runner._PENDING_REPLAY_BYTES.clear()
+    assert runner._replay_partitions(spark) is None  # no hint -> untouched
+
+    runner.note_replay_input(2 * 1024 * 1024)  # 2 MB replay
+    assert runner._replay_partitions(spark) == str(min(4, par))
+
+    runner._PENDING_REPLAY_BYTES.clear()
+    runner.note_replay_input(1024**4)  # 1 TB replay -> parallelism cap
+    assert runner._replay_partitions(spark) == str(par)
+
+    # multi-source queries size for the LARGEST side
+    runner._PENDING_REPLAY_BYTES.clear()
+    runner.note_replay_input(1 * 1024 * 1024)
+    runner.note_replay_input(300 * 1024 * 1024)
+    expect = max(min(4, par), min(par, 3))  # ceil(300MB/128MB) = 3
+    assert runner._replay_partitions(spark) == str(expect)
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "7")
+    assert runner._replay_partitions(spark) == "7"
+    runner._PENDING_REPLAY_BYTES.clear()
+
+
+def test_replay_partition_conf_restored_after_bounded_run(spark, sf_dir):
+    """A bounded replay run must size its own partitions and then put
+    the session value BACK — the driver gate and bench share one
+    session across streaming and batch queries, so a leak would
+    repartition every subsequent batch plan."""
+    from flink_scala_spark.streaming import runner, sources
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    src = sources.file_replay_time_buckets(spark, sf_dir, "events", 86400)
+    assert runner._PENDING_REPLAY_BYTES, "replay source must record its size"
+    out = runner.run_bounded(
+        src.groupBy("event_type").count(), "complete"
+    )
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert not runner._PENDING_REPLAY_BYTES, "hints must be consumed"

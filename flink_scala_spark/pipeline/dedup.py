@@ -891,22 +891,33 @@ def connected_components_star(
     output reproduces its input edge set (every edge already points
     at its component min: a star).
     """
-    def _fingerprint(edges: DataFrame):
-        # (count, sum of row hashes): one tiny agg job. Used only to
-        # SKIP the exact convergence check on rounds that obviously
-        # still changed — never to declare convergence by itself.
-        row = edges.agg(
-            F.count("*").alias("n"),
-            # bit_xor: order-independent and overflow-free under ANSI
-            # (a sum of 64-bit hashes overflows LongType)
-            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
+    def _ckpt_fp(edges: DataFrame):
+        # Eager checkpoint + convergence fingerprint in ONE job
+        # (round 13, guide §1.2): the (count, bit_xor-of-row-hashes)
+        # signature rides the checkpoint materialization as observe()
+        # metrics — the old shape ran a separate agg job per round
+        # (2 jobs + 1 driver collect per round -> 1 job). bit_xor:
+        # order-independent and overflow-free under ANSI (a sum of
+        # 64-bit hashes overflows LongType). The fingerprint is used
+        # only to SKIP the exact convergence check on rounds that
+        # obviously still changed — never to declare convergence by
+        # itself.
+        from pyspark.sql import Observation
 
-    cur = _canon_pairs(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    ).localCheckpoint()
-    cur_fp = _fingerprint(cur)
+        obs = Observation()
+        ck = edges.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).localCheckpoint()
+        m = obs.get
+        return ck, (m["n"], m["h"])
+
+    cur, cur_fp = _ckpt_fp(
+        _canon_pairs(
+            pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        )
+    )
     for _ in range(max_iter):
         # large-star: for each node u, attach its strictly-larger
         # neighbors to m = min(N(u) + {u})
@@ -934,7 +945,6 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(sm.select("u", F.col("m").alias("v")))
         )
-        nxt = _canon_pairs(ss).localCheckpoint()
         # converged when the whole round is idempotent: the round's
         # OUTPUT equals its INPUT edge set (comparing mid-round states
         # can exit early on a coincidental match and silently emit
@@ -942,7 +952,7 @@ def connected_components_star(
         # full shuffles — so it only runs when the cheap fingerprint
         # already agrees; equal multiset cardinalities make ONE empty
         # multiset difference sufficient for equality.
-        nxt_fp = _fingerprint(nxt)
+        nxt, nxt_fp = _ckpt_fp(_canon_pairs(ss))
         stable = (
             nxt_fp == cur_fp
             and nxt_fp[0] == cur_fp[0]

@@ -1424,6 +1424,50 @@ def pq_query_tables(qflat, cbflat):
     return qd.groupBy("query_id").agg(*[_dtable(m) for m in range(PQ_M)])
 
 
+def pq_query_tables_rows(
+    queries: list[tuple[int, list[float]]], cb: dict[int, list[float]]
+) -> list[tuple]:
+    """Driver-side twin of :func:`pq_query_tables` for SERVING batches:
+    a microbatch's query payload is bounded at |batch requests|, so its
+    ADC lookup tables (|batch| x M x K doubles) are computed on the
+    driver and handed to :func:`pq_adc_topk` as a LocalRelation —
+    no per-batch aggregation job, no per-batch broadcast-materialize
+    job, no 64-column flatten codegen (guide §1.2: fix the per-batch
+    algorithm before per-task work). The CORPUS code table never
+    touches the driver; only the request payload does.
+
+    IEEE-exactness contract (same as the module header): each distance
+    is the in-order float64 fold ``d += (e_i - c_i)^2`` over the
+    subspace's dims — operand-for-operand the ops :func:`_pq_sub_dist`
+    runs in the JVM (element_at().cast("double") is an exact widening
+    of the float32 source, as is Python's collect conversion), so the
+    tables are bit-identical to :func:`pq_query_tables`'s and every
+    downstream rank replays exactly (pinned by
+    tests/test_similarity_ops.py).
+
+    ``queries``: (query_id, embedding) per request; ``cb``: code_id ->
+    flattened centroid doubles (c1..cD order). Row m-th table entry c
+    is the distance to code c (code_id order — what pq_query_tables's
+    array_sort produces)."""
+    out: list[tuple] = []
+    for qid, vec in queries:
+        e = [float(x) for x in vec]
+        dts = []
+        for m in range(PQ_M):
+            lo = m * PQ_DSUB
+            tbl = []
+            for c in range(PQ_K):
+                cvec = cb[c]
+                d = 0.0
+                for i in range(lo, lo + PQ_DSUB):
+                    diff = e[i] - cvec[i]
+                    d += diff * diff
+                tbl.append(d)
+            dts.append(tbl)
+        out.append((int(qid), *dts))
+    return out
+
+
 def pq_adc_topk(enc, qdt, k: int):
     """ADC scoring: broadcast the query tables against the code table,
     row-local lookup sums, per-query top-k."""

@@ -270,6 +270,47 @@ def test_kmeans_partition_invariant(spark, sf_dir):
     assert a == b
 
 
+def test_pq_query_tables_rows_bit_exact(spark, sf_dir):
+    """The driver-side ADC-table builder the streaming PQ serving
+    entry uses (round 13) must produce BIT-identical float64 tables to
+    the JVM aggregation it replaces — same in-order fold, operand for
+    operand — or serving ranks drift off the oracle."""
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb)
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+
+    qflat = similarity.flatten(queries, "e", "query_id")
+    jvm = {
+        r["query_id"]: [list(r[f"dt{m}"]) for m in range(similarity.PQ_M)]
+        for r in similarity.pq_query_tables(qflat, cb).collect()
+    }
+
+    cb_py = {
+        int(r[0]): [float(v) for v in r[1:]]
+        for r in cb.select(
+            "code_id", *[F.col(f"c{i}") for i in range(1, similarity.DIM + 1)]
+        ).collect()
+    }
+    local = {
+        row[0]: [list(row[1 + m]) for m in range(similarity.PQ_M)]
+        for row in similarity.pq_query_tables_rows(
+            [
+                (r["vec_id"], r["embedding"])
+                for r in queries.select("vec_id", "embedding").collect()
+            ],
+            cb_py,
+        )
+    }
+    assert set(jvm) == set(local) and len(jvm) > 0
+    for qid in jvm:
+        assert jvm[qid] == local[qid]  # exact float64 equality
+
+
 def test_pagerank_partition_invariant(spark, sf_dir):
     """BIGINT floor-division mass updates are associative: PageRank
     must not depend on partitioning."""

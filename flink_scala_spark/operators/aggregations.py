@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from flink_scala_spark.materialize import shared_bounded
 
 
 def keyed_sum(df: DataFrame, key: str, value: str) -> DataFrame:
@@ -374,7 +375,7 @@ def value_cdf_over_bins(
     # MAD report under identical load). The frame is bounded by the
     # value DOMAIN (distinct (key, bin, value) triples), so the
     # materialization is small regardless of corpus size.
-    h2 = df.groupBy(*keys, "b", "v").agg(cnt_agg.alias("cnt")).localCheckpoint(eager=False)
+    h2 = df.groupBy(*keys, "b", "v").agg(cnt_agg.alias("cnt")).transform(shared_bounded)
     h1 = h2.groupBy(*keys, "b").agg(F.sum("cnt").alias("bcnt"))
     w1 = Window.partitionBy(*keys).orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_scala_spark.functions.portable import epoch_seconds
+from flink_scala_spark.materialize import shared_bounded
 
 _DAY = 86400
 
@@ -48,7 +49,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .select(
             "user_id", "days", F.array_min("days").alias("cohort_day")
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     cohort_sizes = per_user.groupBy("cohort_day").agg(
         F.count("*").alias("cohort_size")
@@ -586,7 +587,7 @@ def rolling_distinct_users(events: DataFrame, window_days: int = 7) -> DataFrame
     # computed once — one lazy localCheckpoint makes that physical.
     ud = events.select(
         "user_id", F.floor(epoch_seconds("ts") / _DAY).cast("long").alias("d")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct().transform(shared_bounded)
     grid = ud.select("d").distinct()
     fan = ud.select(
         "user_id",
@@ -634,7 +635,7 @@ def rolling_distinct_users_hll(events: DataFrame, window_days: int = 7) -> DataF
         )
         .groupBy("d")
         .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     grid = day_sk.select("d")
     fan = day_sk.select(
@@ -696,7 +697,7 @@ def daily_mean_trend(events: DataFrame) -> DataFrame:
         # and the xy join; lazily each re-derived the corpus agg (the
         # before plan scanned events 2x). Day x type grain is
         # calendar-bounded, so the lazy checkpoint is tiny.
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     d0 = daily.groupBy("event_type").agg(F.min("d").alias("d0"))
     xy = daily.join(d0, "event_type").select(
@@ -742,7 +743,7 @@ def _daily_revenue_cents(orders: DataFrame) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.sum("cents").alias("rev"))
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
 
 
@@ -879,7 +880,7 @@ def cross_type_quantile_norm(events: DataFrame) -> DataFrame:
     # the before plan was 1,786 lines with the corpus re-scanned per
     # reference, now ONE corpus scan total via the kernel's own
     # checkpointed histogram).
-    cdf_t = value_cdf_over_bins(pre, keys=("event_type",)).localCheckpoint(eager=False)
+    cdf_t = value_cdf_over_bins(pre, keys=("event_type",)).transform(shared_bounded)
     g = value_cdf_over_bins(
         cdf_t.select("v", F.expr("v DIV 100").alias("b"), "cnt"),
         weight="cnt",
@@ -887,7 +888,7 @@ def cross_type_quantile_norm(events: DataFrame) -> DataFrame:
         F.col("v"),
         (F.col("below") + F.col("cum")).alias("mr2"),
         F.col("n").alias("gn"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_bounded)
     qs = ((25, 0.25), (50, 0.5), (75, 0.75))
     exact = cdf_t.groupBy("event_type").agg(
         F.max("n").alias("n_events"),

@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_scala_spark.functions import h60
+from flink_scala_spark.materialize import (
+    loop_checkpoint,
+    loop_checkpoint_lazy,
+    shared_bounded,
+)
 
 # Default MinHash geometry: 8 hashes, 4 bands x 2 rows.
 # Collision prob at Jaccard j is 1-(1-j^2)^4: ~0.99 at j=0.8, ~0.06
@@ -392,7 +397,7 @@ def near_dup_clusters(
     pairs = pairs_all.select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).transform(loop_checkpoint)
     # edges is materialized now; the shingle-profile cache only served
     # the pair derivation and would otherwise sit in executor memory
     # for the whole label-propagation loop.
@@ -401,7 +406,7 @@ def near_dup_clusters(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(loop_checkpoint)
     )
     for it in range(max_iter):
         nbr = (
@@ -424,7 +429,7 @@ def near_dup_clusters(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
-            .localCheckpoint()
+            .transform(loop_checkpoint)
         )
         labels = stepped.select("doc_id", "label")
         # Round 0 always changes on any graph with edges (every
@@ -610,7 +615,7 @@ def near_dup_pagerank(
     # band+verify subtree to recompute profile-less at first action).
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ).transform(loop_checkpoint)
     prof.unpersist()
     deg = edges.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count("*").alias("deg")
@@ -621,7 +626,7 @@ def near_dup_pagerank(
     # cascade instead of one eager job per iteration (guide §1.2 —
     # measured lazy-vs-eager on the batch-2 MAD report: 1.48 s vs
     # 2.0 s; here it removes 4 eager jobs).
-    nodes = deg.select("doc_id", "deg").localCheckpoint(eager=False)
+    nodes = deg.select("doc_id", "deg").transform(loop_checkpoint_lazy)
     teleport = (100 - damping_pct) * PR_SCALE // 100
     p = nodes.select("doc_id", "deg", F.lit(PR_SCALE).cast("long").alias("pr"))
     for _ in range(iters):
@@ -645,7 +650,7 @@ def near_dup_pagerank(
                     f" + ({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .transform(loop_checkpoint_lazy)
         )
     return p.select("doc_id", "deg", "pr")
 
@@ -745,7 +750,7 @@ def incremental_near_dup(
     out = (
         scored.where(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "common", "jaccard")
-        .localCheckpoint()
+        .transform(loop_checkpoint)
     )
     new_prof.unpersist()
     if not caller_cached:
@@ -909,7 +914,7 @@ def connected_components_star(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
-        ).localCheckpoint()
+        ).transform(loop_checkpoint)
         m = obs.get
         return ck, (m["n"], m["h"])
 
@@ -1107,7 +1112,7 @@ def stitch_candidates(
         h60(
             F.concat_ws(" ", F.expr(f"slice(w, size(w) - {int(k) - 1}, {int(k)})"))
         ).alias("suffix_h"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_bounded)
     left = grams.select(
         *[F.col(c).alias(f"{c}_a") for c in ids],
         F.col("suffix_h").alias("boundary_h"),

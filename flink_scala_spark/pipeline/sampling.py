@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_scala_spark.functions import h60
+from flink_scala_spark.materialize import shared_bounded
 
 KMV_K = 64
 
@@ -226,7 +227,7 @@ def _weighted_admission_audit(base, weighted, budget_sql: str):
 
     from flink_scala_spark.functions import h60
 
-    weighted = weighted.localCheckpoint(eager=False)
+    weighted = weighted.transform(shared_bounded)
     totals = weighted.agg(
         F.sum("n_docs").alias("total"), F.sum("w").alias("sum_w")
     )
@@ -416,7 +417,7 @@ def kmv_set_cardinality(
         )
         .groupBy("hv")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
 
     def sketch(side: DataFrame, name: str) -> DataFrame:
@@ -502,8 +503,8 @@ def kmv_join_size(
     # orders and lineitem twice each). One materialization per side =
     # one corpus scan per side; the certificate branch then reads the
     # key-grain artifact, exactly the table it would join anyway.
-    a = a.localCheckpoint(eager=False)
-    b = b.localCheckpoint(eager=False)
+    a = a.transform(shared_bounded)
+    b = b.transform(shared_bounded)
 
     def side_sketch(df: DataFrame, cnt: str) -> DataFrame:
         # NULL keys hash to a NULL hv, which Spark's ascending sort
@@ -743,7 +744,7 @@ def spacesaving_topk_certified(
     # lazy checkpoints are tiny; the corpus is now exploded exactly
     # twice — once for the exact audit, once through the MG sketch —
     # which is the honest minimum for a certified sketch.
-    exact = items.groupBy("ch").agg(F.count("*").alias("exact_cnt")).localCheckpoint(eager=False)
+    exact = items.groupBy("ch").agg(F.count("*").alias("exact_cnt")).transform(shared_bounded)
     # n = sum of the bounded exact frame — NOT a third corpus
     # scan/explode (round-11 review finding)
     total = exact.agg(F.sum("exact_cnt").alias("n_chars"))
@@ -752,7 +753,7 @@ def spacesaving_topk_certified(
         mg_summaries(items, "ch", k)
         .groupBy("ch")
         .agg(F.sum("est").alias("s"))
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     top_k1 = summed.orderBy(F.desc("s"), "ch").limit(k + 1)
     off = top_k1.agg(

@@ -34,6 +34,7 @@ import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from flink_scala_spark.materialize import shared_bounded
 
 NUM_PLANES = 8
 DIM = 64
@@ -2425,7 +2426,7 @@ def negative_pool_sample(
     # scanned once for the pool and once for the query side.
     pidx = pool.select(
         "neg_id", "neg_label", (F.row_number().over(w) - F.lit(1)).alias("idx")
-    ).localCheckpoint(eager=False)
+    ).transform(shared_bounded)
     # modulus = the ACTUAL pool row count, not pool_size: a corpus
     # smaller than pool_size under-fills the pool, and a fixed modulus
     # would silently drop every (query, slot) hashing past the end —

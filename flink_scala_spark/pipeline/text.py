@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from flink_scala_spark.materialize import shared_bounded
 
 # Tiny per-language stopword profiles for the n-gram-free heuristic
 # language identifier. Ties resolve in declaration order.
@@ -365,7 +366,7 @@ def decontamination_bloom(
         word_shingles(docs.where(b >= 90), text_col, n=n)
         .select("shingle")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
 
     def pos(i: int, col):
@@ -674,7 +675,7 @@ def _bpe_train_loop(wf, iters: int, carry: tuple[str, ...]):
     each iteration is exactly one job over the shared vocabulary RDD
     and the corpus is scanned once, in the initial word-frequency agg.
     """
-    wf = wf.localCheckpoint(eager=False)
+    wf = wf.transform(shared_bounded)
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, iters + 1):
         # sequence(1, 0) DESCENDS in Spark (same trap as fingerprint):
@@ -715,7 +716,7 @@ def _bpe_train_loop(wf, iters: int, carry: tuple[str, ...]):
             _bpe_merge_fold(
                 F.col("syms"), F.lit(row["pair_a"]), F.lit(row["pair_b"])
             ).alias("syms"),
-        ).localCheckpoint(eager=False)
+        ).transform(shared_bounded)
     return wf, merges
 
 
@@ -1098,7 +1099,7 @@ def rare_token_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
         base.select("doc_id", F.explode("w").alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("k"))
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     # n_tok = sum of per-word counts — derived from the SAME pre-agg,
     # so the text column is scanned and split exactly once.

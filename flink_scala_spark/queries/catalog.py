@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from flink_scala_spark import tables
 from flink_scala_spark.functions.portable import epoch_seconds
+from flink_scala_spark.materialize import shared_bounded
 from flink_scala_spark.operators import (
     aggregations as agg_ops,
     dashboard,
@@ -1836,7 +1837,7 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         # pipeline reads back; without it the demo's plan would rescan
         # and re-aggregate the base log for both consumers below
         # (lazy: one materialization inside the final action)
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     # the stored materialization (in production: read, not computed)
     base_agg = base_live.groupBy("user_id").agg(

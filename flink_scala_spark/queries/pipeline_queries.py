@@ -27,6 +27,7 @@ from flink_scala_spark.pipeline import (
     text,
 )
 from flink_scala_spark.queries.catalog import QUERIES, register
+from flink_scala_spark.materialize import shared_bounded
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments
@@ -2280,7 +2281,7 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         # lazy: plan truncation at build time, one materialization
         # inside the final action instead of a separate eager job
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
@@ -2920,7 +2921,7 @@ def q_split_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         # feeds components AND both audits once; lazy — the star
         # loop's first eager round-checkpoint materializes it
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     comp = connected_components_star(pairs)
     labels = (
@@ -3604,7 +3605,7 @@ def q_source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "sum_ppm",
         F.expr("sum_ppm DIV n_docs").alias("rep_ppm"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_bounded)
     glob = rep.agg(F.expr("sum(sum_ppm) DIV sum(n_docs)").alias("global_ppm"))
     return (
         docs.select("doc_id", "source")
@@ -4206,7 +4207,7 @@ def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.select(
         "doc_id", "lang", "source",
         F.size(F.split("text", " ")).cast("long").alias("toks"),
-    ).localCheckpoint(eager=False)
+    ).transform(shared_bounded)
     stats = per.groupBy("lang", "source").agg(
         F.count("*").alias("n"),
         F.sum("toks").alias("s"),
@@ -5219,7 +5220,7 @@ def q_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the corpus is scanned exactly once at any scale.
     b = ev.groupBy("B", (F.col("h") % F.col("B")).alias("bucket")).agg(
         F.count("*").alias("cnt")
-    ).localCheckpoint(eager=False)
+    ).transform(shared_bounded)
     tot = b.groupBy("B").agg(
         F.count("*").alias("used_buckets"),
         F.sum("cnt").alias("total_rows"),
@@ -5656,7 +5657,7 @@ def q_user_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint makes the docstring's one-shuffle claim physical.
     t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
         F.count("*").alias("n")
-    ).localCheckpoint(eager=False)
+    ).transform(shared_bounded)
     tot = t.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
     return t.join(tot, "prev_type").select(
         "prev_type",

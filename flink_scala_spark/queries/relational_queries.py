@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from flink_scala_spark import tables
 from flink_scala_spark.queries.catalog import register
+from flink_scala_spark.materialize import shared_bounded
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1699,7 +1700,7 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.sum("cents").alias("monetary"),
         )
-        .localCheckpoint(eager=False)
+        .transform(shared_bounded)
     )
     maxd = rfm0.agg(F.max("last_day").alias("d"))
     rfm = rfm0.crossJoin(F.broadcast(maxd)).select(

@@ -30,73 +30,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 queries() entries.
-# Round-12 rotation (verdict item 1): (a) the three round-12 additions
-# (no driver row yet: the live SCD2 maintenance, the KMV join-size
-# planner, the longest-run contamination score); (b) ALL 47 entries
-# whose latest driver-green row is round 7 (the full stale tail,
-# alphabetical — after this round no entry's latest driver row
-# predates round 8). That fills the head exactly (50). The four
-# round-12 plan-touched entries (spacesaving_topk_certified's
-# vectorized MG fold, streaming_ann_pq_serving's hardened index home,
-# revenue_dow_seasonality's zero-guard, the quantile pair's tiebreak
-# deprecation) all have round-11 driver rows and value-identical
-# results; their re-proof this round is the full-registry sf0.01 +
-# sf0.1 check_oracle sweeps recorded in BASELINE.md plus the suite's
+# Round-13 rotation (round-12 verdict item 8, the standing cadence):
+# (a) streaming_ann_pq_serving — this round's headline rewrite (the
+# per-batch ADC tables now build on the driver), so the driver gate
+# re-proves it directly; (b) ALL 49 entries whose latest driver-green
+# row is round 8 (the full stale tail, alphabetical — after this round
+# no entry's latest driver row predates round 9). That fills the head
+# exactly (50). The other round-13-touched entries
+# (dedup_clusters_star is IN the r8 cohort; dedup_pagerank and the
+# materialize-helper migration sites have round-11/12 driver rows and
+# value-identical results) are re-proved by the full-registry
+# check_oracle sweeps recorded in BASELINE.md plus the suite's
 # all-catalog sf0.001 oracle test. Everything below slot 50 stays
 # oracle-checked at sf0.001 on every pytest run
 # (tests/test_catalog_oracle.py), and the head contract is pinned by
 # test_driver_priority_head_is_valid.
 _PRIORITY = [
-    "streaming_scd2_maintenance",
-    "join_size_kmv_certified",
-    "contamination_longest_run",
-    "ann_ivf_pq_topk",
-    "ann_ivf_topk",
-    "ann_recall_report",
-    "asof_join_cogrouped",
-    "bpe_encode",
-    "contrastive_triplets_ivf",
-    "count_window_sliding",
-    "dataset_split",
-    "day_window_offset_utc8",
-    "dedup_containment",
-    "dedup_ngram_jaccard",
-    "dedup_substring_spans",
-    "delta_alarm",
-    "embedding_near_dup",
-    "embedding_quantize_int8",
-    "evictor_prefilter",
-    "gap_fill_forward",
-    "generated_order_dashboard",
-    "hard_negative_mining_ivf",
-    "incremental_dedup",
-    "late_data_accounting",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "revenue_day_over_day",
-    "rolling_window_avg",
-    "semantic_decontamination",
-    "session_stats",
-    "side_output_alarm",
-    "skew_join_salted",
-    "split_select_bands",
-    "stratified_sample_events",
-    "streaming_cohort_retention",
-    "streaming_delta_alarm_ttl",
-    "streaming_funnel",
-    "streaming_keyed_sum",
-    "streaming_order_dashboard",
-    "streaming_rising_alarm_tws",
-    "streaming_session_gap_tws",
-    "streaming_session_summary_tws",
-    "streaming_session_windows",
-    "streaming_tumbling_counts",
-    "streaming_word_count",
-    "trigger_per_element_fire",
-    "value_histogram",
-    "value_outliers",
-    "window_all_minute",
-    "windowed_topk_types",
+    "streaming_ann_pq_serving",
+    "ann_pq_topk",
+    "approx_ndv_hll",
+    "bloom_semi_join",
+    "bm25_search",
+    "cdc_apply_changelog",
+    "copurchase_pairs",
+    "corpus_curation_pipeline",
+    "decontamination_bloom",
+    "dedup_clusters_star",
+    "dedup_triangles",
+    "distribution_drift_report",
+    "entity_clusters",
+    "events_type_unpivot",
+    "events_variant_props",
+    "idle_high_balance_customers",
+    "mmr_rerank",
+    "order_dashboard_total",
+    "pareto_frontier",
+    "pii_scrub",
+    "revenue_grouping_sets",
+    "sample_events_per_type",
+    "scd2_history",
+    "schema_evolution_roundtrip",
+    "semantic_dedup",
+    "shipping_priority_topk",
+    "sketch_set_cardinality",
+    "small_quantity_part_revenue",
+    "sole_late_supplier_waits",
+    "streaming_cdc_apply",
+    "streaming_chained_windows",
+    "streaming_cms_heavy_hitters",
+    "streaming_dedup_then_window",
+    "streaming_dedup_within_watermark",
+    "streaming_delta_alarm",
+    "streaming_drift_report",
+    "streaming_interval_join_full_outer",
+    "streaming_interval_join_outer",
+    "streaming_join_then_window",
+    "streaming_static_enrichment",
+    "streaming_windowed_topk",
+    "temporal_join_scd2",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_rare_token_novelty",
+    "text_token_stats",
+    "udaf_second_largest",
+    "udtf_bigram_topk",
+    "weighted_corpus_sample",
 ]
 
 

@@ -771,7 +771,18 @@ def fuzzy_string_pairs(values: DataFrame, col: str = "word") -> DataFrame:
     Scale: key fan-out is O(len) per DISTINCT value; blocking keys
     spread near-uniformly, so the join is skew-free; verification
     touches candidates only. The classic fuzzy-join shape for entity
-    resolution / spell correction / OCR cleanup at corpus scale."""
+    resolution / spell correction / OCR cleanup at corpus scale.
+
+    Memory envelope (round-12 ADVICE): the bucket-local form below
+    collects each deletion-key bucket's word list into ONE row and
+    each anchor row carries the full ``ws`` array, so intermediate
+    bytes are O(|bucket|^2) per key — fine for deletion neighborhoods
+    (buckets are bounded by the vocabulary sharing one deletion
+    variant, measured max 27 words at sf0.1), but a pathological
+    mega-bucket (a corpus where thousands of values collapse to one
+    key) would OOM an executor where a self-join would shuffle/spill
+    gracefully. If that corpus shows up, cap bucket size with a skew
+    guard before the collect_list."""
     vocab = values.select(F.col(col).alias("word")).where(
         F.col("word").isNotNull() & (F.col("word") != "")
     ).distinct()
@@ -813,10 +824,11 @@ def fuzzy_string_pairs(values: DataFrame, col: str = "word") -> DataFrame:
             "word_a",
             F.explode(F.expr("slice(ws, i + 2, size(ws))")).alias("word_b"),
         )
-        .where(
-            (F.col("word_a") < F.col("word_b"))
-            & (F.levenshtein("word_a", "word_b", 1) == 1)
-        )
+        # no a < b filter needed: ws is array_sort over DISTINCT vocab
+        # words and slice(i + 2, ...) yields strictly-later elements,
+        # so word_a < word_b holds by construction (round-12 ADVICE:
+        # the explicit predicate was dead)
+        .where(F.levenshtein("word_a", "word_b", 1) == 1)
         .select("word_a", "word_b")
         .distinct()
     )

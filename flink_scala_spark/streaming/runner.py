@@ -44,27 +44,61 @@ _counter = itertools.count()
 #: $SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS.
 _PENDING_REPLAY_BYTES: list[int] = []
 
+#: Guards the pending-hint list (round-12 ADVICE): list append/snapshot
+#: is not atomic enough under concurrent source builds + runs, and the
+#: consume must be read-and-clear in one step. The remaining envelope
+#: is documented on :func:`note_replay_input`: hints are a build-time →
+#: run-time handoff, so a source built but never run leaves its hint
+#: for the NEXT bounded run (one mis-sized run, then self-healed by
+#: that run's clear; results are partition-count invariant — pinned by
+#: the 1/3/17-partition fuzz — so this is perf-only), and when two
+#: queries' sources are built before the first runs, the first run
+#: sizes for both and the second falls back to the session default.
+_PENDING_LOCK = __import__("threading").Lock()
+
 REPLAY_ADVISORY_BYTES = 128 * 1024 * 1024
 REPLAY_MIN_PARTITIONS = 4
 
 
 def note_replay_input(nbytes: int) -> None:
-    """Record a bounded replay source's input size for the next run."""
-    _PENDING_REPLAY_BYTES.append(int(nbytes))
+    """Record a bounded replay source's input size for the next run.
+
+    The handoff is intentionally positional (next bounded run consumes
+    every pending hint): the sizing hint cannot be keyed to the
+    DataFrame because queries run DERIVED frames (filters/selects over
+    the source), and PySpark exposes no lineage walk back to the
+    source object. See _PENDING_LOCK for the single-process envelope
+    this leaves."""
+    with _PENDING_LOCK:
+        _PENDING_REPLAY_BYTES.append(int(nbytes))
 
 
 def _replay_partitions(spark: SparkSession) -> str | None:
     """Partition count for the next bounded run, or None = leave the
     session conf alone (no replay source was built, e.g. socket/rate
-    streams)."""
-    if not _PENDING_REPLAY_BYTES:
+    streams). Consumes (reads AND clears) the pending hints."""
+    with _PENDING_LOCK:
+        pending = list(_PENDING_REPLAY_BYTES)
+        _PENDING_REPLAY_BYTES.clear()
+    if not pending:
         return None
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
     if env:
-        return str(max(1, int(env)))
+        # tolerate junk values (round-12 ADVICE): fall back to the
+        # byte-derived sizing instead of crashing the bounded run
+        try:
+            return str(max(1, int(env)))
+        except ValueError:
+            import sys
+
+            print(
+                f"# SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS={env!r} is not "
+                "an int; using byte-derived replay sizing",
+                file=sys.stderr,
+            )
     # max, not sum: multi-source queries (two-stream reconcile) size
     # for their largest side; both sides flow through the same union
-    total = max(_PENDING_REPLAY_BYTES)
+    total = max(pending)
     try:
         par = spark.sparkContext.defaultParallelism
     except Exception:
@@ -98,7 +132,9 @@ class _replay_sized_partitions:
         return self
 
     def __exit__(self, *exc):
-        _PENDING_REPLAY_BYTES.clear()
+        # hints were consumed (read-and-cleared) by _replay_partitions
+        # at construction; clearing again here would destroy hints a
+        # source built for the NEXT run in the meantime
         if self.prev is not None:
             try:
                 self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)

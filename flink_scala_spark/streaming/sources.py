@@ -110,8 +110,13 @@ def file_replay(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     try:
         from flink_scala_spark.streaming import runner
 
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        # a parquet DIRECTORY would getsize() its inode (no OSError)
+        # and silently record a tiny hint (round-12 ADVICE) — route
+        # directories through the recursive walk like the bucketed
+        # replay paths
         runner.note_replay_input(
-            os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+            _dir_bytes(path) if os.path.isdir(path) else os.path.getsize(path)
         )
     except OSError:
         pass

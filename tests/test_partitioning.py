@@ -145,8 +145,18 @@ def test_replay_partitions_derive_from_bytes(spark, monkeypatch):
     expect = max(min(4, par), min(par, 3))  # ceil(300MB/128MB) = 3
     assert runner._replay_partitions(spark) == str(expect)
 
+    # round 13: _replay_partitions CONSUMES (reads and clears) the
+    # pending hints, so each probe below notes its own hint first
+    assert not runner._PENDING_REPLAY_BYTES, "hints must be consumed"
     monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "7")
+    runner.note_replay_input(2 * 1024 * 1024)
     assert runner._replay_partitions(spark) == "7"
+
+    # a junk env value falls back to byte-derived sizing instead of
+    # crashing the bounded run (round-12 ADVICE)
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "lots")
+    runner.note_replay_input(2 * 1024 * 1024)
+    assert runner._replay_partitions(spark) == str(min(4, par))
     runner._PENDING_REPLAY_BYTES.clear()
 
 

@@ -1,6 +1,8 @@
 """Time individual headline queries with bench.py's exact methodology
-(per-query sf0.001 warmup, then best-of-N `.count()` at $SPARK_GRAFT_SF_DIR
-from a cold data cache) without running the whole headline set.
+(per-query sf0.001 warmup, then best-of-N noop-sink writes at
+$SPARK_GRAFT_SF_DIR from a cold data cache — guide §1.4; round 13
+re-based the timed action from `.count()` alongside bench.py) without
+running the whole headline set.
 
 Usage: python tools/solo_bench.py <query> [query ...]
 """
@@ -32,7 +34,9 @@ def main() -> None:
         spark.sparkContext.setJobDescription(f"warmup:{name}")
         if os.path.isdir(warm_dir):
             try:
-                fn(spark, warm_dir).count()
+                fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             except Exception as e:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
         best, n = None, 0
@@ -41,7 +45,13 @@ def main() -> None:
             spark.sparkContext.setJobDescription(f"measure:{name}:{i}")
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            df.write.format("noop").mode("overwrite").save()
+            n = obs.get["n"]
             wall = time.time() - t0
             best = wall if best is None else min(best, wall)
             del df

@@ -2115,7 +2115,13 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedd
     round() differs between engines — floor is bit-identical).
     Emits the quantized array, the scale to dequantize, and the max
     absolute reconstruction error. Row-local array expressions only —
-    scales with the scan, no shuffle, no UDF."""
+    scales with the scan, no shuffle, no UDF. The scan is spread
+    (tables.spread — no-op on multi-split cluster inputs): the per-dim
+    interpreted array math ran on ONE local task (round-13 A/B at
+    sf0.1: 2.52 -> 0.35 s noop)."""
+    from flink_scala_spark.tables import spread
+
+    emb = spread(emb)
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = F.when(max_abs == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / max_abs)

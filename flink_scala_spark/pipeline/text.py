@@ -196,9 +196,14 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     100 TB this runs at parquet-scan speed with (doc_id, text) pruning.
     The per-row top-count scan is O(distinct x words) on arrays that
     live in one row — CPU-bound inside codegen, never memory-bound.
-    Documents with no words emit NULL fractions.
+    Documents with no words emit NULL fractions. The scan is spread
+    (tables.spread — no-op on multi-split cluster inputs): the per-row
+    work dominates a single-task local scan by far (round-13 A/B at
+    sf0.1: 1.00 -> 0.28 s noop).
     """
-    base = docs.select("doc_id", F.split(F.col(text_col), " ").alias("w"))
+    from flink_scala_spark.tables import spread
+
+    base = spread(docs).select("doc_id", F.split(F.col(text_col), " ").alias("w"))
     grams = base.select(
         "doc_id",
         F.filter("w", lambda x: x != "").alias("wf"),
@@ -420,7 +425,15 @@ FP_KGRAM = 16
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = FP_KGRAM) -> DataFrame:
     """Rolling-hash document fingerprint: the minimum h60 over all
     character k-grams (the 1-fingerprint corner of winnowing). Pure
-    array expression — no explode, no shuffle."""
+    array expression — no explode, no shuffle. The scan is spread
+    (tables.spread — no-op on multi-split cluster inputs): one md5 per
+    character position is by far the heaviest row-local pass in the
+    registry and ran on ONE local task (round-13 A/B at sf0.1:
+    2.54 -> 0.34 s noop).
+    """
+    from flink_scala_spark.tables import spread
+
+    docs = spread(docs)
     # Guard: Spark's sequence(1, stop) runs DESCENDING when stop < 1,
     # so short texts must short-circuit to NULL instead.
     expr = (
@@ -938,6 +951,13 @@ def contamination_longest_runs(
             _nonempty(d, text_col), text_col, n=n, out_col="span", pos_col="i"
         ).select("doc_id", "i", h60(F.col("span")).alias("sh"))
 
+    # spread: all three span explodes (guard + 80% + 10%) run their
+    # per-span hashing over a single-split local scan otherwise
+    # (round-13 A/B at sf0.1: 1.96 -> 1.10 s noop); no-op on cluster
+    # inputs with >= cores splits
+    from flink_scala_spark.tables import spread
+
+    docs = spread(docs)
     b = split_bucket("doc_id")
     ok = (
         doc_spans(docs)
@@ -999,7 +1019,13 @@ def scrub_duplicate_spans(
     """
     from flink_scala_spark.functions.portable import h60
     from flink_scala_spark.pipeline.dedup import positional_ngrams
+    from flink_scala_spark.tables import spread
 
+    # spread: the span explode + per-span h60 and the final row-local
+    # scrub are heavy per-row passes over a single-split local scan
+    # (round-13 A/B at sf0.1: 2.95 -> 1.41 s noop); no-op on cluster
+    # inputs with >= cores splits
+    docs = spread(docs)
     base = _nonempty(docs, text_col).select(
         "doc_id",
         F.split(F.col(text_col), " ").alias("w"),
@@ -1241,6 +1267,12 @@ def boilerplate_flags(
     the test-scale path keeps the exact string key the oracle can
     mirror).
     """
+    from flink_scala_spark.tables import spread
+
+    # spread: the shingle build (per-position slice + concat) is the
+    # heavy row-local pass here and ran on ONE local task (round-13
+    # A/B at sf0.1: 2.26 -> 1.45 s noop); no-op on cluster inputs
+    docs = spread(docs)
     toks = F.split(F.col(text_col), " ")
     n_sh = F.size(toks) - shingle_w + 1
     # Spark's sequence(1, 0) yields [1, 0] (it infers step -1 when

@@ -52,6 +52,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure a heavy ROW-LOCAL pass gets scan parallelism WITHOUT an
+    unconditional shuffle (the round-12 ``similarity._spread`` idiom,
+    promoted here in round 13 because it applies far beyond pair
+    joins).
+
+    The testdata tables are ONE parquet file with ONE row group each,
+    so every scan stage is a single task locally no matter what
+    ``maxPartitionBytes`` says — a projection that does real per-row
+    work (per-k-gram hashing, per-dim array math) then runs on one
+    core of local[32]. The probe reads file-listing METADATA only
+    (``inputFiles``): when the scan already has at least as many
+    splits as the session's parallelism — every real cluster corpus —
+    this is a no-op and nothing is shuffled; only a
+    fewer-files-than-cores input pays one round-robin exchange to
+    unlock the cores. Apply it ONLY where the per-row work measurably
+    dominates that exchange (each call site cites its A/B); cheap
+    scan→agg paths keep the plain scan.
+    """
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        return df  # Connect-style session: cannot probe, do not guess
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 

@@ -311,6 +311,37 @@ def test_pq_query_tables_rows_bit_exact(spark, sf_dir):
         assert jvm[qid] == local[qid]  # exact float64 equality
 
 
+def test_cosine_topk_both_equals_two_passes(spark, sf_dir):
+    """label_match='both' (one corpus pass mining positives and
+    negatives together, round 13) must be row-identical to the
+    separate 'same' and 'diff' passes it replaced."""
+    from pyspark.sql import functions as F
+
+    from flink_scala_spark import tables
+    from flink_scala_spark.pipeline import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 50 == 0
+    n_emb = emb.count()
+    pos = similarity.cosine_topk_vectorized(
+        emb, pred, k=1, label_col="label", label_match="same", n_emb=n_emb
+    ).collect()
+    neg = similarity.cosine_topk_vectorized(
+        emb, pred, k=4, label_col="label", label_match="diff", n_emb=n_emb
+    ).collect()
+    expected = sorted(
+        [(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"], True) for r in pos]
+        + [(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"], False) for r in neg]
+    )
+    both = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"], r["same"])
+        for r in similarity.cosine_topk_vectorized(
+            emb, pred, k=4, k_same=1, label_col="label", label_match="both"
+        ).collect()
+    )
+    assert both == expected and len(both) > 0
+
+
 def test_pagerank_partition_invariant(spark, sf_dir):
     """BIGINT floor-division mass updates are associative: PageRank
     must not depend on partitioning."""

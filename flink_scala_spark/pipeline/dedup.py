@@ -1007,18 +1007,13 @@ def near_dup_clusters_star(
     )
 
 
-def minhash_signature_exprs(text_col: str = "text") -> list:
-    """ROW-LOCAL MinHash signature columns mh0..mh{NUM_HASHES-1} —
-    the streaming-friendly twin of :func:`minhash_signatures`.
-
-    The batch path explodes shingles and groupBy-mins them (right at
-    corpus scale: map-side combine); a stream wants the signature
-    before any shuffle, so here the same arithmetic — distinct word
-    trigrams -> 60-bit md5-prefix hash -> (A_s*lo + B_s*hi) mod
-    (2^61-1), min over shingles — runs as pure array expressions
-    inside whole-stage codegen, one row at a time. Docs with fewer
-    than 3 words (no shingles) yield NULL signatures, mirroring their
-    absence from the exploded batch/oracle signature sets."""
+def minhash_shingle_hashes(text_col: str = "text"):
+    """ROW-LOCAL distinct-trigram 60-bit hash array (the ``hs`` stage
+    of the streaming MinHash signature): distinct word trigrams ->
+    md5-prefix hash, NULL when the doc has fewer than 3 words. Split
+    out of :func:`minhash_signature_exprs` (round 13) so callers can
+    materialize it in its OWN projection — see that function's
+    docstring for why."""
     w = F.split(F.col(text_col), " ")
     n_sh = F.greatest(F.size(w) - 2, F.lit(0))
     shingles = F.when(
@@ -1035,16 +1030,62 @@ def minhash_signature_exprs(text_col: str = "text") -> list:
             )
         ),
     )
-    hs = F.transform(
+    return F.transform(
         shingles,
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
+
+
+def minhash_exprs_over_hashes(hs_col: str) -> list:
+    """mh0..mh{NUM_HASHES-1} over an already-computed
+    :func:`minhash_shingle_hashes` COLUMN — each minhash is one
+    array_min(transform) over the shared array, (A_s*lo + B_s*hi) mod
+    (2^61-1)."""
     mask = F.lit((1 << 30) - 1)
 
     def _mh_lambda(s):
         # NB: a default-arg capture (lambda x, _s=s: ...) would make
         # the lambda binary, and pyspark's transform() then passes the
         # ARRAY INDEX as the second argument — a closure keeps it unary
+        a, b = F.lit(MH_A[s]), F.lit(MH_B[s])
+        return lambda x: (a * x.bitwiseAND(mask) + b * F.shiftright(x, 30)) % F.lit(
+            MH_MOD
+        )
+
+    return [
+        F.array_min(F.transform(F.col(hs_col), _mh_lambda(s))).alias(f"mh{s}")
+        for s in range(NUM_HASHES)
+    ]
+
+
+def minhash_signature_exprs(text_col: str = "text") -> list:
+    """ROW-LOCAL MinHash signature columns mh0..mh{NUM_HASHES-1} —
+    the streaming-friendly twin of :func:`minhash_signatures`.
+
+    The batch path explodes shingles and groupBy-mins them (right at
+    corpus scale: map-side combine); a stream wants the signature
+    before any shuffle, so here the same arithmetic — distinct word
+    trigrams -> 60-bit md5-prefix hash -> (A_s*lo + B_s*hi) mod
+    (2^61-1), min over shingles — runs as pure array expressions,
+    one row at a time. Docs with fewer than 3 words (no shingles)
+    yield NULL signatures, mirroring their absence from the exploded
+    batch/oracle signature sets.
+
+    PLAN-SIZE WARNING (round 13): each of the 8 columns returned here
+    embeds the FULL shingle+md5 subtree — higher-order functions run
+    interpreted with no common-subexpression elimination, so a single
+    select of these re-hashes every shingle 8x and carries an 8x
+    plan tree (which a streaming query re-analyzes EVERY microbatch).
+    Streaming consumers should project :func:`minhash_shingle_hashes`
+    in its own select first and then apply
+    :func:`minhash_exprs_over_hashes` (CollapseProject keeps the two
+    projections apart — the shared array is non-cheap and referenced
+    8x). This composed form is kept for single-shot batch callers and
+    as the oracle-shape anchor."""
+    hs = minhash_shingle_hashes(text_col)
+    mask = F.lit((1 << 30) - 1)
+
+    def _mh_lambda(s):
         a, b = F.lit(MH_A[s]), F.lit(MH_B[s])
         return lambda x: (a * x.bitwiseAND(mask) + b * F.shiftright(x, 30)) % F.lit(
             MH_MOD

@@ -489,11 +489,20 @@ def near_dup_flags(docs_stream: DataFrame) -> DataFrame:
     from flink_scala_spark.pipeline.dedup import (
         NUM_BANDS,
         ROWS_PER_BAND,
-        minhash_signature_exprs,
+        minhash_exprs_over_hashes,
+        minhash_shingle_hashes,
     )
 
-    sig = docs_stream.select("doc_id", *minhash_signature_exprs("text")).where(
-        F.col("mh0").isNotNull()
+    # two-step projection (round 13): the shingle+md5 array is built
+    # ONCE and the 8 minhash columns share it — the one-select form
+    # re-hashed every shingle 8x (interpreted HOFs have no CSE) and
+    # its 8x plan tree was re-analyzed every microbatch
+    sig = (
+        docs_stream.select(
+            "doc_id", minhash_shingle_hashes("text").alias("_hs")
+        )
+        .select("doc_id", *minhash_exprs_over_hashes("_hs"))
+        .where(F.col("mh0").isNotNull())
     )
     band_structs = F.array(
         *[
@@ -538,16 +547,21 @@ def near_dup_flags_ttl(docs_stream: DataFrame, horizon_seconds: int) -> DataFram
     from flink_scala_spark.pipeline.dedup import (
         NUM_BANDS,
         ROWS_PER_BAND,
-        minhash_signature_exprs,
+        minhash_exprs_over_hashes,
+        minhash_shingle_hashes,
     )
 
+    # two-step projection — same rationale as near_dup_flags
     sig = (
         docs_stream.withWatermark("ts", "0 seconds")
         .select(
             "doc_id",
             epoch_seconds("ts").alias("ts_l"),
             "ts",
-            *minhash_signature_exprs("text"),
+            minhash_shingle_hashes("text").alias("_hs"),
+        )
+        .select(
+            "doc_id", "ts_l", "ts", *minhash_exprs_over_hashes("_hs")
         )
         .where(F.col("mh0").isNotNull())
     )

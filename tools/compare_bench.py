@@ -90,6 +90,29 @@ def main() -> int:
             f"sf={sf_old}, {sys.argv[2]} is sf={sf_new}"
         )
         return 2
+    # Round 13 re-based the timed action from .count() to a noop-sink
+    # write (BENCH_FULL carries "timed_action": "noop_write"; earlier
+    # artifacts carry nothing). Comparing across the metric switch
+    # mixes pruned-output timings with full-materialization ones —
+    # warn loudly (the identical-tree re-base pair in plans/r13/ is
+    # the bridge).
+    def _action(path: str) -> str:
+        with open(path) as f:
+            doc = json.load(f)
+        return doc.get("timed_action") or (
+            (doc.get("parsed") or {}).get("timed_action")
+            if isinstance(doc.get("parsed"), dict)
+            else None
+        ) or "count"
+
+    a_old, a_new = _action(sys.argv[1]), _action(sys.argv[2])
+    if a_old != a_new:
+        print(
+            f"WARNING: timed action differs ({sys.argv[1]}={a_old}, "
+            f"{sys.argv[2]}={a_new}) — the round-13 count->noop re-base; "
+            "ratios mix metrics. Bridge via the identical-tree pair in "
+            "plans/r13/BENCH_FULL_{count,noop}_rebase.json."
+        )
     # A truncated driver tail can hide the sf key entirely — the exact
     # artifacts the refusal above was added to protect against would
     # otherwise BYPASS it silently (round-11 ADVICE). Warn loudly so a
